@@ -1,0 +1,746 @@
+"""Main-content extraction from raw HTML bytes — pure Python, stdlib only.
+
+This is the deterministic replacement for the reference's GPT-4V page
+extractor (``openai_content_extractor.py:63-307`` in
+EricBui619/document-extractor): instead of prompting a vision model for
+typed content items, we flatten the DOM into text blocks, score them with
+text-density + link-density heuristics (Boilerpipe / Readability-style
+block classification, public algorithm: Kohlschütter et al., WSDM 2010),
+classify block types by tag, then apply the reference's deterministic
+structural rewrites:
+
+- header-level assignment     (``content_structure_fixer.py:90-118``)
+- section↔table reorder       (``content_structure_fixer.py:17-88``)
+- adjacent-table merge        (``content_structure_fixer.py:120-177``)
+- multi-record KV → table     (``key_value_converter.py:24-397``)
+
+The output is ``ExtractResult(text, spans, items, layout, error)`` where
+``spans`` are byte-offset-free *character* offsets into ``text`` and
+``text[start:end]`` reconstructs each block exactly (tested invariant).
+
+Everything here is a pure function of the input bytes: no I/O, no global
+mutable state, no randomness — a hard requirement for byte-identical
+re-extraction across Spark tasks and batch boundaries.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Optional
+
+# ---------------------------------------------------------------------------
+# Tag sets
+# ---------------------------------------------------------------------------
+
+BLOCK_TAGS = {
+    "address", "article", "aside", "blockquote", "div", "dd", "dl", "dt",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "li", "main", "nav", "ol", "p", "pre",
+    "section", "table", "td", "th", "title", "tr", "ul",
+}
+
+# Content inside these is invisible — never contributes text.
+SKIP_TAGS = {
+    "script", "style", "noscript", "template", "head", "svg", "iframe",
+    "select", "option", "button", "datalist", "canvas", "object", "audio",
+    "video",
+}
+
+# Ancestor tags that mark page chrome (boilerplate regardless of score).
+CHROME_TAGS = {"nav", "aside"}
+
+HEADER_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+# Block types — same enum as the reference prompt schema
+# (openai_content_extractor.py:164), minus image/page_* which do not occur
+# in main text; plus kv_table for converted key-value records.
+T_HEADER = "header"
+T_PARAGRAPH = "paragraph"
+T_TABLE = "table"
+T_LIST = "list"
+T_CAPTION = "caption"
+T_KV_TABLE = "kv_table"
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_NL_TRIM_RE = re.compile(r" *\n *")
+_ROMAN_RE = re.compile(r"^[IVXLCDM]+\.")   # content_structure_fixer.py:109
+_ARABIC_RE = re.compile(r"^\d+\.")          # content_structure_fixer.py:113
+_COLCOUNT_RE = re.compile(r"column-count\s*:\s*(\d+)")
+
+
+# ---------------------------------------------------------------------------
+# Data model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Block:
+    """One flattened DOM text block."""
+
+    index: int
+    tag: str                      # innermost block-level tag
+    ancestors: tuple              # open block tags outside this one
+    text: str                     # whitespace-normalized visible text
+    n_words: int = 0
+    n_link_words: int = 0
+    table_html: Optional[str] = None   # raw <table>…</table> source (tables only)
+    table_grid: Optional[list] = None  # list[list[str]] cell texts (tables only)
+    is_content: bool = False
+    btype: str = T_PARAGRAPH
+    level: int = 0                # header level
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_words / self.n_words if self.n_words else 0.0
+
+
+@dataclass
+class Item:
+    """Content item — mirrors the reference's item schema
+    (openai_content_extractor.py:158-200), reduced to the fields that are
+    meaningful for text extraction."""
+
+    order: int
+    type: str
+    content: str                  # text content (tables: rendered grid text)
+    html: Optional[str] = None    # tables/kv_tables: exact HTML
+    level: int = 0
+    row_count: int = 0
+    column_count: int = 0
+    converted_from_kv: bool = False
+
+
+@dataclass
+class ExtractResult:
+    text: str = ""
+    spans: list = field(default_factory=list)   # (start, end, type)
+    items: list = field(default_factory=list)   # list[Item]
+    layout: dict = field(default_factory=dict)
+    error: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# DOM flattening
+# ---------------------------------------------------------------------------
+
+
+class _Flattener(HTMLParser):
+    """Error-tolerant single-pass DOM flattener.
+
+    Produces ``self.blocks`` — the ordered list of text blocks — plus layout
+    hints. Unclosed / mis-nested tags are tolerated: end tags pop to the
+    nearest matching open tag, stray end tags are ignored, and everything
+    left open is flushed at close().
+    """
+
+    def __init__(self, raw: str):
+        super().__init__(convert_charrefs=True)
+        self.raw = raw
+        # line -> offset table for raw-source slicing (tables)
+        self._line_off = [0]
+        for m in re.finditer("\n", raw):
+            self._line_off.append(m.end())
+        self.blocks: list[Block] = []
+        self.stack: list[str] = []
+        self._skip = 0
+        self._link = 0
+        self._pre = 0
+        self._frags: list = []      # (kind, text, in_link) kind: 'txt'|'br'
+        # table state
+        self._tdepth = 0
+        self._tstart = -1
+        self._grid: list[list[str]] = []
+        self._cell: Optional[list[str]] = None
+        self._twords = 0
+        self._tlink_words = 0
+        # layout
+        self.columns = 1
+        self.has_header = False
+        self.has_footer = False
+
+    # -- offsets ----------------------------------------------------------
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_off[line - 1] + col
+
+    # -- block assembly ---------------------------------------------------
+    def _flush(self):
+        if not self._frags:
+            return
+        parts = []
+        words = 0
+        link_words = 0
+        has_pre = False
+        for kind, txt, in_link in self._frags:
+            if kind == "br":
+                parts.append("\n")
+                continue
+            if self._pre_frag(kind):
+                has_pre = True
+                norm = txt
+            else:
+                norm = _WS_RE.sub(" ", txt)
+            parts.append(norm)
+            w = len(norm.split())
+            words += w
+            if in_link:
+                link_words += w
+        self._frags = []
+        text = "".join(parts)
+        if has_pre:
+            text = text.strip("\n")
+        else:
+            text = _NL_TRIM_RE.sub("\n", text).strip()
+        if not text:
+            return
+        tag = "body"
+        for t in reversed(self.stack):
+            if t in BLOCK_TAGS:
+                tag = t
+                break
+        self.blocks.append(
+            Block(
+                index=len(self.blocks),
+                tag=tag,
+                ancestors=tuple(self.stack[:-1] if self.stack else ()),
+                text=text,
+                n_words=words,
+                n_link_words=link_words,
+            )
+        )
+
+    @staticmethod
+    def _pre_frag(kind: str) -> bool:
+        return kind == "pre"
+
+    # -- handlers ---------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "br":
+            if self._tdepth and self._cell is not None:
+                self._cell.append("\n")
+            else:
+                self._frags.append(("br", "", False))
+            return
+        if tag == "hr":
+            self._flush()
+            return
+        if tag == "a":
+            self._link += 1
+            return
+        if tag == "img":
+            return
+        style = dict(attrs).get("style", "") or ""
+        m = _COLCOUNT_RE.search(style)
+        if m:
+            self.columns = max(self.columns, int(m.group(1)))
+        if tag == "table":
+            if self._tdepth == 0:
+                self._flush()
+                self._tstart = self._offset()
+                self._grid = []
+                self._cell = None
+                self._twords = 0
+                self._tlink_words = 0
+            self._tdepth += 1
+            self.stack.append(tag)
+            return
+        if self._tdepth:
+            if tag == "tr":
+                self._grid.append([])
+                self._cell = None
+            elif tag in ("td", "th"):
+                if not self._grid:
+                    self._grid.append([])
+                self._cell = []
+                self._grid[-1].append(self._cell)
+            self.stack.append(tag)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag == "pre":
+                self._pre += 1
+            if tag == "header":
+                self.has_header = True
+            if tag == "footer":
+                self.has_footer = True
+            self.stack.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag == "a":
+            self._link = max(0, self._link - 1)
+            return
+        if tag == "table" and self._tdepth:
+            self._tdepth -= 1
+            self._pop_to(tag)
+            if self._tdepth == 0:
+                self._emit_table()
+            return
+        if self._tdepth:
+            if tag in ("td", "th"):
+                self._cell = None
+            self._pop_to(tag)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag == "pre":
+                self._pre = max(0, self._pre - 1)
+            self._pop_to(tag)
+
+    def _pop_to(self, tag):
+        if tag in self.stack:
+            while self.stack:
+                if self.stack.pop() == tag:
+                    break
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._tdepth:
+            if self._cell is not None:
+                self._cell.append(data)
+                w = len(data.split())
+                self._twords += w
+                if self._link:
+                    self._tlink_words += w
+            return
+        if not data:
+            return
+        kind = "pre" if self._pre else "txt"
+        self._frags.append((kind, data, self._link > 0))
+
+    # -- table finalize ---------------------------------------------------
+    def _emit_table(self):
+        end = self.raw.find(">", self._offset())
+        end = (end + 1) if end >= 0 else len(self.raw)
+        html = self.raw[self._tstart:end] if self._tstart >= 0 else ""
+        grid = []
+        for row in self._grid:
+            cells = []
+            for cell in row:
+                parts = [c if c == "\n" else _WS_RE.sub(" ", c) for c in cell]
+                txt = _NL_TRIM_RE.sub("\n", "".join(parts)).strip()
+                cells.append(txt)
+            if any(cells):
+                grid.append(cells)
+        text = "\n".join("\t".join(r) for r in grid)
+        if not grid:
+            return
+        blk = Block(
+            index=len(self.blocks),
+            tag="table",
+            ancestors=tuple(self.stack),
+            text=text,
+            n_words=self._twords,
+            n_link_words=self._tlink_words,
+            table_html=html,
+            table_grid=grid,
+        )
+        self.blocks.append(blk)
+
+    def error(self, message):  # pragma: no cover - py<3.10 compat hook
+        pass
+
+
+def flatten(html: str) -> _Flattener:
+    p = _Flattener(html)
+    p.feed(html)
+    p.close()
+    p._flush()
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate classification (Boilerpipe NumWordsRules-style)
+# ---------------------------------------------------------------------------
+
+
+def _in_chrome(b: Block) -> bool:
+    if b.tag in CHROME_TAGS:
+        return True
+    return any(t in CHROME_TAGS or t in ("header", "footer") for t in b.ancestors) \
+        or b.tag in ("header", "footer")
+
+
+def _in_main(b: Block) -> bool:
+    return "main" in b.ancestors or "article" in b.ancestors
+
+
+def _looks_like_kv(text: str) -> bool:
+    """≥2 lines parsing as ``key<sep>value`` with short keys — retained even
+    when short (the reference always keeps KV record blocks and converts
+    them, key_value_converter.py:359-397)."""
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if len(lines) < 2:
+        return False
+    parsed = [_parse_kv_line(ln) for ln in lines]
+    return sum(1 for p in parsed if p is not None) >= 2
+
+
+def classify_blocks(blocks: list[Block]) -> None:
+    """Mark ``is_content`` per block.
+
+    Core rule set is the public Boilerpipe ``NumWordsRulesClassifier``
+    (prev/curr/next word & link-density decision list), with deterministic
+    tag overrides for chrome containers, headings, lists and tables.
+    """
+    n = len(blocks)
+    # Pass 1: raw classifier on prose blocks.
+    for i, b in enumerate(blocks):
+        if _in_chrome(b):
+            b.is_content = False
+            continue
+        if b.tag == "title":
+            b.is_content = False
+            continue
+        if b.tag == "table":
+            b.is_content = b.link_density <= 0.35
+            continue
+        if b.tag in HEADER_TAGS or b.tag == "figcaption":
+            b.is_content = False  # resolved in pass 2 (attach to content)
+            continue
+        # Semantic-markup override: explicit <main>/<article> IS the page's
+        # declared main content — keep unless link-dominated.
+        if b.tag != "li" and _in_main(b) and b.link_density <= 0.35 and b.n_words > 0:
+            b.is_content = True
+            continue
+        prev = blocks[i - 1] if i > 0 else None
+        nxt = blocks[i + 1] if i < n - 1 else None
+        b.is_content = _num_words_rule(prev, b, nxt) or (
+            b.link_density <= 0.1 and _looks_like_kv(b.text)
+        )
+    # Pass 2: list grouping — a <ul>/<ol> whose items jointly look like
+    # content is kept wholesale; nav-like link lists die together.
+    i = 0
+    while i < n:
+        b = blocks[i]
+        if b.tag == "li" and not _in_chrome(b):
+            j = i
+            words = 0
+            link_words = 0
+            while j < n and blocks[j].tag == "li" and not _in_chrome(blocks[j]):
+                words += blocks[j].n_words
+                link_words += blocks[j].n_link_words
+                j += 1
+            ld = link_words / words if words else 1.0
+            keep = ld <= 0.35 and (words >= 8 or _in_main(b))
+            for k in range(i, j):
+                blocks[k].is_content = keep
+            i = j
+        else:
+            i += 1
+    # Pass 3: headings/captions attach to nearby kept content (within the
+    # following 3 blocks).
+    for i, b in enumerate(blocks):
+        if b.tag in HEADER_TAGS or b.tag == "figcaption":
+            if _in_chrome(b):
+                continue
+            window = blocks[i + 1 : i + 4] if b.tag in HEADER_TAGS else \
+                blocks[max(0, i - 2) : i + 3]
+            b.is_content = any(x.is_content for x in window)
+
+
+def _num_words_rule(prev: Optional[Block], curr: Block, nxt: Optional[Block]) -> bool:
+    """Boilerpipe NumWordsRulesClassifier decision list (public algorithm)."""
+    if curr.link_density > 0.333333:
+        return False
+    p_ld = prev.link_density if prev is not None else 0.0
+    p_w = prev.n_words if prev is not None else 0
+    n_w = nxt.n_words if nxt is not None else 0
+    if p_ld <= 0.555556:
+        return curr.n_words > 16 or n_w > 15 or p_w > 4
+    return curr.n_words > 40 or n_w > 17
+
+
+# ---------------------------------------------------------------------------
+# Items: typing + structural fixes (R1-R4 semantics)
+# ---------------------------------------------------------------------------
+
+
+def blocks_to_items(blocks: list[Block]) -> list[Item]:
+    items: list[Item] = []
+    i = 0
+    n = len(blocks)
+    while i < n:
+        b = blocks[i]
+        if not b.is_content:
+            i += 1
+            continue
+        if b.tag in HEADER_TAGS:
+            items.append(Item(order=len(items), type=T_HEADER, content=b.text,
+                              level=int(b.tag[1])))
+            i += 1
+        elif b.tag == "table":
+            grid = b.table_grid or []
+            items.append(Item(order=len(items), type=T_TABLE, content=b.text,
+                              html=b.table_html,
+                              row_count=len(grid),
+                              column_count=max((len(r) for r in grid), default=0)))
+            i += 1
+        elif b.tag == "li":
+            lines = []
+            while i < n and blocks[i].tag == "li" and blocks[i].is_content:
+                lines.append(blocks[i].text)
+                i += 1
+            items.append(Item(order=len(items), type=T_LIST,
+                              content="\n".join(lines)))
+        elif b.tag == "figcaption":
+            items.append(Item(order=len(items), type=T_CAPTION, content=b.text))
+            i += 1
+        else:
+            items.append(Item(order=len(items), type=T_PARAGRAPH, content=b.text))
+            i += 1
+    return items
+
+
+def fix_header_levels(items: list[Item]) -> None:
+    """R2 — content_structure_fixer.py:90-118: roman-numeral headers →
+    level 2, arabic-numbered headers → level 3, others keep their level."""
+    for it in items:
+        if it.type != T_HEADER:
+            continue
+        txt = it.content.strip()
+        if _ROMAN_RE.match(txt):
+            it.level = 2
+        elif _ARABIC_RE.match(txt):
+            it.level = 3
+        elif it.level == 0:
+            it.level = 1
+
+
+def fix_section_table_order(items: list[Item]) -> list[Item]:
+    """R1 — content_structure_fixer.py:17-88: if a table is followed within
+    2 items by a numbered section header (``^[IVX]+\\.`` / ``^\\d+\\.``),
+    move the header before the table."""
+    out = list(items)
+    i = 0
+    while i < len(out):
+        if out[i].type in (T_TABLE, T_KV_TABLE):
+            for j in range(i + 1, min(i + 3, len(out))):
+                it = out[j]
+                if it.type == T_HEADER and (
+                    _ROMAN_RE.match(it.content.strip())
+                    or _ARABIC_RE.match(it.content.strip())
+                ):
+                    out.insert(i, out.pop(j))
+                    i += 1  # past the moved header; table now at i
+                    break
+        i += 1
+    for k, it in enumerate(out):
+        it.order = k
+    return out
+
+
+_TBODY_ROWS_RE = re.compile(r"<tr[\s\S]*?</tr\s*>", re.IGNORECASE)
+_TABLE_CLOSE_RE = re.compile(r"</table\s*>\s*$", re.IGNORECASE)
+
+
+def fix_adjacent_tables(items: list[Item]) -> list[Item]:
+    """R3 — content_structure_fixer.py:120-177: merge two consecutive table
+    items (HTML adjacency replaces the reference's <5%-vertical-gap rule,
+    which needs pixel coordinates we don't have for web pages): splice the
+    second table's rows before the first's ``</table>``."""
+    out: list[Item] = []
+    for it in items:
+        if (
+            out
+            and it.type == T_TABLE
+            and out[-1].type == T_TABLE
+            and out[-1].html
+            and it.html
+            and out[-1].column_count == it.column_count
+        ):
+            prev = out[-1]
+            rows = _TBODY_ROWS_RE.findall(it.html)
+            if rows and _TABLE_CLOSE_RE.search(prev.html):
+                prev.html = _TABLE_CLOSE_RE.sub(
+                    "".join(rows) + "</table>", prev.html
+                )
+                prev.content = prev.content + "\n" + it.content
+                prev.row_count += it.row_count
+                continue
+        out.append(it)
+    for k, it in enumerate(out):
+        it.order = k
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV → table (R5-R8 semantics, key_value_converter.py)
+# ---------------------------------------------------------------------------
+
+# key_value_converter.py:15 — separators ': = - – —'; we require a space
+# around dash separators to avoid splitting hyphenated words.
+_KV_SEPARATORS = [":", "=", " - ", " – ", " — "]
+_MAX_KEY_LEN = 50  # key_value_converter.py:155
+
+
+def _parse_kv_line(line: str):
+    """First separator wins per line (key_value_converter.py:205-246)."""
+    best = None
+    for sep in _KV_SEPARATORS:
+        idx = line.find(sep)
+        if idx > 0 and (best is None or idx < best[0]):
+            best = (idx, sep)
+    if best is None:
+        return None
+    idx, sep = best
+    key = line[:idx].strip()
+    val = line[idx + len(sep):].strip()
+    if not key or len(key) > _MAX_KEY_LEN:
+        return None
+    return key, val
+
+
+def parse_multi_record_kv(text: str):
+    """Detect ≥2 records each with the same ≥2 keys in the same order.
+
+    Records split by blank lines (key_value_converter.py:67-100) or, if no
+    blank lines, by the repeated first key (key_value_converter.py:102-145).
+    Returns (headers, records) or None.
+    """
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    # blank-line split
+    groups: list[list[str]] = [[]]
+    for ln in lines:
+        if ln.strip() == "":
+            if groups[-1]:
+                groups.append([])
+        else:
+            groups[-1].append(ln)
+    if not groups[-1]:
+        groups.pop()
+    if len(groups) == 1:
+        # repeated-first-key split
+        parsed = [_parse_kv_line(ln) for ln in groups[0]]
+        if any(p is None for p in parsed) or not parsed:
+            return None
+        first_key = parsed[0][0]
+        groups = []
+        cur: list[str] = []
+        for ln, p in zip([l for l in lines if l.strip()], parsed):
+            if p[0] == first_key and cur:
+                groups.append(cur)
+                cur = []
+            cur.append(ln)
+        if cur:
+            groups.append(cur)
+    if len(groups) < 2:
+        return None
+    records = []
+    headers: Optional[list[str]] = None
+    for g in groups:
+        rec = []
+        for ln in g:
+            p = _parse_kv_line(ln)
+            if p is None:
+                return None
+            rec.append(p)
+        keys = [k for k, _ in rec]
+        if len(keys) < 2 or len(set(keys)) != len(keys):
+            return None
+        if headers is None:
+            headers = keys
+        elif keys != headers:      # same keys, same order (kvc.py:184-203)
+            return None
+        records.append(dict(rec))
+    if headers is None or len(records) < 2:
+        return None
+    return headers, records
+
+
+def _html_escape(s: str) -> str:
+    """key_value_converter.py:296-312 escaping set."""
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;").replace("'", "&#x27;")
+    )
+
+
+def kv_records_to_html(headers: list[str], records: list[dict]) -> str:
+    """R7 — styled table render (key_value_converter.py:248-312),
+    structure-faithful (header row + zebra body), minus inline colors."""
+    th = "".join(f"<th>{_html_escape(h)}</th>" for h in headers)
+    rows = []
+    for rec in records:
+        tds = "".join(f"<td>{_html_escape(rec.get(h, ''))}</td>" for h in headers)
+        rows.append(f"<tr>{tds}</tr>")
+    return f"<table><thead><tr>{th}</tr></thead><tbody>{''.join(rows)}</tbody></table>"
+
+
+def convert_kv_items(items: list[Item]) -> list[Item]:
+    """R8 — paragraph → kv_table item conversion
+    (key_value_converter.py:314-397)."""
+    for it in items:
+        if it.type != T_PARAGRAPH or "\n" not in it.content:
+            continue
+        parsed = parse_multi_record_kv(it.content)
+        if parsed is None:
+            continue
+        headers, records = parsed
+        it.type = T_KV_TABLE
+        it.html = kv_records_to_html(headers, records)
+        grid_lines = ["\t".join(headers)]
+        for rec in records:
+            grid_lines.append("\t".join(rec.get(h, "") for h in headers))
+        it.content = "\n".join(grid_lines)
+        it.row_count = len(records)
+        it.column_count = len(headers)
+        it.converted_from_kv = True
+    return items
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+
+def assemble(items: list[Item]) -> tuple[str, list]:
+    """Join items with a blank line; emit (start, end, type) spans such that
+    ``text[start:end] == item.content`` for every item."""
+    parts = []
+    spans = []
+    pos = 0
+    for it in items:
+        if parts:
+            parts.append("\n\n")
+            pos += 2
+        start = pos
+        parts.append(it.content)
+        pos += len(it.content)
+        spans.append((start, pos, it.type))
+    return "".join(parts), spans
+
+
+def extract_html(html_bytes: bytes, encoding: str = "utf-8") -> ExtractResult:
+    """bytes → ExtractResult. Never raises: failures land in ``error``."""
+    try:
+        html = html_bytes.decode(encoding, errors="replace")
+        fl = flatten(html)
+        blocks = fl.blocks
+        classify_blocks(blocks)
+        items = blocks_to_items(blocks)
+        fix_header_levels(items)
+        items = convert_kv_items(items)
+        items = fix_section_table_order(items)
+        items = fix_adjacent_tables(items)
+        text, spans = assemble(items)
+        layout = {
+            "columns": fl.columns,
+            "has_header": fl.has_header,
+            "has_footer": fl.has_footer,
+        }
+        return ExtractResult(text=text, spans=spans, items=items, layout=layout)
+    except Exception as exc:  # noqa: BLE001 — per-row isolation, never fail a task
+        return ExtractResult(error=f"{type(exc).__name__}: {exc}")

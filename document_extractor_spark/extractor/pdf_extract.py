@@ -1,0 +1,382 @@
+"""Minimal from-scratch PDF text extraction — pure Python + stdlib zlib.
+
+Replaces the reference's rasterize-then-GPT-4V path
+(``pdf_to_png_converter.py:24-124`` + ``openai_content_extractor.py:63-307``
+in EricBui619/document-extractor) with direct content-stream parsing, per
+the north star: page tree walk, text-run extraction (Tj/TJ/Td/TD/Tm/T*),
+y-clustered lines, x-gap column detection, top-down / left-right reading
+order (finish left column first — the reading-order contract the reference
+prompts for, ``openai_content_extractor.py:83-86``).
+
+Supported subset (closed — our fixture generator only emits this):
+- objects located by a full-file scan (no xref needed → tolerant of
+  linearized/appended files), ``N 0 obj … endobj``
+- streams: raw or ``/FlateDecode``
+- text operators: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ, '
+- strings: literal ``(…)`` with escapes + octal, hex ``<…>``
+- encodings: latin-1-ish one-byte text (fixture fonts are standard 14)
+
+Pure function of the input bytes; never raises (errors → PdfResult.error).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Optional
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_TYPE_CATALOG_RE = re.compile(rb"/Type\s*/Catalog\b")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+
+
+@dataclass
+class TextRun:
+    x: float
+    y: float
+    size: float
+    text: str
+
+
+@dataclass
+class PdfResult:
+    text: str = ""
+    n_pages: int = 0
+    page_texts: list = field(default_factory=list)
+    items: list = field(default_factory=list)   # (type, text, page, size)
+    error: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# Object model
+# ---------------------------------------------------------------------------
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+def _object_stream(body: bytes) -> Optional[bytes]:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    raw = m.group(1)
+    if b"/FlateDecode" in body[: m.start()]:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Walk Catalog → Pages tree in /Kids order; fall back to document order
+    of /Type /Page objects when the tree is broken."""
+    root_pages = None
+    for body in objs.values():
+        if _TYPE_CATALOG_RE.search(body):
+            m = _PAGES_REF_RE.search(body)
+            if m:
+                root_pages = int(m.group(1))
+            break
+    pages: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int):
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        body = objs[num]
+        if _TYPE_PAGE_RE.search(body):
+            pages.append(num)
+            return
+        m = _KIDS_RE.search(body)
+        if m:
+            for r in _REF_RE.finditer(m.group(1)):
+                walk(int(r.group(1)))
+
+    if root_pages is not None:
+        walk(root_pages)
+    if not pages:
+        pages = sorted(n for n, b in objs.items() if _TYPE_PAGE_RE.search(b))
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# Content-stream tokenizer
+# ---------------------------------------------------------------------------
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _decode_literal(buf: bytes) -> str:
+    out = []
+    i = 0
+    n = len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c == b"\\":
+            nxt = buf[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and buf[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(buf[i + 1 : j], 8)))
+                i = j
+            else:
+                i += 1
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    return "".join(out)
+
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"      # literal string
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|\[|\]"
+    rb"|/[^\s/\[\]()<>]*"          # name
+    rb"|[-+]?\d*\.?\d+"            # number
+    rb"|[A-Za-z'\"*]+"             # operator
+)
+
+
+def _tokens(stream: bytes):
+    for m in _TOKEN_RE.finditer(stream):
+        yield m.group(0)
+
+
+def extract_runs(stream: bytes) -> list[TextRun]:
+    """Execute the text-positioning subset of the content stream."""
+    runs: list[TextRun] = []
+    stack: list = []
+    x = y = 0.0          # text-line matrix origin (tx, ty)
+    cx = cy = 0.0        # current point
+    leading = 0.0
+    size = 12.0
+    in_text = False
+    arr: Optional[list] = None
+
+    def emit(s: str):
+        if s:
+            runs.append(TextRun(x=cx, y=cy, size=size, text=s))
+
+    for tok in _tokens(stream):
+        c0 = tok[:1]
+        if tok == b"[":
+            arr = []
+            continue
+        if tok == b"]":
+            stack.append(arr if arr is not None else [])
+            arr = None
+            continue
+        if c0 == b"(":
+            val = _decode_literal(tok[1:-1])
+            (arr if arr is not None else stack).append(val)
+            continue
+        if c0 == b"<":
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            val = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            (arr if arr is not None else stack).append(val)
+            continue
+        if c0 == b"/":
+            stack.append(tok)
+            continue
+        if re.fullmatch(rb"[-+]?\d*\.?\d+", tok):
+            (arr if arr is not None else stack).append(float(tok))
+            continue
+        # operator
+        op = tok
+        if op == b"BT":
+            in_text = True
+            x = y = cx = cy = 0.0
+            stack.clear()
+        elif op == b"ET":
+            in_text = False
+            stack.clear()
+        elif op == b"Tf":
+            if stack and isinstance(stack[-1], float):
+                size = stack[-1]
+            stack.clear()
+        elif op == b"TL":
+            if stack and isinstance(stack[-1], float):
+                leading = stack[-1]
+            stack.clear()
+        elif op == b"Td":
+            if len(stack) >= 2 and isinstance(stack[-1], float):
+                x += stack[-2]
+                y += stack[-1]
+                cx, cy = x, y
+            stack.clear()
+        elif op == b"TD":
+            if len(stack) >= 2 and isinstance(stack[-1], float):
+                leading = -stack[-1]
+                x += stack[-2]
+                y += stack[-1]
+                cx, cy = x, y
+            stack.clear()
+        elif op == b"Tm":
+            if len(stack) >= 6:
+                x, y = float(stack[-2]), float(stack[-1])
+                cx, cy = x, y
+            stack.clear()
+        elif op == b"T*":
+            y -= leading
+            cx, cy = x, y
+            stack.clear()
+        elif op == b"Tj":
+            if in_text and stack and isinstance(stack[-1], str):
+                emit(stack[-1])
+            stack.clear()
+        elif op == b"'":
+            y -= leading
+            cx, cy = x, y
+            if in_text and stack and isinstance(stack[-1], str):
+                emit(stack[-1])
+            stack.clear()
+        elif op == b"TJ":
+            if in_text and stack and isinstance(stack[-1], list):
+                parts = [e for e in stack[-1] if isinstance(e, str)]
+                emit("".join(parts))
+            stack.clear()
+        else:
+            stack.clear()
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# Layout: lines, columns, paragraphs
+# ---------------------------------------------------------------------------
+
+_LINE_TOL = 2.0          # pt — runs within this y-delta form one line
+_COL_GAP_MIN = 72.0      # pt — min x gap between column clusters
+
+
+def _cluster_lines(runs: list[TextRun]) -> list[dict]:
+    """Group runs into lines by y; each line: {y, x, size, runs}."""
+    lines: list[dict] = []
+    for r in sorted(runs, key=lambda r: (-r.y, r.x)):
+        if lines and abs(lines[-1]["y"] - r.y) <= _LINE_TOL:
+            lines[-1]["runs"].append(r)
+        else:
+            lines.append({"y": r.y, "x": r.x, "size": r.size, "runs": [r]})
+    for ln in lines:
+        ln["runs"].sort(key=lambda r: r.x)
+        ln["x"] = ln["runs"][0].x
+        ln["size"] = max(r.size for r in ln["runs"])
+        ln["text"] = " ".join(r.text for r in ln["runs"]).strip()
+    return [ln for ln in lines if ln["text"]]
+
+
+def _split_columns(runs: list[TextRun], page_width: float) -> list[list[TextRun]]:
+    """Two-cluster x-gap detection over text runs: if run x-origins form two
+    clusters separated by ≥ _COL_GAP_MIN with ≥2 runs each, the left column
+    is read fully before the right (openai_content_extractor.py:83-86).
+    Runs BEFORE line clustering — else left/right runs at equal y would fuse
+    into one line."""
+    if len(runs) < 4:
+        return [runs]
+    xs = sorted(set(round(r.x, 1) for r in runs))
+    best_gap, split_at = 0.0, None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > best_gap:
+            best_gap, split_at = b - a, (a + b) / 2.0
+    if best_gap < _COL_GAP_MIN or split_at is None or split_at < page_width * 0.25:
+        return [runs]
+    left = [r for r in runs if r.x < split_at]
+    right = [r for r in runs if r.x >= split_at]
+    if len(left) < 2 or len(right) < 2:
+        return [runs]
+    return [left, right]
+
+
+def _lines_to_items(lines: list[dict], page: int) -> list[tuple]:
+    """Paragraph grouping by vertical gap; header detection by font size."""
+    items: list[tuple] = []
+    body_size = 12.0
+    sizes = sorted(ln["size"] for ln in lines)
+    if sizes:
+        body_size = sizes[len(sizes) // 2]
+    para: list[str] = []
+    prev_y = None
+    prev_size = None
+
+    def flush():
+        if para:
+            typ = "header" if (prev_size or 0) > body_size * 1.15 else "paragraph"
+            items.append((typ, "\n".join(para), page, prev_size or body_size))
+            para.clear()
+
+    for ln in lines:
+        gap = None if prev_y is None else prev_y - ln["y"]
+        new_para = (
+            prev_y is None
+            or (gap is not None and gap > max(ln["size"], prev_size or 0) * 1.6)
+            or (prev_size is not None and abs(ln["size"] - prev_size) > 0.5)
+        )
+        if new_para:
+            flush()
+        para.append(ln["text"])
+        prev_y = ln["y"]
+        prev_size = ln["size"]
+    flush()
+    return items
+
+
+def extract_pdf(pdf_bytes: bytes) -> PdfResult:
+    """bytes → PdfResult; never raises."""
+    try:
+        objs = _parse_objects(pdf_bytes)
+        page_nums = _page_order(objs)
+        res = PdfResult(n_pages=len(page_nums))
+        for pno, num in enumerate(page_nums, start=1):
+            body = objs[num]
+            m = _MEDIABOX_RE.search(body)
+            width = float(m.group(3)) - float(m.group(1)) if m else 612.0
+            streams: list[bytes] = []
+            mc = _CONTENTS_RE.search(body)
+            if mc:
+                refs = [int(mc.group(1))]
+            else:
+                ma = _CONTENTS_ARR_RE.search(body)
+                refs = [int(r.group(1)) for r in _REF_RE.finditer(ma.group(1))] if ma else []
+            for ref in refs:
+                if ref in objs:
+                    s = _object_stream(objs[ref])
+                    if s:
+                        streams.append(s)
+            runs = extract_runs(b"\n".join(streams))
+            page_items: list[tuple] = []
+            for col_runs in _split_columns(runs, width):
+                page_items.extend(_lines_to_items(_cluster_lines(col_runs), pno))
+            res.items.extend(page_items)
+            res.page_texts.append("\n\n".join(t for _, t, _, _ in page_items if t))
+        res.text = "\n\n".join(t for t in res.page_texts if t)
+        return res
+    except Exception as exc:  # noqa: BLE001
+        return PdfResult(error=f"{type(exc).__name__}: {exc}")
+
+
+def is_pdf(payload: bytes) -> bool:
+    """Magic-byte discrimination — PDF payloads ride in the same ``html``
+    binary column (FIXTURES.md §1)."""
+    return payload[:5] == b"%PDF-"

@@ -1,0 +1,289 @@
+"""t1 — pure-Python extractor tests: byte-identical goldens, span
+invariants, structural-fix semantics (SURVEY.md §5 test plan)."""
+
+import json
+import os
+
+import pytest
+
+from document_extractor_spark.extractor.core import extract_payload
+from document_extractor_spark.extractor.html_extract import (
+    Item,
+    convert_kv_items,
+    extract_html,
+    fix_adjacent_tables,
+    fix_header_levels,
+    fix_section_table_order,
+    parse_multi_record_kv,
+)
+from document_extractor_spark.extractor.langid import detect_lang
+from document_extractor_spark.extractor.pdf_extract import extract_pdf, is_pdf
+from document_extractor_spark.sources.generator import (
+    build_pdf,
+    corpus_rows,
+    fixture_rows,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "expected.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN, encoding="utf-8") as f:
+        return {g["url"]: g for g in json.load(f)}
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    return fixture_rows()
+
+
+# ---------------------------------------------------------------------------
+# Byte-identical golden corpus (the north-rule invariant)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_byte_identical(golden, fixtures):
+    assert len(fixtures) == len(golden)
+    for row in fixtures:
+        rec = extract_payload(row["html"], url=row["url"])
+        exp = golden[row["url"]]
+        assert rec["extracted_text"] == exp["extracted_text"], row["url"]
+        assert rec["extracted_text"].encode("utf-8") == \
+            exp["extracted_text"].encode("utf-8")
+        assert rec["spans"] == exp["spans"], row["url"]
+        assert rec["lang"] == exp["lang"]
+        assert rec["parse_error"] == exp["parse_error"]
+
+
+def test_determinism(fixtures):
+    a = [extract_payload(r["html"], url=r["url"]) for r in fixtures]
+    b = [extract_payload(r["html"], url=r["url"]) for r in fixtures]
+    assert a == b
+
+
+def test_span_reconstruction(fixtures):
+    """Spans tile the text: text[start:end] is each block, blocks joined by
+    exactly two newlines reconstruct extracted_text."""
+    for row in fixtures:
+        rec = extract_payload(row["html"], url=row["url"])
+        text = rec["extracted_text"]
+        parts = [text[s["start"]:s["end"]] for s in rec["spans"]]
+        assert "\n\n".join(parts) == text, row["url"]
+        for s in rec["spans"]:
+            assert 0 <= s["start"] <= s["end"] <= len(text)
+
+
+# ---------------------------------------------------------------------------
+# Structural fixes — R1/R2/R3 semantics (content_structure_fixer.py)
+# ---------------------------------------------------------------------------
+
+
+def _items(*specs):
+    out = []
+    for i, (typ, content, level) in enumerate(specs):
+        out.append(Item(order=i, type=typ, content=content, level=level,
+                        html="<table><tr><td>x</td></tr></table>"
+                        if typ == "table" else None))
+    return out
+
+
+def test_r1_section_header_moves_before_table():
+    items = _items(
+        ("paragraph", "intro text", 0),
+        ("table", "Owner\tInterest", 0),
+        ("header", "II. MINERAL OWNERSHIP:", 2),
+    )
+    fixed = fix_section_table_order(items)
+    assert [it.type for it in fixed] == ["paragraph", "header", "table"]
+    assert [it.order for it in fixed] == [0, 1, 2]
+
+
+def test_r1_plain_header_not_moved():
+    items = _items(
+        ("table", "t", 0),
+        ("header", "No numbering here", 1),
+    )
+    fixed = fix_section_table_order(items)
+    assert [it.type for it in fixed] == ["table", "header"]
+
+
+def test_r2_header_levels():
+    items = _items(
+        ("header", "I. RECITALS", 4),
+        ("header", "1. Definitions", 4),
+        ("header", "Plain Title", 0),
+    )
+    fix_header_levels(items)
+    assert [it.level for it in items] == [2, 3, 1]
+
+
+def test_r3_adjacent_tables_merge():
+    a = Item(order=0, type="table", content="h\nr1", row_count=2,
+             column_count=2,
+             html="<table><tr><th>h</th><th>h2</th></tr>"
+                  "<tr><td>r1</td><td>x</td></tr></table>")
+    b = Item(order=1, type="table", content="r2", row_count=1, column_count=2,
+             html="<table><tr><td>r2</td><td>y</td></tr></table>")
+    out = fix_adjacent_tables([a, b])
+    assert len(out) == 1
+    assert out[0].row_count == 3
+    assert out[0].html.count("<tr") == 3
+    assert out[0].content == "h\nr1\nr2"
+
+
+def test_r3_different_width_not_merged():
+    a = Item(order=0, type="table", content="x", row_count=1, column_count=2,
+             html="<table><tr><td>a</td><td>b</td></tr></table>")
+    b = Item(order=1, type="table", content="y", row_count=1, column_count=3,
+             html="<table><tr><td>a</td><td>b</td><td>c</td></tr></table>")
+    assert len(fix_adjacent_tables([a, b])) == 2
+
+
+# ---------------------------------------------------------------------------
+# KV conversion — R5-R8 semantics (key_value_converter.py)
+# ---------------------------------------------------------------------------
+
+
+def test_kv_blank_line_split():
+    text = "Name: John\nAge: 35\n\nName: Jane\nAge: 28"
+    headers, records = parse_multi_record_kv(text)
+    assert headers == ["Name", "Age"]
+    assert records == [{"Name": "John", "Age": "35"},
+                       {"Name": "Jane", "Age": "28"}]
+
+
+def test_kv_repeated_first_key_split():
+    text = "Product: Laptop\nPrice: 1200\nProduct: Mouse\nPrice: 25"
+    headers, records = parse_multi_record_kv(text)
+    assert headers == ["Product", "Price"]
+    assert len(records) == 2
+
+
+def test_kv_single_record_rejected():
+    assert parse_multi_record_kv("Name: Solo\nAge: 99") is None
+
+
+def test_kv_inconsistent_headers_rejected():
+    assert parse_multi_record_kv(
+        "Name: A\nAge: 1\n\nCity: B\nCountry: C") is None
+
+
+def test_kv_first_separator_wins():
+    text = "Key: a = b\nVal: x\n\nKey: c\nVal: y"
+    headers, records = parse_multi_record_kv(text)
+    assert records[0]["Key"] == "a = b"
+
+
+def test_kv_html_escaping():
+    items = [Item(order=0, type="paragraph",
+                  content="K: <a>&\"'\nV: 1\n\nK: x\nV: 2")]
+    convert_kv_items(items)
+    assert items[0].type == "kv_table"
+    assert "&lt;a&gt;&amp;&quot;&#x27;" in items[0].html
+
+
+# ---------------------------------------------------------------------------
+# PDF extraction
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_magic():
+    assert is_pdf(b"%PDF-1.4\n")
+    assert not is_pdf(b"<html>")
+
+
+def test_pdf_flate_roundtrip():
+    raw = build_pdf([[(72, 720, 12, ["hello world"])]], compress=True)
+    res = extract_pdf(raw)
+    assert res.error is None
+    assert res.text == "hello world"
+
+
+def test_pdf_reading_order_two_columns():
+    raw = build_pdf([[
+        (72, 720, 12, ["L1", "L2", "L3"]),
+        (340, 720, 12, ["R1", "R2", "R3"]),
+    ]])
+    res = extract_pdf(raw)
+    assert res.text.index("L3") < res.text.index("R1")
+
+
+def test_pdf_multipage_order():
+    raw = build_pdf([
+        [(72, 720, 12, ["page one text"])],
+        [(72, 720, 12, ["page two text"])],
+    ])
+    res = extract_pdf(raw)
+    assert res.n_pages == 2
+    assert res.text.index("page one") < res.text.index("page two")
+
+
+def test_pdf_escapes_and_hex():
+    raw = build_pdf([[(72, 720, 12, ["paren (x) and \\ slash"])]])
+    res = extract_pdf(raw)
+    assert "paren (x) and \\ slash" in res.text
+
+
+# ---------------------------------------------------------------------------
+# Error isolation — never raise (X1 semantics, pdf_processor.py:227-235)
+# ---------------------------------------------------------------------------
+
+
+def test_garbage_payload_yields_error_record():
+    rec = extract_payload(b"%PDF-\x00\xff garbage", url="u")
+    assert rec["extracted_text"] == ""
+    # a broken PDF may parse to zero pages (empty text, no error) or error;
+    # either way the record survives and the task does not fail
+    rec2 = extract_payload(None, url="u")
+    assert rec2["parse_error"] == "EmptyPayload"
+    rec3 = extract_payload(b"", url="u")
+    assert rec3["parse_error"] == "EmptyPayload"
+
+
+def test_empty_html_ok():
+    rec = extract_payload(b"<html><body></body></html>", url="u")
+    assert rec["parse_error"] is None
+    assert rec["extracted_text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+
+def test_langid():
+    assert detect_lang("the cat is on the mat and it is warm") == "en"
+    assert detect_lang("der hund ist nicht mit der katze und über alles") == "de"
+    assert detect_lang("これは日本語のテキストです。抽出を検証します。") == "ja"
+    assert detect_lang("") == "und"
+    assert detect_lang("zzz qqq xxx") == "und"
+
+
+# ---------------------------------------------------------------------------
+# Corpus generator
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_deterministic():
+    a = list(corpus_rows(50, seed=7))
+    b = list(corpus_rows(50, seed=7))
+    assert a == b
+    assert len({r["url"] for r in a}) == 50
+
+
+def test_corpus_zipfian_hosts():
+    hosts = [r["url"].split("/")[2] for r in corpus_rows(500, seed=42)]
+    from collections import Counter
+    top = Counter(hosts).most_common(1)[0][1]
+    assert top > 500 * 0.05  # head host clearly hot → salting is exercised
+
+
+def test_corpus_mixed_payloads():
+    rows = list(corpus_rows(200, seed=42))
+    n_pdf = sum(1 for r in rows if r["html"][:5] == b"%PDF-")
+    assert 0 < n_pdf < 40
+    for r in rows[:20]:
+        rec = extract_payload(r["html"], url=r["url"])
+        assert rec["parse_error"] is None
+        assert rec["extracted_text"]
