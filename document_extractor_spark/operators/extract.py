@@ -1,0 +1,167 @@
+"""THE core operator (SURVEY.md §2.2 E1): vectorized main-content
+extraction over the ``html`` binary column.
+
+Spark mapping of the reference's per-page GPT-4V extraction + structural
+fix pipeline (``openai_content_extractor.py:63-307`` →
+``content_structure_fixer.py:179-197`` → ``key_value_converter.py:359-397``
+in EricBui619/document-extractor), collapsed into ONE narrow stage:
+
+    select(url, html, lang) → salted repartition → mapInPandas(extract)
+
+Scale design (the 100 TB story):
+- **No per-row Python**: ``mapInPandas`` receives whole Arrow batches; the
+  extraction loop is C-level iteration over numpy object arrays. The plan
+  contains only ``MapInPandas`` / Arrow nodes — asserted by
+  ``plans.assert_vectorized_python_only``.
+- **Skew**: web hosts are Zipfian. ``salted_repartition`` spreads rows by
+  ``(xxhash64(host) + pmod(xxhash64(url), SALT))`` so a hot host's pages
+  fan out over SALT partitions instead of one straggler task. AQE cannot
+  fix UDF-stage skew (it only re-plans joins), hence explicit salting.
+- **Bounded memory**: Arrow's ``maxRecordsPerBatch`` caps rows, not bytes;
+  giant pages would still blow the Python worker. ``_rechunk`` re-splits
+  each incoming batch on cumulative payload bytes (default 64 MiB).
+- **Error isolation**: a malformed page NEVER fails the task — it emits a
+  ``parse_error`` row (reference semantics: per-page try/except,
+  ``pdf_processor.py:227-235``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..extractor.core import extract_payload
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType([
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("type", T.StringType(), False),
+    ])
+)
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("extracted_text", T.StringType(), True),
+    T.StructField("spans", SPAN_TYPE, True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("parse_error", T.StringType(), True),
+    T.StructField("n_blocks", T.IntegerType(), True),
+    T.StructField("n_bytes_in", T.LongType(), True),
+    T.StructField("n_bytes_out", T.LongType(), True),
+])
+
+_DEFAULT_BATCH_BYTES = 64 * 1024 * 1024
+
+
+def _rechunk(it: Iterator[pd.DataFrame], cap_bytes: int) -> Iterator[pd.DataFrame]:
+    """Split incoming Arrow batches so no chunk exceeds ``cap_bytes`` of
+    payload — size-capped batches per the north rule."""
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        sizes = pdf["html"].map(lambda b: len(b) if b is not None else 0)
+        total = int(sizes.sum())
+        if total <= cap_bytes:
+            yield pdf
+            continue
+        start = 0
+        acc = 0
+        vals = sizes.to_numpy()
+        for i in range(len(pdf)):
+            acc += int(vals[i])
+            if acc >= cap_bytes and i > start:
+                yield pdf.iloc[start:i]
+                start = i
+                acc = int(vals[i])
+        if start < len(pdf):
+            yield pdf.iloc[start:]
+
+
+def _extract_map(it: Iterator[pd.DataFrame],
+                 cap_bytes: int = _DEFAULT_BATCH_BYTES) -> Iterator[pd.DataFrame]:
+    for pdf in _rechunk(it, cap_bytes):
+        urls = pdf["url"].to_numpy()
+        payloads = pdf["html"].to_numpy()
+        langs = (
+            pdf["lang"].to_numpy()
+            if "lang" in pdf.columns
+            else [None] * len(pdf)
+        )
+        recs = [
+            extract_payload(p, url=u, lang_hint=l if isinstance(l, str) and l else None)
+            for u, p, l in zip(urls, payloads, langs)
+        ]
+        out = pd.DataFrame.from_records(recs)
+        for extra in ("warc_day",):
+            if extra in pdf.columns:
+                out[extra] = pdf[extra].to_numpy()
+        yield out
+
+
+def host_col(url: Column = None) -> Column:
+    """URL host via the built-in parse_url (JVM-side, codegen'd)."""
+    u = url if url is not None else F.col("url")
+    return F.parse_url(u, F.lit("HOST"))
+
+
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       salt: int = 16) -> DataFrame:
+    """Spread Zipfian hosts: partition by (host, salt-of-url). Rows of one
+    host land in ≤``salt`` partitions — co-location for downstream per-host
+    ops, no single-host straggler."""
+    return df.repartition(
+        num_partitions,
+        host_col(),
+        F.pmod(F.xxhash64("url"), F.lit(salt)),
+    )
+
+
+def extract_pages(df: DataFrame, num_partitions: Optional[int] = None,
+                  salt: int = 16, keep_warc_day: bool = False,
+                  cap_bytes: int = _DEFAULT_BATCH_BYTES) -> DataFrame:
+    """pages(url, html[, lang][, warc_day]) → north-star output rows.
+
+    Column pruning: selects ONLY the columns the UDF needs before the
+    shuffle, so the parquet scan reads just ``url``/``html``(/``lang``) —
+    check ``ReadSchema`` in the plan.
+    """
+    cols = ["url", "html"]
+    if "lang" in df.columns:
+        cols.append("lang")
+    if keep_warc_day and "warc_day" in df.columns:
+        cols.append("warc_day")
+    narrow = df.select(*cols)
+    if num_partitions:
+        narrow = salted_repartition(narrow, num_partitions, salt=salt)
+    schema = EXTRACT_SCHEMA
+    if keep_warc_day and "warc_day" in df.columns:
+        schema = T.StructType(schema.fields + [
+            T.StructField("warc_day", T.StringType(), True)
+        ])
+    return narrow.mapInPandas(
+        lambda it: _extract_map(it, cap_bytes), schema=schema
+    )
+
+
+def observe_extract(df: DataFrame):
+    """North-rule counters (SURVEY.md §2.7 A4): docs parsed, parse failures,
+    bytes in/out — collected with ``observe`` (piggybacks on the write
+    action, no extra pass). Returns (df, Observation)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_metrics")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("parse_error").isNotNull(), 1).otherwise(0)).alias(
+            "parse_failures"
+        ),
+        F.coalesce(F.sum("n_bytes_in"), F.lit(0)).alias("bytes_in"),
+        F.coalesce(F.sum("n_bytes_out"), F.lit(0)).alias("bytes_out"),
+    )
+    return out, obs

@@ -1,0 +1,80 @@
+"""End-to-end extraction job — the Spark lifecycle from SURVEY.md §3.4.
+
+    pages (Iceberg-style parquet, partitioned by warc_day)
+      → scan with partition pruning (only uncommitted partitions)
+      → salted repartition on (host, url-salt)          ← the one shuffle
+      → mapInPandas extraction (Arrow batches, byte-capped)
+      → observe() metrics
+      → dynamic-partition-overwrite parquet write
+      → per-partition manifest commit
+
+One partition = one job = one checkpoint grain. Killing the process
+between jobs loses at most the in-flight partition, which the next run
+redoes idempotently (overwrite). The whole pipeline is ONE Spark stage
+after the salting shuffle — every reference thread/process boundary
+(``pdf_processor.py:151-268`` thread pool, per-page JSON files) collapses
+into Spark task/Arrow boundaries.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import commit_partition, committed_partitions
+from .operators.extract import extract_pages, observe_extract
+from .sources.pages import list_partitions, read_pages, write_result
+
+
+def run_extract_job(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    num_partitions: int | None = None,
+    salt: int = 16,
+    resume: bool = True,
+) -> dict:
+    """Extract every uncommitted warc_day partition. Returns run summary."""
+    if num_partitions is None:
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism * 4, 8
+        )  # ≥4× cores → stragglers amortize (SURVEY.md §7 watch-list 5)
+    all_parts = list_partitions(in_path)
+    done = committed_partitions(out_path, in_path) if resume else set()
+    todo = [p for p in all_parts if p not in done]
+    summary = {
+        "partitions_total": len(all_parts),
+        "partitions_skipped": len(all_parts) - len(todo),
+        "partitions_processed": 0,
+        "docs": 0,
+        "parse_failures": 0,
+        "bytes_in": 0,
+        "bytes_out": 0,
+    }
+    for part in todo:
+        t0 = time.monotonic()
+        pages = read_pages(spark, in_path).filter(F.col("warc_day") == part)
+        result = extract_pages(
+            pages, num_partitions=num_partitions, salt=salt, keep_warc_day=True
+        )
+        observed, obs = observe_extract(result)
+        write_result(observed, out_path)
+        row = obs.get
+        metrics = {
+            "docs": row.get("docs") or 0,
+            "parse_failures": row.get("parse_failures") or 0,
+            "bytes_in": row.get("bytes_in") or 0,
+            "bytes_out": row.get("bytes_out") or 0,
+        }
+        commit_partition(out_path, in_path, part, metrics,
+                         time.monotonic() - t0)
+        summary["partitions_processed"] += 1
+        for k, v in metrics.items():
+            summary[k] += int(v)
+    return summary
+
+
+def read_extracted(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.option("basePath", out_path).parquet(out_path)

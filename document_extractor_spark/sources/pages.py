@@ -1,0 +1,60 @@
+"""Pages-table source/sink seam — Iceberg-style partitioned parquet.
+
+The sandbox Spark distribution carries no Iceberg runtime jars
+(SURVEY.md §7), so the engine reads/writes an Iceberg-style layout
+(``warc_day=YYYY-MM-DD/part-*.parquet`` + per-partition commit manifests,
+see ``checkpoint.py``) behind this seam; pointing ``read_pages`` at a real
+Iceberg catalog table is a one-line swap on a cluster with the runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table. ``basePath`` keeps the ``warc_day`` partition
+    column visible so Catalyst partition-prunes ``warc_day = X`` filters."""
+    return (
+        spark.read.option("basePath", path)
+        .schema(PAGES_SCHEMA.add("warc_day", T.StringType()))
+        .parquet(path)
+    )
+
+
+def list_partitions(path: str) -> list:
+    """Partition values present on disk (warc_day=... dirs), sorted."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("warc_day=") and os.path.isdir(os.path.join(path, name)):
+            out.append(name.split("=", 1)[1])
+    return out
+
+
+def write_result(df: DataFrame, path: str) -> None:
+    """Idempotent per-partition write: dynamic partition overwrite replaces
+    exactly the partitions present in ``df`` (SURVEY.md §4.3)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("warc_day")
+        .parquet(path)
+    )
+
+
+def with_warc_day(df: DataFrame) -> DataFrame:
+    return df.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))

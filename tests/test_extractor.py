@@ -46,7 +46,8 @@ def fixtures():
 def test_golden_byte_identical(golden, fixtures):
     assert len(fixtures) == len(golden)
     for row in fixtures:
-        rec = extract_payload(row["html"], url=row["url"])
+        rec = extract_payload(row["html"], url=row["url"],
+                              lang_hint=row["lang"])
         exp = golden[row["url"]]
         assert rec["extracted_text"] == exp["extracted_text"], row["url"]
         assert rec["extracted_text"].encode("utf-8") == \

@@ -1,0 +1,164 @@
+"""t2/t3 — Spark end-to-end extraction: byte-identical vs goldens through
+the full DataFrame path, plan invariants, salting, metrics, resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.extract import (
+    extract_pages,
+    observe_extract,
+    salted_repartition,
+)
+from document_extractor_spark.pipeline import read_extracted, run_extract_job
+from document_extractor_spark.plans import (
+    assert_vectorized_python_only,
+    scan_read_schema,
+)
+from document_extractor_spark.sources.generator import (
+    fixture_rows,
+    write_corpus_parquet,
+)
+from document_extractor_spark.sources.pages import (
+    PAGES_SCHEMA,
+    read_pages,
+    with_warc_day,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "expected.json")
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return spark.createDataFrame(fixture_rows(), schema=PAGES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN, encoding="utf-8") as f:
+        return {g["url"]: g for g in json.load(f)}
+
+
+def test_spark_extraction_byte_identical(spark, pages_df, golden):
+    """The north-rule invariant via the full Spark path: every url's
+    extracted text is byte-identical to the frozen golden."""
+    out = {r["url"]: r.asDict(recursive=True)
+           for r in extract_pages(pages_df).collect()}
+    assert set(out) == set(golden)
+    for url, exp in golden.items():
+        got = out[url]
+        assert got["extracted_text"] == exp["extracted_text"], url
+        assert got["lang"] == exp["lang"], url
+        assert got["parse_error"] == exp["parse_error"], url
+        got_spans = [(s["start"], s["end"], s["type"]) for s in got["spans"]]
+        exp_spans = [(s["start"], s["end"], s["type"]) for s in exp["spans"]]
+        assert got_spans == exp_spans, url
+
+
+def test_plan_has_no_per_row_python(spark, pages_df):
+    result = extract_pages(pages_df, num_partitions=8)
+    assert_vectorized_python_only(result)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_batch_rechunking_small_cap(spark, pages_df, golden):
+    """Byte-capped re-chunking must not change results (cap far below one
+    page forces max splitting)."""
+    out = {r["url"]: r["extracted_text"]
+           for r in extract_pages(pages_df, cap_bytes=1024).collect()}
+    for url, exp in golden.items():
+        assert out[url] == exp["extracted_text"]
+
+
+def test_salted_repartition_spreads_hot_host(spark):
+    rows = [
+        {"url": f"https://hot.example.com/p{i}", "html": b"<p>x</p>"}
+        for i in range(256)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    parts = (
+        salted_repartition(df, 16, salt=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    # one Zipf-head host must NOT collapse into one partition
+    assert len(parts) >= 8
+    assert max(p["count"] for p in parts) < 256
+
+
+def test_observe_metrics(spark, pages_df):
+    observed, obs = observe_extract(extract_pages(pages_df))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["docs"] == pages_df.count()
+    assert m["parse_failures"] == 0
+    assert m["bytes_in"] > 0
+    assert m["bytes_out"] > 0
+
+
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_in"))
+    write_corpus_parquet(d, 300, seed=11, rows_per_file=64)
+    return d
+
+
+def test_partition_pruning_and_column_pruning(spark, small_corpus):
+    df = read_pages(spark, small_corpus).filter(F.col("warc_day") == "2026-03-02")
+    narrow = df.select("url", "html")
+    rs = scan_read_schema(narrow)
+    assert "warc_ts" not in rs and "text" not in rs, rs
+    # partition pruning: only one warc_day dir scanned
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "2026-03-02" in plan
+
+
+def test_run_extract_job_and_resume(spark, small_corpus, tmp_path):
+    out = str(tmp_path / "extract_out")
+    s1 = run_extract_job(spark, small_corpus, out, num_partitions=8)
+    assert s1["partitions_processed"] == s1["partitions_total"] == 8
+    assert s1["docs"] == 300
+    first = {
+        r["url"]: r["extracted_text"]
+        for r in read_extracted(spark, out).collect()
+    }
+    assert len(first) == 300
+
+    # resume over a completed run: everything skipped
+    s2 = run_extract_job(spark, small_corpus, out, num_partitions=8)
+    assert s2["partitions_processed"] == 0
+    assert s2["partitions_skipped"] == 8
+
+    # kill-and-resume: drop 3 manifests + corrupt those outputs → resume
+    # reprocesses exactly them and converges to identical bytes
+    mdir = os.path.join(out, "_manifests")
+    victims = sorted(os.listdir(mdir))[:3]
+    for v in victims:
+        os.remove(os.path.join(mdir, v))
+        day = v[len("warc_day="):-len(".json")]
+        shutil.rmtree(os.path.join(out, f"warc_day={day}"), ignore_errors=True)
+    s3 = run_extract_job(spark, small_corpus, out, num_partitions=8)
+    assert s3["partitions_processed"] == 3
+    final = {
+        r["url"]: r["extracted_text"]
+        for r in read_extracted(spark, out).collect()
+    }
+    assert final == first  # byte-identical to the clean run
+
+
+def test_manifest_lineage_counters(spark, small_corpus, tmp_path):
+    from document_extractor_spark.checkpoint import read_manifests
+
+    out = str(tmp_path / "m_out")
+    run_extract_job(spark, small_corpus, out, num_partitions=4)
+    ms = read_manifests(out)
+    assert len(ms) == 8
+    assert sum(m["docs"] for m in ms) == 300
+    for m in ms:
+        assert m["input_fingerprint"]
+        assert m["bytes_in"] > 0
+        assert "wall_sec" in m
