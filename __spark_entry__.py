@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2), cross-checked against DuckDB at sf0.01.
+
+Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
+MinHash-LSH / SimHash signatures (xxhash64 has no DuckDB twin), ANN
+(approximate by construction), language ID (stopword tables).
 """
 
 from __future__ import annotations
@@ -12,27 +14,499 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from document_extractor_spark.functions.text import (
+    avg_word_len,
+    char_count,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from document_extractor_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from document_extractor_spark.operators.extract import extract_pages
+from document_extractor_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    embedding_near_duplicates,
+    srp_index,
+)
+from document_extractor_spark.operators.textstats import (
+    detect_languages,
+    doc_fingerprints,
+    text_stats,
+)
+from document_extractor_spark.sources.docpages import (
+    doc_id_from_url,
+    pages_from_documents,
+)
+
+_EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tpch(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+# ---------------------------------------------------------------------------
+# Extraction family — the flagship
+# ---------------------------------------------------------------------------
+
+
+def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: build chrome-wrapped pages from documents, extract,
+    and return text that must be byte-identical to the closed form."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages)
+    return out.select(doc_id_from_url("url"), "extracted_text")
+
+
+def q_extract_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages)
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("extracted_text")).alias("sum_chars"),
+        )
+    )
+
+
+def q_extract_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages)
+    return out.select(
+        doc_id_from_url("url"),
+        F.size("spans").alias("n_spans"),
+        F.concat_ws(",", F.transform("spans", lambda s: s["type"])).alias(
+            "span_types"
+        ),
+        F.col("parse_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        char_count("text").alias("n_chars2"),
+        token_count("text").alias("n_tokens"),
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("source", quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: stopword/script tables are not SQL-expressible
+    return detect_languages(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (duplicates planted deterministically in-query so the
+# operator has real work at every sf)
+# ---------------------------------------------------------------------------
+
+
+def _augmented_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(clones)
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_augmented_exact(spark, sf_dir))
+
+
+def _augmented_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(F.col("doc_id") < 120)
+    near = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1 zq2 zq3")).alias("text"),
+    )
+    return d.unionByName(near)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_augmented_near(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (xxhash64 minhash has no DuckDB twin); pytest validates
+    # candidate recall vs exact Jaccard ground truth
+    return minhash_near_duplicates(_augmented_near(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+
+# ---------------------------------------------------------------------------
+# Similarity family
+# ---------------------------------------------------------------------------
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: approximate by construction
+    emb = _emb(spark, sf_dir)
+    idx = srp_index(emb, dim=_EMB_DIM)
+    return ann_topk(idx, _query_vec(spark, sf_dir), k=10, dim=_EMB_DIM)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: SRP bucket blocking is approximate
+    emb = _emb(spark, sf_dir)
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_near_duplicates(emb.unionByName(dup), dim=_EMB_DIM,
+                                     threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Relational shell (SURVEY.md §2.9): agg / join / window / pivot
+# ---------------------------------------------------------------------------
+
+
+def q_report_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 summary-report analog (pdf_processor.py:599-640) in TPC-H Q1
+    shape: grouped multi-aggregate over the big fact table."""
+    li = _tpch(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 join analog at TPC-H Q5 shape; dims broadcast (nation/region are
+    tiny at every scale — no shuffle for them)."""
+    li = _tpch(spark, sf_dir, "lineitem")
+    o = _tpch(spark, sf_dir, "orders")
+    c = _tpch(spark, sf_dir, "customer")
+    n = _tpch(spark, sf_dir, "nation")
+    r = _tpch(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_window_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap lag window + cumulative flags — the M1
+    'previous-page context' analog over an event stream."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    new_s = F.when(
+        F.lag(ts_us).over(w).isNull()
+        | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+        .select(
+            "day", *[F.col(t).alias(f"v_{t}") for t in types]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: chrome-wrapped pages → vectorized extraction → per-lang
+    profile, on sf0.001."""
+    return q_extract_lang_profile(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_roundtrip": q_extract_roundtrip,
+        "extract_lang_profile": q_extract_lang_profile,
+        "extract_span_profile": q_extract_span_profile,
+        "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "quality_by_source": q_quality_by_source,
+        "lang_id": q_lang_id,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "knn_bruteforce": q_knn_bruteforce,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "report_agg": q_report_agg,
+        "join_revenue": q_join_revenue,
+        "window_topk_events": q_window_topk_events,
+        "sessionize": q_sessionize,
+        "event_pivot": q_event_pivot,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_STOP = "['the','and','is','of','to','in','that','it','with','as']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_roundtrip": (
+            "SELECT doc_id, 'Document ' || doc_id || chr(10) || chr(10) || text"
+            " AS extracted_text FROM documents"
+        ),
+        "extract_lang_profile": (
+            "SELECT lang, count(*) AS n_docs,"
+            " sum(length('Document ' || doc_id || chr(10) || chr(10) || text))"
+            " AS sum_chars FROM documents GROUP BY lang"
+        ),
+        "extract_span_profile": (
+            "SELECT doc_id, 2 AS n_spans, 'header,paragraph' AS span_types,"
+            " CAST(NULL AS VARCHAR) AS parse_error FROM documents"
+        ),
+        "text_stats": f"""
+            SELECT doc_id,
+              length(text) AS n_chars,
+              len({_TOKS}) AS n_tokens,
+              round(length(regexp_replace(text, '\\s+', '', 'g'))
+                    / nullif(len({_TOKS})::DOUBLE, 0.0), 6) AS avg_word_len,
+              round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                    / nullif(length(text)::DOUBLE, 0.0), 6) AS punct_ratio,
+              round(len(list_filter({_TOKS}, t -> list_contains({_STOP}, lower(t))))
+                    / nullif(len({_TOKS})::DOUBLE, 0.0), 6) AS stopword_ratio,
+              round(
+                least(1.0, coalesce(len(list_filter({_TOKS}, t -> list_contains({_STOP}, lower(t))))
+                      / nullif(len({_TOKS})::DOUBLE, 0.0), 0.0) * 2.0) * 0.5
+                + (CASE WHEN coalesce(length(regexp_replace(text, '\\s+', '', 'g'))
+                        / nullif(len({_TOKS})::DOUBLE, 0.0), 0.0) BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.3
+                + (1.0 - least(1.0, coalesce((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                        / nullif(length(text)::DOUBLE, 0.0), 0.0) * 5.0)) * 0.2,
+              6) AS quality
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT doc_id, length(text) AS n_chars2,
+                   len({_TOKS}) AS n_tokens
+            FROM documents
+        """,
+        "fingerprints": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "quality_by_source": f"""
+            WITH q AS (
+              SELECT source,
+                round(
+                  least(1.0, coalesce(len(list_filter({_TOKS}, t -> list_contains({_STOP}, lower(t))))
+                        / nullif(len({_TOKS})::DOUBLE, 0.0), 0.0) * 2.0) * 0.5
+                  + (CASE WHEN coalesce(length(regexp_replace(text, '\\s+', '', 'g'))
+                          / nullif(len({_TOKS})::DOUBLE, 0.0), 0.0) BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.5 END) * 0.3
+                  + (1.0 - least(1.0, coalesce((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                          / nullif(length(text)::DOUBLE, 0.0), 0.0) * 5.0)) * 0.2,
+                6) AS q
+              FROM documents)
+            SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+            FROM q GROUP BY source
+        """,
+        "exact_dup_groups": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+            SELECT md5({_NORM}) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM aug GROUP BY 1
+        """,
+        "ngram_jaccard": r"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 120
+              UNION ALL
+              SELECT doc_id + 100000, text || ' zq1 zq2 zq3'
+              FROM documents WHERE doc_id < 40),
+            sh AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1) + 1),
+                  i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i:i+2], ' ')
+                )) AS s
+              FROM aug),
+            ex AS (SELECT id, len(s) AS n_sh, unnest(s) AS tok FROM sh),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                     count(*) AS n_common
+              FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(n_common / (n_a + n_b - n_common)::DOUBLE, 6) AS jaccard
+            FROM common
+            WHERE n_common / (n_a + n_b - n_common)::DOUBLE >= 0.5
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (
+              SELECT e.vec_id,
+                list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+                sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm_e,
+                sqrt(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) AS nrm_q
+              FROM embeddings e CROSS JOIN q)
+            SELECT vec_id, round(dot / (nrm_e * nrm_q), 6) AS cosine
+            FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "report_agg": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue": """
+            SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "window_topk_events": """
+            SELECT user_id, event_id, value, rn FROM (
+              SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "event_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+              round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS v_click,
+              round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS v_error,
+              round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS v_purchase,
+              round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS v_signup,
+              round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS v_view
+            FROM events GROUP BY 1
+        """,
+    }

@@ -1,0 +1,97 @@
+"""Column-expression library for text analytics — pure
+``pyspark.sql.functions`` compositions (JVM-side, whole-stage codegen).
+
+Nothing here crosses into Python at runtime: these are the building
+blocks for the dedup / quality / fingerprint operators, and each has an
+exactly-matching ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so the
+DuckDB oracle can verify values 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of trimmed text.
+    Oracle twin: ``regexp_split_to_array(trim(col), '\\s+')``."""
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def normalized_text(col) -> Column:
+    """Whitespace-collapsed lowercase text — the canonical form for exact
+    dedup and fingerprinting.
+    Oracle twin: ``lower(regexp_replace(trim(col), '\\s+', ' ', 'g'))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def content_hash(col) -> Column:
+    """MD5 of normalized text → exact-dup key. Oracle twin: ``md5(...)``
+    (both engines emit lowercase hex)."""
+    return F.md5(normalized_text(col).cast("binary"))
+
+
+def punct_ratio(col) -> Column:
+    """Punctuation chars / total chars (0 for empty).
+    Oracle twin mirrors the same regexp + nullif guard."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.!?,;:]", ""))
+    return n_punct / F.nullif(F.length(c).cast("double"), F.lit(0.0))
+
+
+def avg_word_len(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    no_space = F.length(F.regexp_replace(c, r"\s+", ""))
+    return no_space / F.nullif(token_count(c).cast("double"), F.lit(0.0))
+
+
+def stopword_ratio(col, stopwords: tuple = (
+        "the", "and", "is", "of", "to", "in", "that", "it", "with", "as")) -> Column:
+    """Fraction of tokens that are (English) stopwords — a classic quality
+    signal for web-scale corpus filtering."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality score: rewards stopword presence and sane
+    word lengths, penalizes punctuation soup. Deterministic and
+    SQL-expressible (oracle-checked)."""
+    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    pr = F.coalesce(punct_ratio(col), F.lit(0.0))
+    awl = F.coalesce(avg_word_len(col), F.lit(0.0))
+    len_ok = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        F.least(F.lit(1.0), sw * 2.0) * 0.5 + len_ok * 0.3
+        + (F.lit(1.0) - F.least(F.lit(1.0), pr * 5.0)) * 0.2,
+        6,
+    )
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint — md5 over the normalized text (the cheap,
+    SQL-checkable tier; MinHash/SimHash are the similarity tiers)."""
+    return content_hash(col)
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct n-word shingles (lowercased). JVM-side:
+    sequence → slice → concat_ws, no UDF.
+    Oracle twin: range + list slicing in DuckDB."""
+    toks = F.split(F.lower(F.trim(F.col(col) if isinstance(col, str) else col)),
+                   r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )

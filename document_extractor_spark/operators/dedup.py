@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, cheapest first — the standard web-corpus dedup ladder:
+
+1. **Exact** — hash-groupBy on normalized-text md5. One shuffle on a
+   16-byte key; partial aggregation map-side. SQL-oracle-checked.
+2. **N-gram Jaccard** — shingle → explode → self-join on shingle →
+   intersection counts → Jaccard ≥ τ. Exact but quadratic in collisions;
+   used as ground truth at test scale and for candidate verification.
+3. **MinHash + LSH** — k hash functions over shingles (JVM-side
+   ``xxhash64``), banded signatures, bucket-join candidates, exact-Jaccard
+   verification of candidates only. The 100 TB path: cost is
+   O(docs × k) map-side + one shuffle on (band, band_hash).
+4. **SimHash** — 64-bit near-dup signature, fully JVM-side: explode
+   tokens → xxhash64 → per-bit sign votes via map-side partial aggregation.
+
+All operators avoid Python in the hot path entirely (plan shows no
+Python nodes at all — stricter than the Arrow-only rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import content_hash, shingles
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Group by content hash → (content_hash, keep_id, n_dups).
+    ``keep_id`` = min id is the canonical survivor (deterministic)."""
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Keep one row per content hash — window-free formulation: broadcast
+    the survivors? No — survivors table can be huge; semi-join on
+    (hash, id) instead, which AQE turns into a shuffled hash join."""
+    survivors = exact_duplicates(df, id_col, text_col).select(
+        F.col("content_hash"), F.col("keep_id").alias(id_col)
+    )
+    keyed = df.withColumn("content_hash", content_hash(text_col))
+    return keyed.join(survivors, ["content_hash", id_col], "left_semi") \
+        .drop("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All (a, b) id pairs with shingle-Jaccard ≥ threshold, a < b.
+
+    explode → self-join on shingle → count common → Jaccard. The
+    shingle join is the shuffle; at scale run AFTER MinHash has cut
+    candidates (this operator doubles as the verifier)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       k: int = 32) -> DataFrame:
+    """k-permutation MinHash over n-gram shingles, entirely JVM-side:
+    sig[i] = min over shingles of xxhash64(i, shingle)."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sig = F.array(*[
+        F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(k)
+    ])
+    return sh.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           k: int = 32, bands: int = 8) -> DataFrame:
+    """LSH banding: split the k-sig into ``bands`` rows of r = k/bands,
+    hash each band, bucket-join. Returns distinct candidate (id_a, id_b)."""
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.element_at("sig", b * r + j + 1)
+                             for j in range(r)], F.lit(b))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            k: int = 32, bands: int = 8,
+                            threshold: float = 0.8) -> DataFrame:
+    """Candidates from LSH, verified with exact Jaccard — the scalable
+    near-dup pipeline (candidate set ≪ all-pairs)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
+        .join(b, cands.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash, no Python: explode tokens → xxhash64 → per-bit sign
+    votes → reassemble. The groupBy gets map-side partial aggregation, so
+    the shuffle carries ``bits`` longs per doc, not per token."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = toks.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ])
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
+    4-block pigeonhole trick: any pair within distance 3 shares at least
+    one of 4 16-bit blocks → join per block, verify full distance."""
+    sigs = simhash(df, id_col, text_col)
+    blocks = sigs.select(
+        F.col(id_col).alias("id"), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])).alias("blk", "blk_val"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

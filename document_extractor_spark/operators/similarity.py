@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline. The dot
+  product is a JVM-side ``zip_with`` + ``aggregate`` fold (no Python at
+  all); top-k is an ``orderBy … limit`` which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge — no full
+  sort shuffle).
+- **LSH-bucketed ANN** — the 100 TB path: sign-random-projection bucket
+  ids computed by a *vectorized* pandas UDF (one numpy matmul per Arrow
+  batch), multiprobe over Hamming-adjacent buckets, exact cosine rerank
+  inside the probed buckets only.
+
+Embedding norms can be precomputed once (``with_norm``) and reused
+across queries — the classic IVF trick of paying normalization at
+index-build time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(vec_col: Column, qvec: list) -> Column:
+    """<v, q> as zip_with + aggregate fold — whole-stage-codegen'd."""
+    q = F.lit(qvec).cast("array<double>")
+    prod = F.zip_with(vec_col.cast("array<double>"), q, lambda a, b: a * b)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(vec_col: Column) -> Column:
+    sq = F.aggregate(
+        vec_col.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return F.sqrt(sq)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("vec_norm", _norm(F.col(vec_col)))
+
+
+def cosine_similarity(vec_col: Column, qvec: list) -> Column:
+    # sequential fold (not np.dot) so the query norm matches the oracle's
+    # left-to-right list_sum bit-for-bit
+    acc = 0.0
+    for v in qvec:
+        acc += float(v) * float(v)
+    import math
+
+    qn = math.sqrt(acc)
+    return _dot(vec_col, qvec) / (_norm(vec_col) * F.lit(qn))
+
+
+def brute_force_topk(df: DataFrame, qvec: list, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k. Deterministic tie-break on id."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (sign random projections)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def srp_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
+    """Vectorized pandas UDF: one numpy matmul per Arrow batch → int bucket
+    id from projection sign bits. This is the showcase 'Python only as
+    Arrow-batched numpy' operator."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy())           # (batch, dim)
+        signs = (mat @ planes) > 0                # (batch, n_planes)
+        ids = np.zeros(len(col), dtype=np.int32)
+        for j in range(n_planes):
+            ids |= signs[:, j].astype(np.int32) << j
+        return pd.Series(ids)
+
+    return bucket
+
+
+def srp_index(df: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
+              vec_col: str = "embedding") -> DataFrame:
+    """Bucketed index: (… , bucket). At scale, write this out partitioned
+    by bucket so probes become partition-pruned scans."""
+    udf = srp_bucket_udf(dim, n_planes, seed)
+    return df.withColumn("bucket", udf(F.col(vec_col)))
+
+
+def _probe_buckets(qvec: list, dim: int, n_planes: int, seed: int,
+                   hamming: int = 1) -> list:
+    planes = _hyperplanes(dim, n_planes, seed)
+    signs = (np.asarray(qvec) @ planes) > 0
+    base = 0
+    for j in range(n_planes):
+        base |= int(signs[j]) << j
+    probes = [base]
+    if hamming >= 1:
+        probes += [base ^ (1 << j) for j in range(n_planes)]
+    return probes
+
+
+def ann_topk(indexed: DataFrame, qvec: list, k: int = 10, dim: int = 64,
+             n_planes: int = 8, seed: int = 42, hamming: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: prune to Hamming-adjacent buckets (an ``isin``
+    filter that pushes to the scan when the index is bucket-partitioned),
+    then exact rerank."""
+    probes = _probe_buckets(qvec, dim, n_planes, seed, hamming)
+    cand = indexed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, qvec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
+                              n_planes: int = 8, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via bucket-join blocking: pairs must
+    collide in the SRP bucket (recall < 1 by construction — the standard
+    precision/throughput trade; raise n_planes/hamming probes for recall),
+    then exact cosine ≥ threshold."""
+    indexed = srp_index(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket",
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v").cast("array<double>"),
+                   F.col("b.v").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

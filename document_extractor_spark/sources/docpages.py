@@ -1,0 +1,57 @@
+"""Build a Common-Crawl-style ``pages`` table from the driver's
+``documents`` table — entirely JVM-side (concat/regexp expressions, no
+Python), so the extraction round-trip query has a closed-form SQL oracle:
+
+    html = chrome ⊕ <h1>Document {id}</h1><p>{escaped text}</p> ⊕ chrome
+    ⇒ extracted_text must equal 'Document {id}\\n\\n' + text, byte for byte.
+
+This turns the driver's DuckDB cross-check into an end-to-end correctness
+gate over the full extraction pipeline (boilerplate strip + typed spans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PREFIX = (
+    "<!DOCTYPE html><html><head><title>Doc</title>"
+    "<script>var x=1;</script><style>p{margin:0}</style></head><body>"
+    "<header><a href='/'>Home</a> <a href='/about'>About</a></header>"
+    "<nav><ul><li><a href='/a'>Cat A</a></li><li><a href='/b'>Cat B</a></li>"
+    "<li><a href='/c'>Cat C</a></li></ul></nav><main><h1>Document "
+)
+_MID = "</h1><p>"
+_SUFFIX = (
+    "</p></main><aside><p>Related: <a href='/x'>one</a>, "
+    "<a href='/y'>two</a></p></aside>"
+    "<footer><p>Copyright 2026 Example. <a href='/t'>Terms</a></p></footer>"
+    "</body></html>"
+)
+
+
+def _escaped(col):
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit(_PREFIX), F.col("doc_id").cast("string"), F.lit(_MID),
+        _escaped("text"), F.lit(_SUFFIX),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
+def doc_id_from_url(col="url"):
+    return F.element_at(F.split(col, "/"), -1).cast("bigint").alias("doc_id")
