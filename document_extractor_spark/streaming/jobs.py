@@ -1,0 +1,92 @@
+"""Structured Streaming operators — the streaming face of the engine.
+
+The reference is strictly batch-per-upload (SURVEY.md §2.8: no streaming
+ops exist), but a web-scale crawl pipeline ingests continuously, so the
+engine exposes its operators as streaming jobs:
+
+- ``stream_extract``   — the SAME ``extract_pages`` operator over
+  ``readStream`` micro-batches (mapInPandas works unchanged in streaming).
+- ``stream_event_counts`` — watermarked tumbling-window aggregation.
+- ``stream_sessionize`` — ``session_window`` gap sessions.
+
+All testable synchronously against parquet sources with a memory sink
+(``processAllAvailable``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..sources.pages import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, path: str,
+                 max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_extract(pages_stream: DataFrame) -> DataFrame:
+    """Streaming extraction: identical operator, streaming plan."""
+    return extract_pages(pages_stream)
+
+
+def stream_event_counts(events: DataFrame, window: str = "5 minutes",
+                        slide: str | None = None,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked windowed aggregation over the events shape
+    (late rows beyond the watermark are dropped, state is bounded)."""
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessions via the built-in session_window — the streaming
+    twin of the batch lag/cumsum sessionizer in __spark_entry__."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "append") -> None:
+    """Drive a streaming query to completion over the currently-available
+    input (test/dev helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

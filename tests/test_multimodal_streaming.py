@@ -1,0 +1,134 @@
+"""Multimodal plumbing (stubbed decode, real Spark shape) + Structured
+Streaming jobs driven synchronously to completion."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.multimodal import (
+    decode_image_stub,
+    encode_fake_image,
+    encode_fake_image_white_border,
+    image_features,
+    probe_media,
+    resize_max_width,
+    sample_frames,
+    whitespace_crop,
+)
+from document_extractor_spark.streaming.jobs import (
+    run_stream_to_memory,
+    stream_event_counts,
+    stream_extract,
+    stream_pages,
+    stream_sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("img://a", encode_fake_image(40, 30, seed=1)),
+        ("img://b", encode_fake_image_white_border(60, 60, border=20, seed=2)),
+        ("img://jpeg", b"\xff\xd8\xff\xe0 not decodable here"),
+    ]
+    return spark.createDataFrame(rows, "url string, payload binary")
+
+
+def test_probe_media(spark, media):
+    out = {r["url"]: r for r in probe_media(media).collect()}
+    assert out["img://a"]["media_type"] == "image/raw1"
+    assert (out["img://a"]["width"], out["img://a"]["height"]) == (40, 30)
+    assert out["img://jpeg"]["decode_error"] == "UnsupportedCodec"
+
+
+def test_decode_stub_raises_for_real_codecs():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_whitespace_crop(spark, media):
+    out = {r["url"]: r for r in whitespace_crop(media).collect()}
+    # 60x60 with 20px white border → 20x20 content + 2*10 pad = 40x40
+    assert (out["img://b"]["width"], out["img://b"]["height"]) == (40, 40)
+    # unsupported codec isolates, does not fail the task
+    assert out["img://jpeg"]["decode_error"] is not None
+    # crop round-trips through the codec
+    px = decode_image_stub(bytes(out["img://b"]["payload"]))
+    assert px.shape == (40, 40, 3)
+
+
+def test_resize_max_width(spark):
+    rows = [("img://big", encode_fake_image(400, 200, seed=3))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = resize_max_width(df, max_width=100).collect()[0]
+    assert out["width"] == 100
+    assert out["height"] == 50
+
+
+def test_sample_frames_fanout(spark):
+    video = b"".join(encode_fake_image(8, 8, seed=s) for s in range(10))
+    df = spark.createDataFrame([("vid://x", video)],
+                               "url string, payload binary")
+    frames = sample_frames(df, every_n=3).collect()
+    assert [f["frame_idx"] for f in sorted(frames, key=lambda r: r["frame_idx"])] \
+        == [0, 3, 6, 9]
+
+
+def test_image_features(spark, media):
+    out = {r["url"]: r for r in image_features(media).collect()}
+    feats = out["img://a"]["features"]
+    assert len(feats) == 11  # 3 mean RGB + 8 histogram bins
+    assert abs(sum(feats[3:]) - 1.0) < 1e-9  # histogram normalized
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+def test_stream_extract(spark, tmp_path):
+    from document_extractor_spark.sources.generator import write_corpus_parquet
+
+    src = str(tmp_path / "stream_src")
+    write_corpus_parquet(src, 60, seed=5, rows_per_file=16)
+    stream = stream_pages(spark, src + "/warc_day=*")
+    assert stream.isStreaming
+    out = stream_extract(stream)
+    run_stream_to_memory(out, "stream_extract_out")
+    rows = spark.sql(
+        "SELECT count(*) AS n, sum(CASE WHEN parse_error IS NULL THEN 1 ELSE 0 END) AS ok "
+        "FROM stream_extract_out").head()
+    assert rows["n"] == 60
+    assert rows["ok"] == 60
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    # streaming parquet source needs a directory, not a single file
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _events_stream(spark, events_dir):
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string")
+        .parquet(events_dir)
+    )
+
+
+def test_stream_event_counts(spark, events_dir):
+    agg = stream_event_counts(_events_stream(spark, events_dir), window="1 hour")
+    run_stream_to_memory(agg, "stream_counts_out", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n FROM stream_counts_out").head()["n"]
+    assert n > 0
+
+
+def test_stream_sessionize(spark, events_dir):
+    sess = stream_sessionize(_events_stream(spark, events_dir))
+    run_stream_to_memory(sess, "stream_sess_out", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n FROM stream_sess_out").head()["n"]
+    assert n > 0
