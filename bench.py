@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR plus the
+north-rule scaling evidence (same job, same input, local[8] vs local[32]).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec_local8": ..., "docs_per_sec_local32": ...,
+   "scaling_efficiency": ...}
+
+No real cluster exists in this sandbox, so the two-cluster-size criterion
+(BASELINE.json: efficiency ≥0.8 from N to 4N executors) is evidenced by
+running the identical extraction job at local[8] and local[32] on the
+identical corpus: efficiency = throughput(32) / (4 × throughput(8)).
+Each scale runs in its own subprocess → fresh JVM, fair comparison.
+
+Also rewrites BENCH.md with the scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(REPO, ".bench_cache")
+# corpus rows at sf=1.0 — sized so the timed extraction run is compute-bound
+# (≳30 s at local[8]) and fixed job overheads stay <10% at local[32]
+DOCS_PER_SF = 2_400_000
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+CORPUS_N = max(2000, int(DOCS_PER_SF * SF))
+
+
+def _session(cores: int, shuffle_parts: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench_{cores}")
+        .config("spark.sql.shuffle.partitions", shuffle_parts or cores)
+        .config("spark.default.parallelism", cores)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus (generated once, cached; deterministic seed=42 shards)
+# ---------------------------------------------------------------------------
+
+
+def _gen_shard(args):
+    out_dir, n, seed, shard, offset = args
+    from document_extractor_spark.sources.generator import write_corpus_parquet
+
+    write_corpus_parquet(out_dir, n, seed=seed, rows_per_file=1024,
+                         prefix=f"s{shard:02d}")
+    return shard
+
+
+def ensure_corpus() -> str:
+    d = os.path.join(CACHE, f"pages_n{CORPUS_N}")
+    marker = os.path.join(d, "_GEN_DONE")
+    if os.path.exists(marker):
+        return d
+    import multiprocessing as mp
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    shards = 16
+    per = CORPUS_N // shards
+    tasks = []
+    for s in range(shards):
+        n = per + (CORPUS_N - per * shards if s == shards - 1 else 0)
+        tasks.append((d, n, 42 + s, s, s * per))
+    with mp.Pool(min(shards, os.cpu_count() or 8)) as pool:
+        pool.map(_gen_shard_entry, tasks)
+    with open(marker, "w") as f:
+        f.write(str(CORPUS_N))
+    return d
+
+
+def _gen_shard_entry(args):
+    out_dir, n, seed, shard, offset = args
+    from document_extractor_spark.sources.generator import (
+        corpus_rows,
+        write_corpus_parquet,
+    )
+    # write this shard's rows with globally-unique urls via id_offset
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    schema = pa.schema([
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ])
+    buckets = defaultdict(list)
+    for row in corpus_rows(n, seed=seed, id_offset=offset):
+        day = row["warc_ts"].strftime("%Y-%m-%d")
+        buckets[day].append(row)
+    for i, (day, rows) in enumerate(sorted(buckets.items())):
+        dd = os.path.join(out_dir, f"warc_day={day}")
+        os.makedirs(dd, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            os.path.join(dd, f"s{shard:02d}-{i:03d}.parquet"),
+            compression="zstd",
+        )
+    return shard
+
+
+# ---------------------------------------------------------------------------
+# Scale run (subprocess mode): extraction throughput at local[K]
+# ---------------------------------------------------------------------------
+
+
+def scale_run(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from document_extractor_spark.operators.extract import (
+        extract_pages,
+        observe_extract,
+    )
+    from document_extractor_spark.sources.pages import read_pages
+
+    corpus = ensure_corpus()
+    spark = _session(cores, shuffle_parts=cores * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = read_pages(spark, corpus)
+    # warm pass at full task width: spins up every python worker, JITs the
+    # whole-stage-codegen shell, touches all input files' footers
+    warm = pages.filter(F.pmod(F.xxhash64("url"), F.lit(16)) == 0)
+    extract_pages(warm, num_partitions=cores * 4).write \
+        .format("noop").mode("overwrite").save()
+    # timed: best of 2 full passes (salted repartition → extract → noop)
+    walls = []
+    docs = 0
+    for _ in range(2):
+        result, obs = observe_extract(
+            extract_pages(pages, num_partitions=cores * 4)
+        )
+        t0 = time.monotonic()
+        result.write.format("noop").mode("overwrite").save()
+        walls.append(time.monotonic() - t0)
+        docs = int(obs.get["docs"])
+    wall = min(walls)
+    print(json.dumps({"cores": cores, "docs": docs, "wall_sec": wall,
+                      "walls": walls, "docs_per_sec": docs / wall}))
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# Headline queries at SF_DIR
+# ---------------------------------------------------------------------------
+
+
+def _run_headline(spark) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    headline = [
+        "extract_roundtrip", "extract_lang_profile", "text_stats",
+        "fingerprints", "exact_dup_groups", "ngram_jaccard",
+        "minhash_near_dups", "simhash", "knn_bruteforce", "ann_topk",
+        "report_agg", "join_revenue", "window_topk_events", "sessionize",
+        "event_pivot",
+    ]
+    times = {}
+    for name in headline:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def _write_bench_md(out: dict) -> None:
+    t8 = out["queries"]["extract_corpus_local8"]
+    t32 = out["queries"]["extract_corpus_local32"]
+    md = f"""# BENCH — measured throughput & scaling evidence
+
+Generated by `bench.py` (deterministic synthetic corpus, seed-fixed;
+sf={out['sf']}, corpus={out['corpus_docs']} Common-Crawl-style pages,
+Zipfian hosts, ~5% PDF payloads).
+
+## N vs 4N scaling (north-rule criterion, BASELINE.json)
+
+No real cluster exists in this sandbox; per the driver instruction the
+two-cluster-size criterion runs the identical extraction job on the
+identical input at two parallelism levels in fresh JVMs:
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {t8} | {out['docs_per_sec_local8']:.0f} |
+| local[32] (4N) | {t32} | {out['docs_per_sec_local32']:.0f} |
+
+**Scaling efficiency = throughput(32) / (4 × throughput(8)) =
+{out['scaling_efficiency']:.3f}** (target ≥ 0.8).
+
+## Headline query timings (local[{CPUS}], sf={out['sf']})
+
+| query | sec |
+|---|---|
+"""
+    for name, sec in out["queries"].items():
+        if name.startswith("extract_corpus"):
+            continue
+        md += f"| {name} | {sec} |\n"
+    md += f"""
+Total bench wall: {out['value']} s. Reference baseline context in
+BASELINE.md (the reference is OpenAI-API-bound at ~15-20 s/page ≈ 0.06
+docs/sec single-node; this engine extracts
+{out['docs_per_sec_local32']:.0f} docs/sec on one 32-core node).
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w", encoding="utf-8") as f:
+        f.write(md)
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
+        scale_run(int(sys.argv[2]))
+        return
+
+    ensure_corpus()
+    total0 = time.monotonic()
+    scale = {}
+    for cores in (8, CPUS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-run",
+             str(cores)],
+            capture_output=True, text=True, cwd=REPO, check=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+        )
+        scale[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    times = _run_headline(spark)
+    spark.stop()
+
+    times["extract_corpus_local8"] = round(scale[8]["wall_sec"], 3)
+    times[f"extract_corpus_local{CPUS}"] = round(scale[CPUS]["wall_sec"], 3)
+    tput8 = scale[8]["docs_per_sec"]
+    tput32 = scale[CPUS]["docs_per_sec"]
+    eff = tput32 / ((CPUS / 8) * tput8)
+    out = {
+        "metric": "extraction+analytics bench (docs/sec + headline queries)",
+        "value": round(time.monotonic() - total0, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF,
+        "corpus_docs": scale[CPUS]["docs"],
+        "docs_per_sec_local8": round(tput8, 1),
+        f"docs_per_sec_local{CPUS}": round(tput32, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+    _write_bench_md(out)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

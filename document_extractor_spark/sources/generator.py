@@ -513,13 +513,13 @@ def _zipf_weights(n: int, s: float) -> list:
 
 
 def corpus_rows(n: int, seed: int = 42, pdf_frac: float = 0.05,
-                n_days: int = 8) -> Iterator[dict]:
+                n_days: int = 8, id_offset: int = 0) -> Iterator[dict]:
     """Deterministic bench corpus: Zipfian hosts, mixed langs, ~pdf_frac
     PDF payloads, n_days distinct warc days."""
     rnd = random.Random(seed)
     weights = _zipf_weights(_N_HOSTS, _ZIPF_S)
     langs = ["en"] * 7 + ["de", "fr", "es"]
-    for i in range(n):
+    for i in range(id_offset, id_offset + n):
         host_id = rnd.choices(range(_N_HOSTS), weights=weights, k=1)[0]
         host = f"host{host_id:04d}.example.org"
         lang = rnd.choice(langs)
@@ -564,7 +564,8 @@ def corpus_rows(n: int, seed: int = 42, pdf_frac: float = 0.05,
 
 
 def write_corpus_parquet(out_dir: str, n: int, seed: int = 42,
-                         rows_per_file: int = 4096) -> list:
+                         rows_per_file: int = 4096,
+                         prefix: str = "part") -> list:
     """Write the corpus as Iceberg-style partitioned parquet
     (``warc_day=YYYY-MM-DD/part-*.parquet``) using pyarrow directly
     (no Spark needed at generation time). Returns written file paths."""
@@ -591,7 +592,7 @@ def write_corpus_parquet(out_dir: str, n: int, seed: int = 42,
             return
         d = os.path.join(out_dir, f"warc_day={day}")
         os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, f"part-{counters[day]:05d}.parquet")
+        p = os.path.join(d, f"{prefix}-{counters[day]:05d}.parquet")
         counters[day] += 1
         table = pa.Table.from_pylist(rows, schema=schema)
         pq.write_table(table, p, compression="zstd")
