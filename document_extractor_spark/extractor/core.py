@@ -24,15 +24,23 @@ _PDF_TYPE_MAP = {"header": "header", "paragraph": "paragraph"}
 
 
 def extract_payload(payload: Optional[bytes], url: str = "",
-                    lang_hint: Optional[str] = None) -> dict:
+                    lang_hint: Optional[str] = None,
+                    include_items: bool = False) -> dict:
+    """When ``include_items`` is set, the record additionally carries the
+    typed content-item array (the reference's core record shape,
+    ``openai_content_extractor.py:158-200``) for the rendering operators;
+    the default hot-path record stays lean (north-star schema only)."""
     n_in = len(payload) if payload is not None else 0
     if payload is None or len(payload) == 0:
-        return _record(url, "", [], lang_hint or "und", "EmptyPayload", 0, n_in)
+        return _record(url, "", [], lang_hint or "und", "EmptyPayload", 0,
+                       n_in, [] if include_items else None)
     if is_pdf(payload):
         pr = extract_pdf(payload)
         if pr.error is not None:
-            return _record(url, "", [], lang_hint or "und", pr.error, 0, n_in)
+            return _record(url, "", [], lang_hint or "und", pr.error, 0,
+                           n_in, [] if include_items else None)
         spans = []
+        items = [] if include_items else None
         pos = 0
         first = True
         for typ, txt, _page, _size in pr.items:
@@ -41,19 +49,43 @@ def extract_payload(payload: Optional[bytes], url: str = "",
             if not first:
                 pos += 2
             first = False
-            spans.append((pos, pos + len(txt), _PDF_TYPE_MAP.get(typ, "paragraph")))
+            btype = _PDF_TYPE_MAP.get(typ, "paragraph")
+            spans.append((pos, pos + len(txt), btype))
+            if include_items:
+                items.append({
+                    "order": len(items), "type": btype, "content": txt,
+                    "html": None,
+                    "level": 1 if btype == "header" else 0,
+                    "row_count": 0, "column_count": 0,
+                    "converted_from_kv": False,
+                })
             pos += len(txt)
         lang = lang_hint or detect_lang(pr.text)
-        return _record(url, pr.text, spans, lang, None, len(pr.items), n_in)
+        return _record(url, pr.text, spans, lang, None, len(pr.items), n_in,
+                       items)
     res: ExtractResult = extract_html(bytes(payload))
     if res.error is not None:
-        return _record(url, "", [], lang_hint or "und", res.error, 0, n_in)
+        return _record(url, "", [], lang_hint or "und", res.error, 0, n_in,
+                       [] if include_items else None)
     lang = lang_hint or detect_lang(res.text)
-    return _record(url, res.text, res.spans, lang, None, len(res.items), n_in)
+    items = None
+    if include_items:
+        items = [
+            {
+                "order": it.order, "type": it.type, "content": it.content,
+                "html": it.html, "level": int(it.level),
+                "row_count": int(it.row_count),
+                "column_count": int(it.column_count),
+                "converted_from_kv": bool(it.converted_from_kv),
+            }
+            for it in res.items
+        ]
+    return _record(url, res.text, res.spans, lang, None, len(res.items),
+                   n_in, items)
 
 
-def _record(url, text, spans, lang, error, n_blocks, n_in) -> dict:
-    return {
+def _record(url, text, spans, lang, error, n_blocks, n_in, items=None) -> dict:
+    rec = {
         "url": url,
         "extracted_text": text,
         "spans": [
@@ -65,3 +97,6 @@ def _record(url, text, spans, lang, error, n_blocks, n_in) -> dict:
         "n_bytes_in": int(n_in),
         "n_bytes_out": len(text.encode("utf-8")),
     }
+    if items is not None:
+        rec["content_items"] = items
+    return rec

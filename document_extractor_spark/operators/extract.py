@@ -55,6 +55,21 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("n_bytes_out", T.LongType(), True),
 ])
 
+# The reference's core record shape (openai_content_extractor.py:158-200)
+# reduced to text-meaningful fields — opt-in via extract_pages(with_items=True)
+ITEM_TYPE = T.ArrayType(
+    T.StructType([
+        T.StructField("order", T.IntegerType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("html", T.StringType(), True),
+        T.StructField("level", T.IntegerType(), True),
+        T.StructField("row_count", T.IntegerType(), True),
+        T.StructField("column_count", T.IntegerType(), True),
+        T.StructField("converted_from_kv", T.BooleanType(), True),
+    ])
+)
+
 _DEFAULT_BATCH_BYTES = 64 * 1024 * 1024
 
 
@@ -83,7 +98,8 @@ def _rechunk(it: Iterator[pd.DataFrame], cap_bytes: int) -> Iterator[pd.DataFram
 
 
 def _extract_map(it: Iterator[pd.DataFrame],
-                 cap_bytes: int = _DEFAULT_BATCH_BYTES) -> Iterator[pd.DataFrame]:
+                 cap_bytes: int = _DEFAULT_BATCH_BYTES,
+                 include_items: bool = False) -> Iterator[pd.DataFrame]:
     for pdf in _rechunk(it, cap_bytes):
         urls = pdf["url"].to_numpy()
         payloads = pdf["html"].to_numpy()
@@ -93,14 +109,22 @@ def _extract_map(it: Iterator[pd.DataFrame],
             else [None] * len(pdf)
         )
         recs = [
-            extract_payload(p, url=u, lang_hint=l if isinstance(l, str) and l else None)
+            extract_payload(p, url=u,
+                            lang_hint=l if isinstance(l, str) and l else None,
+                            include_items=include_items)
             for u, p, l in zip(urls, payloads, langs)
         ]
         out = pd.DataFrame.from_records(recs)
         for extra in ("warc_day",):
             if extra in pdf.columns:
                 out[extra] = pdf[extra].to_numpy()
-        yield out
+        cols = ["url", "extracted_text", "spans", "lang", "parse_error",
+                "n_blocks", "n_bytes_in", "n_bytes_out"]
+        if include_items:
+            cols.append("content_items")
+        if "warc_day" in out.columns:
+            cols.append("warc_day")
+        yield out[cols]
 
 
 def host_col(url: Column = None) -> Column:
@@ -123,7 +147,8 @@ def salted_repartition(df: DataFrame, num_partitions: int,
 
 def extract_pages(df: DataFrame, num_partitions: Optional[int] = None,
                   salt: int = 16, keep_warc_day: bool = False,
-                  cap_bytes: int = _DEFAULT_BATCH_BYTES) -> DataFrame:
+                  cap_bytes: int = _DEFAULT_BATCH_BYTES,
+                  with_items: bool = False) -> DataFrame:
     """pages(url, html[, lang][, warc_day]) → north-star output rows.
 
     Column pruning: selects ONLY the columns the UDF needs before the
@@ -138,13 +163,14 @@ def extract_pages(df: DataFrame, num_partitions: Optional[int] = None,
     narrow = df.select(*cols)
     if num_partitions:
         narrow = salted_repartition(narrow, num_partitions, salt=salt)
-    schema = EXTRACT_SCHEMA
+    fields = list(EXTRACT_SCHEMA.fields)
+    if with_items:
+        fields.append(T.StructField("content_items", ITEM_TYPE, True))
     if keep_warc_day and "warc_day" in df.columns:
-        schema = T.StructType(schema.fields + [
-            T.StructField("warc_day", T.StringType(), True)
-        ])
+        fields.append(T.StructField("warc_day", T.StringType(), True))
     return narrow.mapInPandas(
-        lambda it: _extract_map(it, cap_bytes), schema=schema
+        lambda it: _extract_map(it, cap_bytes, include_items=with_items),
+        schema=T.StructType(fields),
     )
 
 

@@ -1,0 +1,145 @@
+"""Sink-side rendering operators (SURVEY.md §2.5 H1-H10) — flow-layout
+HTML from the typed content-item array, entirely in Catalyst expressions.
+
+Reference semantics re-expressed (EricBui619/document-extractor):
+- H1 flow-layout page render      html_generator.py:66-99, 834-886
+- H2 newline preservation (\\n → <br/>)   html_generator.py:321-341
+- H3 text block render + h-level clamp 1-6  html_generator.py:343-393
+- H4 table render with caption container    html_generator.py:395-497
+- H9 readability stats                      html_formatter.py:20-78
+- H10 readability rewrite (th/td restyle)   html_formatter.py:80-321
+- E3 legacy projection (tables/text_blocks) openai_content_extractor.py:309-353
+
+No Python anywhere: ``transform`` + ``concat_ws`` + ``CASE WHEN`` over the
+nested array — one narrow stage, no shuffle, fully codegen'd. That is the
+point of keeping items as ONE nested column instead of an exploded side
+table: rendering is embarrassingly row-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _esc(c: Column) -> Column:
+    """HTML-escape the reference's set (& < > " ' —
+    key_value_converter.py:296-312)."""
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    c = F.regexp_replace(c, '"', "&quot;")
+    return F.regexp_replace(c, "'", "&#x27;")
+
+
+def _with_br(c: Column) -> Column:
+    """H2: every \\n becomes <br/>\\n — never collapse."""
+    return F.regexp_replace(c, "\n", "<br/>\n")
+
+
+def _render_item(it: Column) -> Column:
+    """H3/H4 type dispatch for one item struct."""
+    level = F.greatest(F.least(it["level"], F.lit(6)), F.lit(1))  # clamp 1-6
+    header = F.concat(
+        F.lit("<h"), level.cast("string"), F.lit(">"),
+        _esc(it["content"]), F.lit("</h"), level.cast("string"), F.lit(">"),
+    )
+    para = F.concat(F.lit("<p>"), _with_br(_esc(it["content"])),
+                    F.lit("</p>"))
+    lst = F.concat(
+        F.lit("<ul>"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.split(it["content"], "\n"),
+                lambda li: F.concat(F.lit("<li>"), _esc(li), F.lit("</li>")),
+            ),
+        ),
+        F.lit("</ul>"),
+    )
+    table = F.concat(
+        F.lit('<div class="table-container">'),
+        F.coalesce(it["html"], para),
+        F.lit("</div>"),
+    )
+    caption = F.concat(F.lit('<p class="caption">'), _esc(it["content"]),
+                       F.lit("</p>"))
+    return (
+        F.when(it["type"] == "header", header)
+        .when(it["type"].isin("table", "kv_table"), table)
+        .when(it["type"] == "list", lst)
+        .when(it["type"] == "caption", caption)
+        .otherwise(para)
+    )
+
+
+def render_html(df: DataFrame, items_col: str = "content_items",
+                url_col: str = "url") -> DataFrame:
+    """H1: reading-order render — items are already order-sorted by the
+    extractor (E2); re-assert with array_sort on ``order`` to stay correct
+    for arbitrary upstream item arrays."""
+    items = F.array_sort(
+        F.col(items_col),
+        lambda a, b: F.when(a["order"] < b["order"], -1)
+        .when(a["order"] > b["order"], 1).otherwise(0),
+    )
+    body = F.concat_ws("\n", F.transform(items, _render_item))
+    page = F.concat(
+        F.lit('<div class="page">\n'), body, F.lit("\n</div>"))
+    return df.select(F.col(url_col), page.alias("html"))
+
+
+def readability_stats(df: DataFrame, items_col: str = "content_items",
+                      url_col: str = "url") -> DataFrame:
+    """H9: per-doc structural stats + rule-based issue flags
+    (html_formatter.py:20-78: huge tables, very long paragraphs)."""
+    items = F.col(items_col)
+    n_tables = F.size(F.filter(items, lambda i: i["type"].isin("table", "kv_table")))
+    n_cells = F.aggregate(
+        F.filter(items, lambda i: i["type"].isin("table", "kv_table")),
+        F.lit(0),
+        lambda acc, i: acc + i["row_count"] * i["column_count"],
+    )
+    long_paras = F.size(
+        F.filter(items, lambda i: (i["type"] == "paragraph")
+                 & (F.length(i["content"]) > 500))
+    )
+    return df.select(
+        F.col(url_col),
+        F.size(items).alias("n_items"),
+        n_tables.alias("n_tables"),
+        F.size(F.filter(items, lambda i: i["type"] == "paragraph")).alias(
+            "n_paragraphs"),
+        F.size(F.filter(items, lambda i: i["type"] == "header")).alias(
+            "n_headers"),
+        n_cells.alias("n_table_cells"),
+        (n_cells > 50).alias("issue_large_table"),
+        (long_paras > 0).alias("issue_long_paragraph"),
+    )
+
+
+def apply_readability_rewrite(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """H10 analog: deterministic restyle pass over rendered HTML —
+    class-tag header/body cells the way the reference's BeautifulSoup pass
+    colors th (header) and zebra-stripes td rows; regexp-based so it stays
+    JVM-side."""
+    c = F.col(html_col)
+    c = F.regexp_replace(c, "<th>", '<th class="hdr">')
+    c = F.regexp_replace(c, "<table>", '<table class="readable">')
+    return df.withColumn(html_col, c)
+
+
+def legacy_projection(df: DataFrame, items_col: str = "content_items",
+                      url_col: str = "url") -> DataFrame:
+    """E3: the reference's legacy triple (tables / text_blocks) as a
+    projection of the item array — pure array filters, no UDF."""
+    items = F.col(items_col)
+    return df.select(
+        F.col(url_col),
+        F.filter(items, lambda i: i["type"].isin("table", "kv_table")).alias(
+            "tables"),
+        F.filter(
+            items,
+            lambda i: i["type"].isin("paragraph", "header", "list", "caption"),
+        ).alias("text_blocks"),
+    )
