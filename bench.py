@@ -32,8 +32,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(REPO, ".bench_cache")
 # corpus rows at sf=1.0 — sized so the timed extraction run is compute-bound
-# (≳30 s at local[8]) and fixed job overheads stay <10% at local[32]
-DOCS_PER_SF = 2_400_000
+# (≳40 s at local[8], ≳10 s at local[32] at sf0.1: pages avg ~16 KB,
+# extraction ~3.7 ms/doc single-core) and fixed job overheads stay <10%
+DOCS_PER_SF = 1_000_000
+CORPUS_VERSION = 2  # bump when generator output changes → regenerates cache
 
 
 def _sf_from_dir(d: str) -> float:
@@ -72,17 +74,8 @@ def _session(cores: int, shuffle_parts: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _gen_shard(args):
-    out_dir, n, seed, shard, offset = args
-    from document_extractor_spark.sources.generator import write_corpus_parquet
-
-    write_corpus_parquet(out_dir, n, seed=seed, rows_per_file=1024,
-                         prefix=f"s{shard:02d}")
-    return shard
-
-
 def ensure_corpus() -> str:
-    d = os.path.join(CACHE, f"pages_n{CORPUS_N}")
+    d = os.path.join(CACHE, f"pages_v{CORPUS_VERSION}_n{CORPUS_N}")
     marker = os.path.join(d, "_GEN_DONE")
     if os.path.exists(marker):
         return d

@@ -499,7 +499,13 @@ def fixture_rows() -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
-# Bench / skew corpus
+# Bench / skew corpus — realistic Common-Crawl-style pages
+#
+# Real web pages are 20-100 KB with heavy per-site boilerplate (nav menus,
+# sidebars, comment threads, footers) around a prose article. The bench
+# corpus mirrors that so (a) the extraction stage is genuinely
+# compute-bound at bench scale — the scaling-efficiency measurement is
+# honest — and (b) boilerplate stripping actually has boilerplate to fight.
 # ---------------------------------------------------------------------------
 
 _N_HOSTS = 1000
@@ -512,10 +518,126 @@ def _zipf_weights(n: int, s: float) -> list:
     return [x / tot for x in w]
 
 
+def _host_chrome(host_id: int) -> tuple[str, str]:
+    """Deterministic per-host boilerplate (constant across a host's pages —
+    exactly the signal real boilerplate classifiers exploit). ~6-10 KB."""
+    r = random.Random(10_000 + host_id)
+    host = f"host{host_id:04d}.example.org"
+    nav_n = r.randint(25, 60)
+    nav = "".join(
+        f"<li class='nav-item'><a href='/cat/{r.randrange(99)}/"
+        f"{r.choice(_VOCAB)}-{r.randrange(999)}'>"
+        f"{_sentence(r, _VOCAB, r.randint(1, 3))[:-1]}</a></li>"
+        for _ in range(nav_n)
+    )
+    side_n = r.randint(8, 16)
+    sidebar = "".join(
+        f"<div class='widget'><a href='/story/{r.randrange(99999)}'>"
+        f"{_sentence(r, _VOCAB, r.randint(4, 9))[:-1]}</a>"
+        f"<span class='meta'>{r.randrange(1, 999)} comments</span></div>"
+        for _ in range(side_n)
+    )
+    foot = "".join(
+        f"<a href='/{p}'>{p.title()}</a> "
+        for p in ("terms", "privacy", "contact", "careers", "advertise",
+                  "rss", "sitemap", "newsletter")
+    )
+    top = (
+        f"<div class='banner'>Subscribe to {host} — unlimited access "
+        "for readers who sign in today</div>\n"
+        f"<header class='site-head'><a class='logo' href='/'>{host}</a>"
+        f"<ul class='nav'>{nav}</ul></header>\n"
+        "<div class='cookie-notice'>We use cookies to improve your "
+        "experience. <a href='/cookies'>Learn more</a> "
+        "<button>Accept</button></div>\n"
+    )
+    bottom = (
+        f"<aside class='sidebar'><h3>Most read</h3>{sidebar}</aside>\n"
+        f"<footer class='site-foot'><p>{foot}</p>"
+        f"<p>Copyright 2026 {host}. All rights reserved. Content may not "
+        "be reproduced without permission.</p></footer>\n"
+    )
+    return top, bottom
+
+
+_CHROME_CACHE: dict = {}
+
+
+def _chrome_for(host_id: int) -> tuple[str, str]:
+    c = _CHROME_CACHE.get(host_id)
+    if c is None:
+        c = _CHROME_CACHE[host_id] = _host_chrome(host_id)
+    return c
+
+
+def _comments_block(rnd: random.Random, vocab: list) -> str:
+    n = rnd.randint(3, 14)
+    items = "".join(
+        f"<div class='comment'><a href='/user/{rnd.randrange(9999)}'>"
+        f"user{rnd.randrange(9999)}</a> wrote: "
+        f"{_sentence(rnd, vocab, rnd.randint(5, 15))} "
+        "<a href='#reply'>Reply</a> <a href='#like'>Like</a></div>"
+        for _ in range(n)
+    )
+    return f"<section class='comments'><h3>{n} Comments</h3>{items}</section>"
+
+
+def _article_body(rnd: random.Random, vocab: list, i: int, host: str) -> str:
+    """Prose article: headline, subsections, paragraphs, occasional table /
+    list / blockquote / figure. ~5-15 KB of main content."""
+    body = [f"<h1>Article {i} on {host}</h1>",
+            f"<p class='byline'>By staff writer — section "
+            f"{rnd.randrange(20)}</p>"]
+    n_sections = rnd.randint(2, 5)
+    for s in range(n_sections):
+        if s > 0:
+            body.append(
+                f"<h2>{_sentence(rnd, vocab, rnd.randint(3, 7))[:-1]}</h2>")
+        for _ in range(rnd.randint(3, 8)):
+            para = _paragraph(rnd, vocab, rnd.randint(3, 7))
+            if rnd.random() < 0.25:
+                w = rnd.choice(vocab)
+                para += (f" See <a href='/ref/{rnd.randrange(999)}'>{w}</a>"
+                         " for details.")
+            body.append(f"<p>{para}</p>")
+        roll = rnd.random()
+        if roll < 0.25:
+            body.append(
+                "<table><tr><th>Key</th><th>Value</th><th>Share</th></tr>"
+                + "".join(
+                    f"<tr><td>{rnd.choice(vocab)}</td>"
+                    f"<td>{rnd.randint(0, 999)}</td>"
+                    f"<td>{rnd.randint(0, 100)}%</td></tr>"
+                    for _ in range(rnd.randint(3, 10))
+                )
+                + "</table>"
+            )
+        elif roll < 0.40:
+            body.append(
+                "<ul>" + "".join(
+                    f"<li>{_sentence(rnd, vocab, rnd.randint(4, 10))}</li>"
+                    for _ in range(rnd.randint(3, 7))
+                ) + "</ul>"
+            )
+        elif roll < 0.50:
+            body.append(
+                f"<blockquote>{_sentence(rnd, vocab, rnd.randint(8, 16))}"
+                "</blockquote>"
+            )
+        elif roll < 0.58:
+            body.append(
+                f"<figure><img src='/img/{i}-{s}.jpg' alt='chart'>"
+                f"<figcaption>Figure {s + 1}: "
+                f"{_sentence(rnd, vocab, rnd.randint(5, 9))}</figcaption>"
+                "</figure>"
+            )
+    return "\n".join(body)
+
+
 def corpus_rows(n: int, seed: int = 42, pdf_frac: float = 0.05,
                 n_days: int = 8, id_offset: int = 0) -> Iterator[dict]:
     """Deterministic bench corpus: Zipfian hosts, mixed langs, ~pdf_frac
-    PDF payloads, n_days distinct warc days."""
+    PDF payloads, n_days distinct warc days, ~15-30 KB/page."""
     rnd = random.Random(seed)
     weights = _zipf_weights(_N_HOSTS, _ZIPF_S)
     langs = ["en"] * 7 + ["de", "fr", "es"]
@@ -529,31 +651,38 @@ def corpus_rows(n: int, seed: int = 42, pdf_frac: float = 0.05,
         )
         url = f"https://{host}/article/{i}"
         if rnd.random() < pdf_frac:
-            paras = [
-                _sentence(rnd, vocab, rnd.randint(6, 10)) for _ in range(4)
-            ]
-            payload = build_pdf(
-                [[(72, 720, 18, [f"Report {i}"]),
-                  (72, 680, 12, paras[:2]),
-                  (72, 600, 12, paras[2:])]],
-                compress=True,
-            )
-        else:
-            n_paras = rnd.randint(3, 9)
-            body = [f"<h1>Article {i} on {host}</h1>"]
-            for _ in range(n_paras):
-                body.append(f"<p>{_paragraph(rnd, vocab, rnd.randint(2, 5))}</p>")
-            if rnd.random() < 0.3:
-                body.append(
-                    "<table><tr><th>Key</th><th>Value</th></tr>"
-                    + "".join(
-                        f"<tr><td>{rnd.choice(vocab)}</td>"
-                        f"<td>{rnd.randint(0, 999)}</td></tr>"
-                        for _ in range(rnd.randint(2, 6))
-                    )
-                    + "</table>"
+            pages = []
+            for p in range(rnd.randint(1, 3)):
+                paras = [
+                    _sentence(rnd, vocab, rnd.randint(6, 10))
+                    for _ in range(rnd.randint(4, 8))
+                ]
+                half = len(paras) // 2
+                pages.append(
+                    [(72, 720, 18, [f"Report {i} page {p + 1}"]),
+                     (72, 680, 12, paras[:half]),
+                     (72, 600, 12, paras[half:])]
                 )
-            payload = wrap_page(f"Article {i}", "\n".join(body)).encode("utf-8")
+            payload = build_pdf(pages, compress=True)
+        else:
+            top, bottom = _chrome_for(host_id)
+            main = _article_body(rnd, vocab, i, host)
+            use_main = rnd.random() < 0.8
+            inner = (f"<main>\n{main}\n</main>" if use_main
+                     else f"<div id='content'>\n{main}\n</div>")
+            page = (
+                "<!DOCTYPE html>\n<html><head>"
+                f"<title>Article {i} — {host}</title>"
+                "<meta charset='utf-8'>"
+                "<script>window.dataLayer=[];function gtag(){"
+                "dataLayer.push(arguments);}</script>"
+                "<style>p{margin:0 0 1em}.nav{display:flex}</style>"
+                "</head>\n<body>\n"
+                + top + inner + "\n"
+                + _comments_block(rnd, vocab)
+                + bottom + "</body></html>"
+            )
+            payload = page.encode("utf-8")
         yield {
             "url": url,
             "warc_ts": ts,
