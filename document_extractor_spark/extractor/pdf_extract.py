@@ -347,6 +347,10 @@ def extract_pdf(pdf_bytes: bytes) -> PdfResult:
     try:
         objs = _parse_objects(pdf_bytes)
         page_nums = _page_order(objs)
+        if not page_nums:
+            # corrupt/truncated PDF — must surface as a parse failure so
+            # the run counters don't silently swallow bad payloads
+            return PdfResult(error="PdfNoPages")
         res = PdfResult(n_pages=len(page_nums))
         for pno, num in enumerate(page_nums, start=1):
             body = objs[num]

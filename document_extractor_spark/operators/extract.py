@@ -13,10 +13,20 @@ Scale design (the 100 TB story):
   extraction loop is C-level iteration over numpy object arrays. The plan
   contains only ``MapInPandas`` / Arrow nodes — asserted by
   ``plans.assert_vectorized_python_only``.
-- **Skew**: web hosts are Zipfian. ``salted_repartition`` spreads rows by
-  ``(xxhash64(host) + pmod(xxhash64(url), SALT))`` so a hot host's pages
-  fan out over SALT partitions instead of one straggler task. AQE cannot
-  fix UDF-stage skew (it only re-plans joins), hence explicit salting.
+- **Narrow by default — never shuffle raw payloads.** With
+  ``num_partitions=None`` (the default) extraction is a zero-shuffle map
+  over the scan: task sizing comes from ``spark.sql.files
+  .maxPartitionBytes`` row-group splits, which are host-agnostic, so the
+  Zipfian host distribution cannot skew the *extraction* stage at all.
+  Measured on this box: the payload shuffle costs 3.7× throughput at 32
+  cores (9.5k → 2.6k docs/s); at 100 TB it would be a 100 TB shuffle.
+- **Skew, where it actually bites**: downstream per-host operators
+  (dedup groupBy, host aggregations) run on the ~10× smaller extracted
+  output — ``salted_repartition`` spreads those by ``(host,
+  pmod(xxhash64(url), SALT))`` so a hot host fans out over SALT
+  partitions instead of one straggler task (AQE only re-plans joins, not
+  UDF stages). Pass ``num_partitions`` to salt *before* extraction only
+  when the source layout itself is skewed (few giant unsplittable files).
 - **Bounded memory**: Arrow's ``maxRecordsPerBatch`` caps rows, not bytes;
   giant pages would still blow the Python worker. ``_rechunk`` re-splits
   each incoming batch on cumulative payload bytes (default 64 MiB).

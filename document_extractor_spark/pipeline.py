@@ -2,18 +2,26 @@
 
     pages (Iceberg-style parquet, partitioned by warc_day)
       → scan with partition pruning (only uncommitted partitions)
-      → salted repartition on (host, url-salt)          ← the one shuffle
-      → mapInPandas extraction (Arrow batches, byte-capped)
+      → mapInPandas extraction (Arrow batches, byte-capped)   ← NARROW
       → observe() metrics
       → dynamic-partition-overwrite parquet write
       → per-partition manifest commit
 
+The default plan is ZERO-shuffle: extraction maps directly over
+``maxPartitionBytes``-sized scan splits, which are host-agnostic — the
+Zipfian host skew cannot unbalance a stateless per-row map, and at
+100 TB a pre-extraction repartition would shuffle all 100 TB of raw
+payload (measured 3.7× slower even at bench scale). Salting
+(``num_partitions=``) remains as an explicit knob for source layouts
+whose *files* are skewed, and ``salted_repartition`` is applied by the
+downstream per-host operators on the ~10× smaller extracted output.
+
 One partition = one job = one checkpoint grain. Killing the process
 between jobs loses at most the in-flight partition, which the next run
-redoes idempotently (overwrite). The whole pipeline is ONE Spark stage
-after the salting shuffle — every reference thread/process boundary
-(``pdf_processor.py:151-268`` thread pool, per-page JSON files) collapses
-into Spark task/Arrow boundaries.
+redoes idempotently (overwrite). The whole pipeline is ONE Spark stage —
+every reference thread/process boundary (``pdf_processor.py:151-268``
+thread pool, per-page JSON files) collapses into Spark task/Arrow
+boundaries.
 """
 
 from __future__ import annotations
@@ -36,11 +44,12 @@ def run_extract_job(
     salt: int = 16,
     resume: bool = True,
 ) -> dict:
-    """Extract every uncommitted warc_day partition. Returns run summary."""
-    if num_partitions is None:
-        num_partitions = max(
-            spark.sparkContext.defaultParallelism * 4, 8
-        )  # ≥4× cores → stragglers amortize (SURVEY.md §7 watch-list 5)
+    """Extract every uncommitted warc_day partition. Returns run summary.
+
+    ``num_partitions=None`` (default) keeps the narrow zero-shuffle plan;
+    pass a count only to force a salted repartition of the raw payload
+    (skewed/unsplittable source files).
+    """
     all_parts = list_partitions(in_path)
     done = committed_partitions(out_path, in_path) if resume else set()
     todo = [p for p in all_parts if p not in done]
