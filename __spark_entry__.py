@@ -42,10 +42,19 @@ from document_extractor_spark.operators.textstats import (
     doc_fingerprints,
     text_stats,
 )
+from document_extractor_spark.operators.kvpivot import kv_records_to_table
+from document_extractor_spark.operators.media import (
+    caption_items,
+    explode_images,
+    link_images_to_content,
+)
+from document_extractor_spark.operators.multipage import merge_continuations
 from document_extractor_spark.sources.docpages import (
     doc_id_from_url,
     pages_from_documents,
+    pages_with_figures,
 )
+from document_extractor_spark.sources.jsonrepair import parse_json_relaxed
 
 _EMB_DIM = 64
 
@@ -216,6 +225,108 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structural operator families: KV pivot (R5-R8), JSON repair (S7),
+# multi-page continuation merge (M1-M3), media explode + link (S3/I2)
+# ---------------------------------------------------------------------------
+
+
+def q_kv_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 relational form: synthesize 2-record KV text per document
+    in-query (closed-form oracle), parse + pivot with pure Catalyst."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    nch = F.col("n_chars").cast("string")
+    kv_text = F.concat(
+        F.lit("Name: A"), did, F.lit("\nChars: "), nch,
+        F.lit("\n\nName: B"), did, F.lit("\nChars: "),
+        (F.col("n_chars") + 1).cast("string"),
+    )
+    src = d.select("doc_id", kv_text.alias("text"))
+    out = kv_records_to_table(src, keys=["Name", "Chars"])
+    return out.select(
+        "doc_id", "record_id",
+        F.col("Name").alias("name"), F.col("Chars").alias("chars"),
+    )
+
+
+def q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: PERMISSIVE parse + deterministic repair; every third doc's
+    JSON is corrupted (markdown fences + trailing comma) in-query."""
+    from pyspark.sql import types as T
+
+    d = _docs(spark, sf_dir)
+    good = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'), F.col("lang"), F.lit('", "n": '),
+        F.col("n_chars").cast("string"), F.lit("}"),
+    )
+    bad = F.concat(F.lit("```json\n"),
+                   F.regexp_replace(good, r"\}$", ",}"), F.lit("\n```"))
+    raw = F.when(F.col("doc_id") % 3 == 0, bad).otherwise(good)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    parsed = parse_json_relaxed(d.select("doc_id", raw.alias("raw")), schema)
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.id").alias("id"),
+        F.col("parsed.lang").alias("json_lang"),
+        F.col("parsed.n").alias("n"),
+        "was_repaired", "parse_ok",
+    )
+
+
+_SPLIT_PAT = r"^(.{100,}? )([a-z].*)$"
+
+
+def q_multipage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 roundtrip: split each document's (whitespace-normalized)
+    text into two pages at a mid-sentence boundary, then merge the
+    continuation back — output must equal the original text."""
+    d = _docs(spark, sf_dir)
+    base = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    p1 = F.regexp_extract(base, _SPLIT_PAT, 1)
+    p2 = F.regexp_extract(base, _SPLIT_PAT, 2)
+    src = d.select(F.col("doc_id").alias("article_id"),
+                   base.alias("base"), p1.alias("p1"), p2.alias("p2"))
+    page1 = src.select(
+        "article_id", F.lit(1).alias("page_num"), F.lit(0).alias("order"),
+        F.lit("paragraph").alias("type"),
+        F.when(F.col("p2") != "", F.rtrim("p1")).otherwise(F.col("base"))
+        .alias("content"),
+        F.lit(None).cast("string").alias("html"),
+        F.lit(0).alias("row_count"), F.lit(0).alias("column_count"),
+    )
+    page2 = src.filter(F.col("p2") != "").select(
+        "article_id", F.lit(2).alias("page_num"), F.lit(0).alias("order"),
+        F.lit("paragraph").alias("type"), F.col("p2").alias("content"),
+        F.lit(None).cast("string").alias("html"),
+        F.lit(0).alias("row_count"), F.lit(0).alias("column_count"),
+    )
+    merged = merge_continuations(page1.unionByName(page2))
+    return merged.select("article_id", "order", "type", "content", "n_merged")
+
+
+def q_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: JVM-only <img> explode over figure-bearing pages."""
+    pages = pages_with_figures(spark, sf_dir)
+    imgs = explode_images(pages)
+    return imgs.select(doc_id_from_url("url"), "image_index", "src", "alt")
+
+
+def q_image_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: the reference's only join-shaped operator — extracted images
+    equi-joined to extracted caption items on (url, index)."""
+    pages = pages_with_figures(spark, sf_dir)
+    imgs = explode_images(pages)
+    caps = caption_items(extract_pages(pages, with_items=True))
+    out = link_images_to_content(imgs, caps)
+    return out.select(doc_id_from_url("url"), "image_index", "src", "caption")
+
+
+# ---------------------------------------------------------------------------
 # Relational shell (SURVEY.md §2.9): agg / join / window / pivot
 # ---------------------------------------------------------------------------
 
@@ -346,6 +457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_events": q_window_topk_events,
         "sessionize": q_sessionize,
         "event_pivot": q_event_pivot,
+        "kv_pivot": q_kv_pivot,
+        "json_repair": q_json_repair,
+        "multipage_merge": q_multipage_merge,
+        "image_extract": q_image_extract,
+        "image_link": q_image_link,
     }
 
 
@@ -508,5 +624,42 @@ def oracle_sql() -> dict[str, str]:
               round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS v_signup,
               round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS v_view
             FROM events GROUP BY 1
+        """,
+        "kv_pivot": """
+            SELECT doc_id, 0 AS record_id,
+                   'A' || doc_id AS name, CAST(n_chars AS VARCHAR) AS chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS record_id,
+                   'B' || doc_id AS name, CAST(n_chars + 1 AS VARCHAR) AS chars
+            FROM documents
+        """,
+        "json_repair": """
+            SELECT doc_id, doc_id AS id, lang AS json_lang, n_chars AS n,
+                   (doc_id % 3 = 0) AS was_repaired, TRUE AS parse_ok
+            FROM documents
+        """,
+        "multipage_merge": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     regexp_replace(trim(text), '\s+', ' ', 'g') AS base
+              FROM documents)
+            SELECT doc_id AS article_id, 0 AS "order",
+                   'paragraph' AS type, base AS content,
+                   CASE WHEN regexp_matches(base, '^.{100,} [a-z]')
+                        THEN 2 ELSE 1 END AS n_merged
+            FROM b
+        """,
+        "image_extract": """
+            SELECT doc_id, k AS image_index,
+                   '/img/' || doc_id || '-' || k || '.jpg' AS src,
+                   'chart' AS alt
+            FROM documents, (SELECT unnest([1, 2]) AS k)
+        """,
+        "image_link": """
+            SELECT doc_id, k AS image_index,
+                   '/img/' || doc_id || '-' || k || '.jpg' AS src,
+                   'Caption ' || k || ' for document ' || doc_id AS caption
+            FROM documents, (SELECT unnest([1, 2]) AS k)
         """,
     }

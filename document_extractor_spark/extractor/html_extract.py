@@ -292,8 +292,24 @@ class _Flattener:
             elif tag in ("td", "th"):
                 if not self._grid:
                     self._grid.append([])
+                cs = rs = 1
+                if attrs_blob and "span" in attrs_blob:
+                    # colspan/rowspan for the E4/E5 grid normalization
+                    # (openai_content_extractor.py:355-444 semantics)
+                    for am in _ATTR_RE.finditer(attrs_blob):
+                        k = am.group(1).lower()
+                        if k in ("colspan", "rowspan"):
+                            v = (am.group(2) or "").strip("\"'")
+                            try:
+                                iv = int(v)
+                            except ValueError:
+                                iv = 1
+                            if k == "colspan":
+                                cs = max(1, iv)
+                            else:
+                                rs = max(1, iv)
                 self._cell = []
-                self._grid[-1].append(self._cell)
+                self._grid[-1].append((self._cell, cs, rs))
             self.stack.append(tag)
             return
         if tag in BLOCK_TAGS:
@@ -357,15 +373,7 @@ class _Flattener:
     # -- table finalize ---------------------------------------------------
     def _emit_table(self, end: int):
         html = self.raw[self._tstart:end] if self._tstart >= 0 else ""
-        grid = []
-        for row in self._grid:
-            cells = []
-            for cell in row:
-                parts = [c if c == "\n" else _WS_RE.sub(" ", c) for c in cell]
-                txt = _NL_TRIM_RE.sub("\n", "".join(parts)).strip()
-                cells.append(txt)
-            if any(cells):
-                grid.append(cells)
+        grid = _expand_grid(self._grid)
         text = "\n".join("\t".join(r) for r in grid)
         if not grid:
             return
@@ -450,6 +458,69 @@ def flatten(html: str) -> _Flattener:
     p = _Flattener(html)
     p.run()
     return p
+
+
+# ---------------------------------------------------------------------------
+# Table structure refinement (E4/E5 — openai_content_extractor.py:355-444)
+# ---------------------------------------------------------------------------
+
+
+def _expand_grid(rows) -> list:
+    """Normalize a parsed cell grid into a rectangle: honor colspan /
+    rowspan by replicating the spanning cell's text into every grid
+    position it covers, pad ragged rows with empty cells, drop all-empty
+    rows.
+
+    This is the deterministic replacement for the reference's 2nd-pass
+    GPT table refinement (``refine_table_structure``,
+    ``openai_content_extractor.py:355-425``: "re-verify rows/cols/merged
+    cells/empty cells") fused into the first parse — idempotent by
+    construction. ``rows`` items are ``(cell_text_chunks, colspan,
+    rowspan)`` tuples.
+    """
+    exp: list[list[str]] = []
+    occ: dict = {}          # (row, col) -> text carried down by rowspan
+    for r, row in enumerate(rows):
+        exp_row: list[str] = []
+        c = 0
+        for cell, cs, rs in row:
+            while (r, c) in occ:
+                exp_row.append(occ.pop((r, c)))
+                c += 1
+            parts = [x if x == "\n" else _WS_RE.sub(" ", x) for x in cell]
+            txt = _NL_TRIM_RE.sub("\n", "".join(parts)).strip()
+            for dc in range(cs):
+                exp_row.append(txt)
+                for dr in range(1, rs):
+                    occ[(r + dr, c + dc)] = txt
+            c += cs
+        while (r, c) in occ:
+            exp_row.append(occ.pop((r, c)))
+            c += 1
+        exp.append(exp_row)
+    occ.clear()
+    exp = [row for row in exp if any(row)]
+    width = max((len(r) for r in exp), default=0)
+    for row in exp:
+        row.extend([""] * (width - len(row)))    # E5: fill ragged rows
+    return exp
+
+
+def refine_table_html(table_html: str) -> str:
+    """E4 as a standalone idempotent string operator: re-parse a
+    ``<table>`` HTML fragment, normalize its structure (span expansion +
+    rectangularization via ``_expand_grid``), and re-emit canonical HTML.
+    ``refine(refine(x)) == refine(x)`` — tested invariant."""
+    fl = flatten(table_html)
+    for b in fl.blocks:
+        if b.tag == "table" and b.table_grid:
+            body = "".join(
+                "<tr>" + "".join(f"<td>{_html_escape(c)}</td>" for c in row)
+                + "</tr>"
+                for row in b.table_grid
+            )
+            return f"<table>{body}</table>"
+    return table_html
 
 
 # ---------------------------------------------------------------------------

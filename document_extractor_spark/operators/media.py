@@ -1,0 +1,79 @@
+"""S3 / I1 / I2 — embedded image extraction and image↔content linking.
+
+Reference behavior being re-expressed (EricBui619/document-extractor):
+- S3 ``extract_images_from_pdf`` walks pages and emits one record per
+  embedded image with index + bbox (``pdf_to_png_converter.py:126-196``).
+- I2 ``_link_images_to_content`` matches extracted images back to
+  content items by 1-based ``image_index`` with positional-order
+  fallback (``pdf_processor.py:510-555``) — the reference's only
+  join-shaped operator.
+
+Spark mapping (SURVEY.md §2.1 S3, §2.4 I2): for web payloads the
+embedded images are ``<img>``/``<figure>`` occurrences in the HTML —
+extracted entirely JVM-side with ``regexp_extract_all`` + ``posexplode``
+(a narrow generate: no shuffle, no Python), then linked to extracted
+caption items with an equi-join on ``(url, image_index)`` where the
+caption index is a ``row_number`` over item order (the positional
+fallback, expressed relationally). The caption side is tiny relative to
+raw pages, so the join shuffles only metadata rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_IMG_TAG = r"<img[^>]*>"
+_SRC = r"""src=['"]([^'"]+)['"]"""
+_ALT = r"""alt=['"]([^'"]+)['"]"""
+
+
+def explode_images(df: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """pages(url, html BINARY) → one row per embedded ``<img>``:
+    ``(url, image_index 1-based, src, alt)``. Pure Catalyst."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    tags = F.regexp_extract_all(html_str, F.lit(_IMG_TAG), F.lit(0))
+    return (
+        df.select(F.col(url_col), F.posexplode(tags).alias("pos", "tag"))
+        .select(
+            url_col,
+            (F.col("pos") + 1).alias("image_index"),
+            F.regexp_extract("tag", _SRC, 1).alias("src"),
+            F.regexp_extract("tag", _ALT, 1).alias("alt"),
+        )
+    )
+
+
+def caption_items(extracted: DataFrame, url_col: str = "url",
+                  items_col: str = "content_items") -> DataFrame:
+    """Extraction output (with_items=True) → caption rows with a 1-based
+    positional index (row_number over item order — the I2 fallback)."""
+    w = Window.partitionBy(url_col).orderBy("item_order")
+    return (
+        extracted.select(
+            F.col(url_col),
+            F.explode(
+                F.filter(items_col, lambda it: it["type"] == "caption")
+            ).alias("item"),
+        )
+        .select(url_col, F.col("item.order").alias("item_order"),
+                F.col("item.content").alias("caption"))
+        .withColumn("caption_index", F.row_number().over(w))
+    )
+
+
+def link_images_to_content(images: DataFrame, captions: DataFrame,
+                           url_col: str = "url") -> DataFrame:
+    """I2 — equi-join images to captions on ``(url, index)``; images
+    without a caption survive with NULL caption (left join, matching the
+    reference's tolerant linking)."""
+    return (
+        images.join(
+            captions.select(url_col, F.col("caption_index").alias("image_index"),
+                            "caption"),
+            on=[url_col, "image_index"],
+            how="left",
+        )
+        .select(url_col, "image_index", "src", "alt", "caption")
+    )

@@ -1,0 +1,116 @@
+"""M1-M3 — multi-page continuation merge (SURVEY.md §2.6).
+
+The reference's context-aware mode links content items across pages with
+``continuation_of`` ids assigned by the LLM and merges them: tables are
+row-spliced, paragraphs/lists concatenated with a space, ``pages[]``
+tracked per merged item (``openai_content_extractor_multipage.py:
+193-289`` in EricBui619/document-extractor). The deterministic
+replacement detects continuations structurally:
+
+- a page's FIRST item is a *paragraph/list continuation* of the previous
+  page's last merged item when both are prose and the new page starts
+  mid-sentence (leading lowercase letter);
+- it is a *table continuation* (M3) when both are tables with the same
+  column_count — rows are spliced into the parent ``<tbody>``.
+
+Spark mapping: the per-document sequential fold the reference runs in
+Python is ``groupBy(article).applyInPandas`` — one Arrow batch per
+document group, pages sorted inside the UDF, no per-row Python. The
+shuffle key is the article id (small: item rows, not raw payloads);
+Zipfian skew in pages-per-article is bounded by documents' page counts,
+not by host popularity.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MERGED_SCHEMA = T.StructType([
+    T.StructField("article_id", T.LongType(), False),
+    T.StructField("order", T.IntegerType(), False),
+    T.StructField("type", T.StringType(), False),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("html", T.StringType(), True),
+    T.StructField("row_count", T.IntegerType(), True),
+    T.StructField("column_count", T.IntegerType(), True),
+    T.StructField("pages", T.ArrayType(T.IntegerType()), True),
+    T.StructField("n_merged", T.IntegerType(), False),
+])
+
+_PROSE = {"paragraph", "list"}
+_TBODY_ROWS_RE = re.compile(r"<tr[\s\S]*?</tr\s*>", re.IGNORECASE)
+_TABLE_CLOSE_RE = re.compile(r"</table\s*>\s*$", re.IGNORECASE)
+
+
+def _splice_table_html(parent: str, cont: str) -> str:
+    """M3 — openai_content_extractor_multipage.py:257-289: pull the
+    continuation's rows, insert before the parent's ``</table>``."""
+    if not parent or not cont:
+        return parent or cont
+    rows = _TBODY_ROWS_RE.findall(cont)
+    if rows and _TABLE_CLOSE_RE.search(parent):
+        return _TABLE_CLOSE_RE.sub("".join(rows) + "</table>", parent)
+    return parent
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["page_num", "order"], kind="mergesort")
+    out: list[dict] = []
+    prev_page = None
+    for row in pdf.itertuples(index=False):
+        item = {
+            "article_id": int(row.article_id),
+            "type": row.type,
+            "content": row.content or "",
+            "html": getattr(row, "html", None),
+            "row_count": int(getattr(row, "row_count", 0) or 0),
+            "column_count": int(getattr(row, "column_count", 0) or 0),
+            "pages": [int(row.page_num)],
+            "n_merged": 1,
+        }
+        first_of_page = prev_page is not None and row.page_num != prev_page
+        prev_page = row.page_num
+        if first_of_page and out:
+            last = out[-1]
+            c = item["content"]
+            if (
+                item["type"] in _PROSE
+                and last["type"] in _PROSE
+                and c[:1].islower()
+            ):
+                # M2: prose continuation — concat with a space
+                last["content"] = last["content"] + " " + c
+                last["pages"].append(item["pages"][0])
+                last["n_merged"] += 1
+                continue
+            if (
+                item["type"] == "table"
+                and last["type"] == "table"
+                and item["column_count"] == last["column_count"]
+                and item["column_count"] > 0
+            ):
+                # M3: table continuation — splice rows
+                last["content"] = last["content"] + "\n" + c
+                last["html"] = _splice_table_html(last["html"], item["html"])
+                last["row_count"] += item["row_count"]
+                last["pages"].append(item["pages"][0])
+                last["n_merged"] += 1
+                continue
+        out.append(item)
+    for i, it in enumerate(out):
+        it["order"] = i
+    cols = [f.name for f in MERGED_SCHEMA.fields]
+    return pd.DataFrame(out, columns=cols)
+
+
+def merge_continuations(df: DataFrame,
+                        article_col: str = "article_id") -> DataFrame:
+    """Item rows ``(article_id, page_num, order, type, content[, html,
+    row_count, column_count])`` → merged items, one group per article."""
+    return df.groupBy(article_col).applyInPandas(
+        _merge_group, schema=MERGED_SCHEMA
+    )

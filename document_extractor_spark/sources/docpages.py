@@ -55,3 +55,38 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_id_from_url(col="url"):
     return F.element_at(F.split(col, "/"), -1).cast("bigint").alias("doc_id")
+
+
+# Figure-bearing variant for the S3/I2 media operators: two <figure>
+# blocks with deterministic src/captions derived from doc_id, so image
+# extraction and image↔caption linking both have closed-form oracles.
+_FIG_SUFFIX_TMPL = (
+    "<figure><img src='/img/{id}-{k}.jpg' alt='chart'>"
+    "<figcaption>Caption {k} for document {id}</figcaption></figure>"
+)
+
+
+def pages_with_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    figs = F.concat(
+        *[
+            F.concat(
+                F.lit("<figure><img src='/img/"), did, F.lit(f"-{k}.jpg' "
+                "alt='chart'><figcaption>Caption "), F.lit(str(k)),
+                F.lit(" for document "), did, F.lit("</figcaption></figure>"),
+            )
+            for k in (1, 2)
+        ]
+    )
+    html = F.concat(
+        F.lit(_PREFIX), did, F.lit(_MID), _escaped("text"), F.lit("</p>"),
+        figs, F.lit(_SUFFIX.replace("</p></main>", "</main>", 1)),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )

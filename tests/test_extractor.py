@@ -288,3 +288,47 @@ def test_corpus_mixed_payloads():
         rec = extract_payload(r["html"], url=r["url"])
         assert rec["parse_error"] is None
         assert rec["extracted_text"]
+
+
+# ---------------------------------------------------------------------------
+# Table structure refinement (E4/E5 — openai_content_extractor.py:355-444)
+# ---------------------------------------------------------------------------
+
+
+def test_table_span_expansion():
+    """colspan/rowspan cover their grid positions with the spanning cell's
+    text; ragged rows are padded; result is rectangular."""
+    from document_extractor_spark.extractor.html_extract import extract_html
+    html = (b"<main><p>Intro paragraph with enough words to satisfy the "
+            b"content classifier threshold comfortably today.</p>"
+            b"<table><tr><th rowspan='2'>A</th><th colspan='2'>BC</th></tr>"
+            b"<tr><td>B</td><td>C</td></tr>"
+            b"<tr><td>x</td><td>1</td></tr></table></main>")
+    res = extract_html(html)
+    tables = [it for it in res.items if it.type == "table"]
+    assert len(tables) == 1
+    t = tables[0]
+    assert t.row_count == 3 and t.column_count == 3
+    assert t.content.split("\n") == ["A\tBC\tBC", "A\tB\tC", "x\t1\t"]
+
+
+def test_table_ragged_rows_padded():
+    from document_extractor_spark.extractor.html_extract import extract_html
+    html = (b"<main><p>Intro paragraph with enough words to satisfy the "
+            b"content classifier threshold comfortably today.</p>"
+            b"<table><tr><td>a</td><td>b</td><td>c</td></tr>"
+            b"<tr><td>d</td></tr></table></main>")
+    res = extract_html(html)
+    t = [it for it in res.items if it.type == "table"][0]
+    assert t.content.split("\n") == ["a\tb\tc", "d\t\t"]
+    assert t.row_count == 2 and t.column_count == 3
+
+
+def test_refine_table_html_idempotent():
+    from document_extractor_spark.extractor.html_extract import refine_table_html
+    src = ("<table><tr><th rowspan='2'>A</th><th colspan='2'>BC</th></tr>"
+           "<tr><td>B</td><td>C</td></tr></table>")
+    once = refine_table_html(src)
+    assert refine_table_html(once) == once
+    assert once.count("<tr>") == 2
+    assert once.count("<td>") == 6

@@ -1,0 +1,173 @@
+"""Unit tests for the structural operator families added per SURVEY.md:
+KV pivot (R5-R8), JSON repair (S7), multi-page continuation merge
+(M1-M3, incl. the table-splice path), media explode + link (S3/I2)."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from document_extractor_spark.operators.kvpivot import kv_long, kv_records_to_table
+from document_extractor_spark.operators.media import (
+    caption_items,
+    explode_images,
+    link_images_to_content,
+)
+from document_extractor_spark.operators.multipage import merge_continuations
+from document_extractor_spark.sources.jsonrepair import parse_json_relaxed
+
+
+# ---------------------------------------------------------------------------
+# KV pivot
+# ---------------------------------------------------------------------------
+
+
+def test_kv_long_first_separator_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "Url: https://x/a\nRatio - 3:2")], ["doc_id", "text"]
+    )
+    rows = {r.key: r.value for r in kv_long(df).collect()}
+    # ':' at offset 3 beats ' - '; ' - ' wins on the second line
+    assert rows["Url"] == "https://x/a"
+    assert rows["Ratio"] == "3:2"
+
+
+def test_kv_pivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(7, "Name: A\nAge: 30\n\nName: B\nAge: 31")], ["doc_id", "text"]
+    )
+    out = {
+        (r.doc_id, r.record_id): (r.Name, r.Age)
+        for r in kv_records_to_table(df, keys=["Name", "Age"]).collect()
+    }
+    assert out == {(7, 0): ("A", "30"), (7, 1): ("B", "31")}
+
+
+# ---------------------------------------------------------------------------
+# JSON repair
+# ---------------------------------------------------------------------------
+
+
+def test_json_repair_paths(spark):
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.StringType())
+    ])
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x"}'),                      # clean
+            (2, '```json\n{"a": 2, "b": "y",}\n```'),       # fenced+comma
+            (3, '{"a": 3, "b": "z\x01z"}'),                  # control char
+            (4, "not json at all"),                          # unrepairable
+        ],
+        ["id", "raw"],
+    )
+    out = {r.id: r for r in parse_json_relaxed(df, schema).collect()}
+    assert out[1].parse_ok and not out[1].was_repaired
+    assert out[2].parse_ok and out[2].was_repaired
+    assert out[2].parsed.a == 2 and out[2].parsed.b == "y"
+    assert out[3].parse_ok and out[3].was_repaired
+    assert out[3].parsed.b == "zz"
+    assert not out[4].parse_ok and not out[4].was_repaired
+    assert out[4].parsed is None
+
+
+# ---------------------------------------------------------------------------
+# Multi-page continuation merge
+# ---------------------------------------------------------------------------
+
+_ITEM_COLS = T.StructType([
+    T.StructField("article_id", T.LongType()),
+    T.StructField("page_num", T.IntegerType()),
+    T.StructField("order", T.IntegerType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("content", T.StringType()),
+    T.StructField("html", T.StringType()),
+    T.StructField("row_count", T.IntegerType()),
+    T.StructField("column_count", T.IntegerType()),
+])
+
+
+def test_multipage_prose_merge(spark):
+    rows = [
+        (1, 1, 0, "header", "Title", None, 0, 0),
+        (1, 1, 1, "paragraph", "The sentence starts here and", None, 0, 0),
+        (1, 2, 0, "paragraph", "continues on the next page.", None, 0, 0),
+        (1, 2, 1, "paragraph", "A fresh paragraph.", None, 0, 0),
+    ]
+    out = merge_continuations(spark.createDataFrame(rows, _ITEM_COLS)) \
+        .orderBy("order").collect()
+    assert [r.type for r in out] == ["header", "paragraph", "paragraph"]
+    assert out[1].content == \
+        "The sentence starts here and continues on the next page."
+    assert out[1].pages == [1, 2] and out[1].n_merged == 2
+    assert out[2].n_merged == 1
+
+
+def test_multipage_table_splice(spark):
+    t1 = "<table><tr><td>a</td><td>1</td></tr></table>"
+    t2 = "<table><tr><td>b</td><td>2</td></tr></table>"
+    rows = [
+        (5, 1, 0, "table", "a\t1", t1, 1, 2),
+        (5, 2, 0, "table", "b\t2", t2, 1, 2),
+    ]
+    out = merge_continuations(spark.createDataFrame(rows, _ITEM_COLS)).collect()
+    assert len(out) == 1
+    m = out[0]
+    assert m.row_count == 2 and m.content == "a\t1\nb\t2"
+    assert m.html == ("<table><tr><td>a</td><td>1</td></tr>"
+                      "<tr><td>b</td><td>2</td></tr></table>")
+    assert m.pages == [1, 2]
+
+
+def test_multipage_no_merge_on_capital_start(spark):
+    rows = [
+        (9, 1, 0, "paragraph", "First page paragraph.", None, 0, 0),
+        (9, 2, 0, "paragraph", "Capitalized fresh start.", None, 0, 0),
+    ]
+    out = merge_continuations(spark.createDataFrame(rows, _ITEM_COLS)).collect()
+    assert len(out) == 2
+
+
+def test_multipage_column_count_mismatch_no_splice(spark):
+    rows = [
+        (5, 1, 0, "table", "a\t1", "<table></table>", 1, 2),
+        (5, 2, 0, "table", "b\t2\t3", "<table></table>", 1, 3),
+    ]
+    out = merge_continuations(spark.createDataFrame(rows, _ITEM_COLS)).collect()
+    assert len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# Media explode + link
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fig_pages(spark):
+    html = (
+        "<html><body><main><p>Long enough paragraph keeps the classifier "
+        "entirely happy about this page being real content today.</p>"
+        "<figure><img src='/img/1.jpg' alt='one'>"
+        "<figcaption>First caption</figcaption></figure>"
+        "<figure><img src='/img/2.jpg' alt='two'>"
+        "<figcaption>Second caption</figcaption></figure>"
+        "</main></body></html>"
+    ).encode()
+    return spark.createDataFrame([("https://x/a", html)], ["url", "html"])
+
+
+def test_explode_images(spark, fig_pages):
+    out = explode_images(fig_pages).orderBy("image_index").collect()
+    assert [(r.image_index, r.src, r.alt) for r in out] == [
+        (1, "/img/1.jpg", "one"), (2, "/img/2.jpg", "two")
+    ]
+
+
+def test_image_caption_link(spark, fig_pages):
+    from document_extractor_spark.operators.extract import extract_pages
+
+    caps = caption_items(extract_pages(fig_pages, with_items=True))
+    out = link_images_to_content(explode_images(fig_pages), caps) \
+        .orderBy("image_index").collect()
+    assert [(r.image_index, r.caption) for r in out] == [
+        (1, "First caption"), (2, "Second caption")
+    ]
