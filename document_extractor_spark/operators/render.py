@@ -143,3 +143,28 @@ def legacy_projection(df: DataFrame, items_col: str = "content_items",
             lambda i: i["type"].isin("paragraph", "header", "list", "caption"),
         ).alias("text_blocks"),
     )
+
+
+def concat_pages(df: DataFrame, group_col: str, order_col: str = "page_num",
+                 html_col: str = "html") -> DataFrame:
+    """H6 — multi-page concat (html_generator.py:792-832, 888-923): per
+    group, page bodies joined in page order inside one document shell with
+    page-break markers. ``sort_array(collect_list(struct(order, html)))``
+    keeps the whole aggregation JVM-side."""
+    pages = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                F.col(html_col).alias("h")))
+    )
+    body = F.concat_ws(
+        '\n<div class="page-break"></div>\n',
+        F.transform(pages, lambda p: p["h"]),
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(body.alias("body"))
+        .select(
+            group_col,
+            F.concat(F.lit("<html><body>\n"), F.col("body"),
+                     F.lit("\n</body></html>")).alias("html"),
+        )
+    )

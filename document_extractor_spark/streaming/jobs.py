@@ -76,6 +76,57 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_host_stats(extracted_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-host
+    running crawl-health counters (docs, parse failures, bytes in) that
+    survive across micro-batches — the A4 run counters (SURVEY.md §2.7)
+    as continuous state. Each trigger emits the updated totals for hosts
+    seen in that batch (update mode).
+
+    State is one small tuple per host — bounded by the host cardinality,
+    not the stream length; at crawl scale pair with a host-hash bucket
+    key to cap group count.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("docs", T.LongType()),
+        T.StructField("parse_failures", T.LongType()),
+        T.StructField("bytes_in", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("docs", T.LongType()),
+        T.StructField("parse_failures", T.LongType()),
+        T.StructField("bytes_in", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        docs, fails, bts = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            fails += int(pdf["parse_error"].notna().sum())
+            bts += int(pdf["n_bytes_in"].fillna(0).sum())
+        state.update((docs, fails, bts))
+        yield pd.DataFrame(
+            [{"host": key[0], "docs": docs, "parse_failures": fails,
+              "bytes_in": bts}]
+        )
+
+    with_host = extracted_stream.withColumn(
+        "host", F.parse_url("url", F.lit("HOST"))
+    )
+    return with_host.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          output_mode: str = "append") -> None:
     """Drive a streaming query to completion over the currently-available

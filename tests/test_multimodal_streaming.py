@@ -132,3 +132,42 @@ def test_stream_sessionize(spark, events_dir):
     run_stream_to_memory(sess, "stream_sess_out", output_mode="append")
     n = spark.sql("SELECT count(*) AS n FROM stream_sess_out").head()["n"]
     assert n > 0
+
+
+def test_stream_host_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-host counters across micro-batches:
+    final emitted totals per host must equal the batch ground truth."""
+    from document_extractor_spark.sources.generator import write_corpus_parquet
+    from document_extractor_spark.streaming.jobs import stream_host_stats
+    from document_extractor_spark.operators.extract import extract_pages
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "hs_src")
+    write_corpus_parquet(src, 80, seed=9, rows_per_file=16)
+    stream = stream_pages(spark, src + "/warc_day=*", max_files_per_trigger=2)
+    out = stream_host_stats(stream_extract(stream))
+    run_stream_to_memory(out, "host_stats_out", output_mode="update")
+    # memory sink in update mode appends every emission; last row per host
+    # is the running total at its final update
+    got = {
+        r["host"]: (r["docs"], r["parse_failures"], r["bytes_in"])
+        for r in spark.sql(
+            "SELECT host, docs, parse_failures, bytes_in FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY host ORDER BY docs DESC) rn"
+            " FROM host_stats_out) WHERE rn = 1").collect()
+    }
+    batch = spark.read.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(src + "/warc_day=*")
+    truth = {
+        r["host"]: (r["docs"], r["fails"], r["bytes_in"])
+        for r in extract_pages(batch)
+        .withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum(F.when(F.col("parse_error").isNotNull(), 1).otherwise(0))
+             .cast("long").alias("fails"),
+             F.sum("n_bytes_in").alias("bytes_in"))
+        .collect()
+    }
+    assert got == truth
