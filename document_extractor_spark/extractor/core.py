@@ -22,6 +22,24 @@ from .pdf_extract import extract_pdf, is_pdf
 # Span types emitted for PDF items map onto the same enum as HTML items.
 _PDF_TYPE_MAP = {"header": "header", "paragraph": "paragraph"}
 
+# Bytes that essentially never occur in text of any encoding: NUL..BS,
+# SO..US minus the \t\n\r\f\v whitespace family. >10% of the head being
+# these = binary payload (images, archives, random bytes).
+_BIN_BYTES = bytes(b for b in range(0x20)
+                   if b not in (0x09, 0x0A, 0x0B, 0x0C, 0x0D))
+_BIN_TABLE = bytes.maketrans(b"", b"")
+
+
+def _looks_binary(payload: bytes, probe: int = 1024,
+                  threshold: float = 0.10) -> bool:
+    if payload[:5] == b"%PDF-":
+        return False
+    head = bytes(payload[:probe])
+    if not head:
+        return False
+    n_bin = len(head) - len(head.translate(_BIN_TABLE, _BIN_BYTES))
+    return n_bin / len(head) > threshold
+
 
 def extract_payload(payload: Optional[bytes], url: str = "",
                     lang_hint: Optional[str] = None,
@@ -33,6 +51,12 @@ def extract_payload(payload: Optional[bytes], url: str = "",
     n_in = len(payload) if payload is not None else 0
     if payload is None or len(payload) == 0:
         return _record(url, "", [], lang_hint or "und", "EmptyPayload", 0,
+                       n_in, [] if include_items else None)
+    if _looks_binary(payload):
+        # non-text payload that is not a recognized format: surface as a
+        # parse failure rather than emitting mojibake "text" — keeps the
+        # A4 run counters honest about corrupt inputs
+        return _record(url, "", [], lang_hint or "und", "BinaryPayload", 0,
                        n_in, [] if include_items else None)
     if is_pdf(payload):
         pr = extract_pdf(payload)

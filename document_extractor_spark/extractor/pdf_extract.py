@@ -80,6 +80,50 @@ def _object_stream(body: bytes) -> Optional[bytes]:
     return raw
 
 
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_INFO_KEY_RE = re.compile(rb"/(\w+)\s*\(((?:\\.|[^\\)])*)\)")
+_S1_FIELDS = ("Title", "Author", "Subject", "Creator", "Producer",
+              "CreationDate", "ModDate")
+
+
+def pdf_metadata(pdf_bytes: bytes) -> dict:
+    """S1 — ``get_pdf_metadata`` (pdf_to_png_converter.py:198-236):
+    document ``/Info`` dict + page count + first-page dims, as a plain
+    dict with the reference's key names. Never raises."""
+    out = {
+        "title": None, "author": None, "subject": None, "creator": None,
+        "producer": None, "creation_date": None, "modification_date": None,
+        "total_pages": 0, "is_pdf": is_pdf(pdf_bytes),
+        "page_width": None, "page_height": None,
+    }
+    keymap = {
+        "Title": "title", "Author": "author", "Subject": "subject",
+        "Creator": "creator", "Producer": "producer",
+        "CreationDate": "creation_date", "ModDate": "modification_date",
+    }
+    try:
+        objs = _parse_objects(pdf_bytes)
+        pages = _page_order(objs)
+        out["total_pages"] = len(pages)
+        if pages:
+            m = _MEDIABOX_RE.search(objs[pages[0]])
+            if m:
+                out["page_width"] = float(m.group(3)) - float(m.group(1))
+                out["page_height"] = float(m.group(4)) - float(m.group(2))
+        mi = _INFO_REF_RE.search(pdf_bytes)
+        if mi and int(mi.group(1)) in objs:
+            body = objs[int(mi.group(1))]
+            for km in _INFO_KEY_RE.finditer(body):
+                key = km.group(1).decode("ascii", "replace")
+                if key in keymap:
+                    val = km.group(2).replace(b"\\(", b"(") \
+                        .replace(b"\\)", b")").replace(b"\\\\", b"\\")
+                    out[keymap[key]] = val.decode("latin-1")
+    except Exception:  # noqa: BLE001 — metadata probe never fails a row
+        pass
+    return out
+
+
 def _page_order(objs: dict[int, bytes]) -> list[int]:
     """Walk Catalog → Pages tree in /Kids order; fall back to document order
     of /Type /Page objects when the tree is broken."""

@@ -77,3 +77,46 @@ def link_images_to_content(images: DataFrame, captions: DataFrame,
         )
         .select(url_col, "image_index", "src", "alt", "caption")
     )
+
+
+def pdf_metadata_probe(df: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """S1 — per-row PDF metadata over the binary column (mapInPandas;
+    non-PDF payloads yield is_pdf=false with null fields)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..extractor.pdf_extract import is_pdf, pdf_metadata
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("is_pdf", T.BooleanType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("producer", T.StringType()),
+        T.StructField("total_pages", T.IntegerType()),
+        T.StructField("page_width", T.DoubleType()),
+        T.StructField("page_height", T.DoubleType()),
+    ])
+
+    def probe(it):
+        for pdf in it:
+            recs = []
+            for u, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is not None and is_pdf(bytes(payload)):
+                    m = pdf_metadata(bytes(payload))
+                    recs.append({
+                        "url": u, "is_pdf": True, "title": m["title"],
+                        "author": m["author"], "producer": m["producer"],
+                        "total_pages": m["total_pages"],
+                        "page_width": m["page_width"],
+                        "page_height": m["page_height"],
+                    })
+                else:
+                    recs.append({"url": u, "is_pdf": False, "title": None,
+                                 "author": None, "producer": None,
+                                 "total_pages": None, "page_width": None,
+                                 "page_height": None})
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return df.select(url_col, html_col).mapInPandas(probe, schema)

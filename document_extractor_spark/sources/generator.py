@@ -35,10 +35,12 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_pdf(pages: list[list[tuple]], compress: bool = False) -> bytes:
+def build_pdf(pages: list[list[tuple]], compress: bool = False,
+              info: dict | None = None) -> bytes:
     """pages: list of page specs; each page is a list of text ops
     ``(x, y, size, lines)`` — one positioned block whose lines advance by
-    ``T*`` with leading = 1.2 × size."""
+    ``T*`` with leading = 1.2 × size. ``info`` adds a ``/Info`` dict
+    (Title/Author/… — S1 metadata, pdf_to_png_converter.py:198-236)."""
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -89,6 +91,16 @@ def build_pdf(pages: list[list[tuple]], compress: bool = False) -> bytes:
     )
     objs[cat - 1] = b"<< /Type /Catalog /Pages 2 0 R >>"
 
+    info_ref = b""
+    if info:
+        entries = b" ".join(
+            b"/" + k.encode() + b" (" + _pdf_escape(str(v)).encode("latin-1")
+            + b")"
+            for k, v in info.items()
+        )
+        iid = add(b"<< " + entries + b" >>")
+        info_ref = b" /Info " + str(iid).encode() + b" 0 R"
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -101,7 +113,8 @@ def build_pdf(pages: list[list[tuple]], compress: bool = False) -> bytes:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
         b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+        + b" /Root 1 0 R" + info_ref
+        + b" >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
 

@@ -332,3 +332,42 @@ def test_refine_table_html_idempotent():
     assert refine_table_html(once) == once
     assert once.count("<tr>") == 2
     assert once.count("<td>") == 6
+
+
+# ---------------------------------------------------------------------------
+# S1 PDF metadata + binary-payload guard
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_metadata_info_dict():
+    from document_extractor_spark.extractor.pdf_extract import pdf_metadata
+    from document_extractor_spark.sources.generator import build_pdf
+
+    pdf = build_pdf([[(72, 720, 12, ["Line one"])], [(72, 720, 12, ["p2"])]],
+                    compress=True,
+                    info={"Title": "A (nested) title", "Author": "Jane",
+                          "Producer": "gen", "CreationDate": "D:20260301"})
+    m = pdf_metadata(pdf)
+    assert m["title"] == "A (nested) title"
+    assert m["author"] == "Jane"
+    assert m["creation_date"] == "D:20260301"
+    assert m["total_pages"] == 2
+    assert m["page_width"] == 612.0 and m["page_height"] == 792.0
+
+
+def test_pdf_metadata_never_raises():
+    from document_extractor_spark.extractor.pdf_extract import pdf_metadata
+
+    assert pdf_metadata(b"%PDF-1.4 truncated")["total_pages"] == 0
+    assert pdf_metadata(b"not a pdf")["is_pdf"] is False
+
+
+def test_binary_payload_guard():
+    rec = extract_payload(bytes(range(256)) * 8, url="u")
+    assert rec["parse_error"] == "BinaryPayload"
+    assert rec["extracted_text"] == ""
+    # real text with a couple of stray control bytes is NOT flagged
+    ok = extract_payload(b"<p>normal\x01 text with plenty of words to "
+                         b"score as content in the classifier</p>" * 3,
+                         url="u")
+    assert ok["parse_error"] is None

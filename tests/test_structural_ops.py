@@ -171,3 +171,38 @@ def test_image_caption_link(spark, fig_pages):
     assert [(r.image_index, r.caption) for r in out] == [
         (1, "First caption"), (2, "Second caption")
     ]
+
+
+# ---------------------------------------------------------------------------
+# Plan quality: scan pruning + S1 probe
+# ---------------------------------------------------------------------------
+
+
+def test_extract_scan_prunes_columns(spark, tmp_path):
+    """The extraction plan must push column pruning to the parquet scan:
+    ReadSchema carries only url/html/lang, never text or warc_ts."""
+    from document_extractor_spark.operators.extract import extract_pages
+    from document_extractor_spark.plans import scan_read_schema
+    from document_extractor_spark.sources.generator import write_corpus_parquet
+    from document_extractor_spark.sources.pages import read_pages
+
+    src = str(tmp_path / "prune_src")
+    write_corpus_parquet(src, 30, seed=21, rows_per_file=16)
+    rs = scan_read_schema(extract_pages(read_pages(spark, src)))
+    assert "url" in rs and "html" in rs
+    assert "text" not in rs and "warc_ts" not in rs
+
+
+def test_pdf_metadata_probe_spark(spark, tmp_path):
+    from document_extractor_spark.operators.media import pdf_metadata_probe
+    from document_extractor_spark.sources.generator import write_corpus_parquet
+    from document_extractor_spark.sources.pages import read_pages
+
+    src = str(tmp_path / "meta_src")
+    write_corpus_parquet(src, 120, seed=4, rows_per_file=32)
+    out = pdf_metadata_probe(read_pages(spark, src)).collect()
+    pdfs = [r for r in out if r.is_pdf]
+    assert len(out) == 120 and 0 < len(pdfs) < 30
+    for r in pdfs:
+        assert r.total_pages >= 1
+        assert r.page_width == 612.0
