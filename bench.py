@@ -204,7 +204,8 @@ def _run_headline(spark) -> dict:
         "fingerprints", "exact_dup_groups", "ngram_jaccard",
         "minhash_near_dups", "simhash", "knn_bruteforce", "ann_topk",
         "report_agg", "join_revenue", "window_topk_events", "sessionize",
-        "event_pivot",
+        "event_pivot", "kv_pivot", "json_repair", "multipage_merge",
+        "image_extract", "image_link",
     ]
     times = {}
     for name in headline:

@@ -57,24 +57,38 @@ def _splice_table_html(parent: str, cont: str) -> str:
     return parent
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["page_num", "order"], kind="mergesort")
+def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch = one BUCKET of articles (not one article): the
+    per-group overhead of applyInPandas is ~0.5 ms and per-article pandas
+    frames cost ~1.5 ms each, so grouping directly by article_id at
+    corpus scale (millions of 1-2 page articles) drowns in bookkeeping —
+    measured 20× slower at bench scale. Instead: ONE sort of the whole
+    bucket by (article, page, order), one linear pass with article-
+    boundary detection, one output frame."""
+    pdf = pdf.sort_values(["article_id", "page_num", "order"],
+                          kind="mergesort")
     out: list[dict] = []
+    cur_article = object()
+    article_start = 0
     prev_page = None
     for row in pdf.itertuples(index=False):
+        if row.article_id != cur_article:
+            cur_article = row.article_id
+            article_start = len(out)
+            prev_page = None
         item = {
             "article_id": int(row.article_id),
             "type": row.type,
             "content": row.content or "",
-            "html": getattr(row, "html", None),
-            "row_count": int(getattr(row, "row_count", 0) or 0),
-            "column_count": int(getattr(row, "column_count", 0) or 0),
+            "html": row.html,
+            "row_count": int(row.row_count or 0),
+            "column_count": int(row.column_count or 0),
             "pages": [int(row.page_num)],
             "n_merged": 1,
         }
         first_of_page = prev_page is not None and row.page_num != prev_page
         prev_page = row.page_num
-        if first_of_page and out:
+        if first_of_page and len(out) > article_start:
             last = out[-1]
             c = item["content"]
             if (
@@ -100,17 +114,34 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 last["pages"].append(item["pages"][0])
                 last["n_merged"] += 1
                 continue
+        item["order"] = len(out) - article_start
         out.append(item)
-    for i, it in enumerate(out):
-        it["order"] = i
+    # orders shift when later items merge away — renumber per article
+    order = 0
+    prev_aid = object()
+    for it in out:
+        if it["article_id"] != prev_aid:
+            prev_aid = it["article_id"]
+            order = 0
+        it["order"] = order
+        order += 1
     cols = [f.name for f in MERGED_SCHEMA.fields]
     return pd.DataFrame(out, columns=cols)
 
 
-def merge_continuations(df: DataFrame,
-                        article_col: str = "article_id") -> DataFrame:
+def merge_continuations(df: DataFrame, article_col: str = "article_id",
+                        buckets: int = 256) -> DataFrame:
     """Item rows ``(article_id, page_num, order, type, content[, html,
-    row_count, column_count])`` → merged items, one group per article."""
-    return df.groupBy(article_col).applyInPandas(
-        _merge_group, schema=MERGED_SCHEMA
+    row_count, column_count])`` → merged items.
+
+    Shuffles on ``pmod(xxhash64(article_id), buckets)`` — co-locating
+    each article's pages while keeping the group count fixed at
+    ``buckets`` regardless of corpus size (tune ≳ 4× cores)."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumnRenamed(article_col, "article_id").withColumn(
+        "_bucket", F.pmod(F.xxhash64("article_id"), F.lit(buckets))
+    )
+    return keyed.groupBy("_bucket").applyInPandas(
+        lambda pdf: _merge_bucket(pdf), schema=MERGED_SCHEMA
     )
