@@ -194,6 +194,23 @@ class _Flattener:
     def _flush(self):
         if not self._frags:
             return
+        if len(self._frags) == 1:
+            # fast path: the overwhelmingly common single-fragment block
+            kind, txt, in_link = self._frags[0]
+            self._frags = []
+            if kind == "br":
+                return
+            if kind == "pre":
+                text = txt.strip("\n")
+            elif txt.isspace():
+                return
+            else:
+                text = _WS_RE.sub(" ", txt).strip()
+            if not text:
+                return
+            w = len(text.split())
+            self._emit_block(text, w, w if in_link else 0)
+            return
         parts = []
         words = 0
         link_words = 0
@@ -229,6 +246,9 @@ class _Flattener:
             text = text.strip()
         if not text:
             return
+        self._emit_block(text, words, link_words)
+
+    def _emit_block(self, text: str, words: int, link_words: int):
         tag = "body"
         for t in reversed(self.stack):
             if t in BLOCK_TAGS:
@@ -403,9 +423,13 @@ class _Flattener:
         while pos < n:
             lt = find("<", pos)
             if lt < 0:
-                emit(html[pos:])
+                if not self._skip:
+                    emit(html[pos:])
                 break
-            if lt > pos:
+            if lt > pos and not self._skip:
+                # (skip-region text — head/script/style — is dropped by
+                # handle_data anyway; not slicing it here saves the
+                # allocation + entity decode for that dead content)
                 seg = html[pos:lt]
                 emit(unescape(seg) if "&" in seg else seg)
             nxt = html[lt + 1: lt + 2]

@@ -1,0 +1,65 @@
+"""t3 property tests (hypothesis): the extractor is total, pure, and
+span-consistent on ARBITRARY byte inputs — not just the curated fixtures.
+These are the invariants that keep a 10^12-doc run from ever failing a
+task on hostile input."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from document_extractor_spark.extractor.core import extract_payload
+from document_extractor_spark.extractor.html_extract import (
+    extract_html,
+    refine_table_html,
+)
+
+# Mix of raw bytes, ASCII-ish text, and tag-soup fragments.
+_tagsoup = st.text(
+    alphabet=st.sampled_from(list("<>/abcdiv ptable&#;\"'=\n-!")),
+    max_size=400,
+)
+_payloads = st.one_of(
+    st.binary(max_size=400),
+    _tagsoup.map(lambda s: s.encode("utf-8")),
+    st.text(max_size=200).map(lambda s: f"<html><body><p>{s}</p></body></html>".encode()),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_payloads)
+def test_extract_payload_total(payload):
+    """Never raises; always returns the full record shape; error XOR text."""
+    rec = extract_payload(payload, url="https://prop.test/x")
+    assert set(rec) >= {"url", "extracted_text", "spans", "lang",
+                        "parse_error", "n_blocks", "n_bytes_in"}
+    assert rec["n_bytes_in"] == len(payload)
+    if rec["parse_error"] is not None:
+        assert rec["extracted_text"] == ""
+
+
+@settings(max_examples=300, deadline=None)
+@given(_payloads)
+def test_extract_payload_deterministic(payload):
+    assert extract_payload(payload, url="u") == extract_payload(payload, url="u")
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tagsoup)
+def test_spans_tile_text(soup):
+    """For any tag soup: spans reconstruct extracted_text exactly."""
+    res = extract_html(f"<html><body><main>{soup}</main></body></html>".encode())
+    assert res.error is None
+    parts = [res.text[s:e] for s, e, _t in res.spans]
+    assert "\n\n".join(parts) == res.text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(st.text(
+    alphabet=st.characters(blacklist_characters="<>&", blacklist_categories=("Cs",)),
+    max_size=12), min_size=1, max_size=5), min_size=1, max_size=5))
+def test_refine_table_idempotent_any_grid(rows):
+    html = "<table>" + "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+        for row in rows
+    ) + "</table>"
+    once = refine_table_html(html)
+    assert refine_table_html(once) == once
