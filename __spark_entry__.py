@@ -198,6 +198,27 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
 
 
+def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape (§2.9 set ops): survivors after exact dedup."""
+    from document_extractor_spark.operators.dedup import drop_exact_duplicates
+
+    return drop_exact_duplicates(_augmented_exact(spark, sf_dir)) \
+        .select("doc_id")
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape (§2.9: left_anti mismatch detection): customers
+    who never placed a high-value order (threshold keeps the result
+    non-empty at every sf — every synthetic customer has some order)."""
+    c = _tpch(spark, sf_dir, "customer")
+    o = _tpch(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity family
 # ---------------------------------------------------------------------------
@@ -457,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_events": q_window_topk_events,
         "sessionize": q_sessionize,
         "event_pivot": q_event_pivot,
+        "dedup_kept": q_dedup_kept,
+        "customers_without_orders": q_customers_without_orders,
         "kv_pivot": q_kv_pivot,
         "json_repair": q_json_repair,
         "multipage_merge": q_multipage_merge,
@@ -624,6 +647,18 @@ def oracle_sql() -> dict[str, str]:
               round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS v_signup,
               round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS v_view
             FROM events GROUP BY 1
+        """,
+        "dedup_kept": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+            SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5({_NORM})
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         "kv_pivot": """
             SELECT doc_id, 0 AS record_id,

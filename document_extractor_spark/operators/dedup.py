@@ -104,10 +104,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       k: int = 32) -> DataFrame:
+                       k: int = 32, _pre_shingled: bool = False) -> DataFrame:
     """k-permutation MinHash over n-gram shingles, entirely JVM-side:
     sig[i] = min over shingles of xxhash64(i, shingle)."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh = (df.select(F.col(id_col), F.col("sh")) if _pre_shingled
+          else df.select(F.col(id_col), shingles(text_col, n).alias("sh")))
     sig = F.array(*[
         F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s)))
         for i in range(k)
@@ -117,11 +118,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
-                           k: int = 32, bands: int = 8) -> DataFrame:
+                           k: int = 32, bands: int = 8,
+                           _pre_shingled: bool = False) -> DataFrame:
     """LSH banding: split the k-sig into ``bands`` rows of r = k/bands,
-    hash each band, bucket-join. Returns distinct candidate (id_a, id_b)."""
+    hash each band, bucket-join. Returns distinct candidate (id_a, id_b).
+    ``_pre_shingled``: df already carries the ``sh`` shingle column."""
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    sigs = minhash_signatures(df, id_col, text_col, n, k,
+                              _pre_shingled=_pre_shingled)
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -151,9 +155,15 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             k: int = 32, bands: int = 8,
                             threshold: float = 0.8) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard — the scalable
-    near-dup pipeline (candidate set ≪ all-pairs)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    near-dup pipeline (candidate set ≪ all-pairs). The shingle set is
+    computed once and persisted: it feeds both the signature pass and
+    the verification joins (at corpus scale shingling is the dominant
+    map cost — recomputing it would double the query)."""
     sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh.persist()
+    cands = minhash_lsh_candidates(sh.select(id_col, "sh"), id_col,
+                                   text_col, n, k, bands,
+                                   _pre_shingled=True)
     a = sh.alias("sa")
     b = sh.alias("sb")
     joined = (
