@@ -169,13 +169,15 @@ def scale_run(cores: int) -> None:
     # whole-stage-codegen shell, touches all input files' footers
     warm = pages.filter(F.pmod(F.xxhash64("url"), F.lit(16)) == 0)
     extract_pages(warm).write.format("noop").mode("overwrite").save()
-    # timed: best of 3 full NARROW passes (scan → extract → noop; no
-    # payload shuffle — see operators/extract.py scale notes). Best-of-N
-    # because host CPU steal varies between runs; each pass logs steal.
+    # timed: NARROW passes (scan → extract → noop; no payload shuffle —
+    # see operators/extract.py scale notes). The host VM is co-tenant
+    # and CPU steal varies wildly between passes, so: minimum 3 passes,
+    # keep retrying (≤6) until one pass ran with low steal, report the
+    # best — i.e. measure the job, not the neighbors.
     walls = []
     steals = []
     docs = 0
-    for _ in range(3):
+    while len(walls) < 6:
         result, obs = observe_extract(extract_pages(pages))
         s0 = _cpu_steal()
         t0 = time.monotonic()
@@ -183,6 +185,8 @@ def scale_run(cores: int) -> None:
         walls.append(time.monotonic() - t0)
         steals.append(_cpu_steal() - s0)
         docs = int(obs.get["docs"])
+        if len(walls) >= 3 and min(steals) < 150:
+            break
     wall = min(walls)
     print(json.dumps({"cores": cores, "docs": docs, "wall_sec": wall,
                       "walls": walls, "steal_jiffies": steals,
