@@ -2,11 +2,16 @@
 
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2), cross-checked against DuckDB at sf0.01.
+family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
+27 queries, 22 with exact SQL oracles.
 
 Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
-MinHash-LSH / SimHash signatures (xxhash64 has no DuckDB twin), ANN
-(approximate by construction), language ID (stopword tables).
+MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
+hashing has no DuckDB twin), ANN (approximate by construction),
+language ID (stopword/script tables). Their correctness is pytest-gated
+instead: MinHash candidate recall vs exact Jaccard ground truth, SimHash
+Hamming properties, ANN recall vs brute force
+(tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations
