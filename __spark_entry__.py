@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-27 queries, 22 with exact SQL oracles.
+28 queries, 23 with exact SQL oracles.
 
 Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
 MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
@@ -342,6 +342,20 @@ def q_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.select(doc_id_from_url("url"), "image_index", "src", "alt")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9: per-doc structural stats over the extracted item array —
+    figure pages give a closed-form item census (1 header, 1 paragraph,
+    2 captions)."""
+    from document_extractor_spark.operators.render import readability_stats
+
+    pages = pages_with_figures(spark, sf_dir)
+    out = readability_stats(extract_pages(pages, with_items=True))
+    return out.select(
+        doc_id_from_url("url"), "n_items", "n_tables", "n_paragraphs",
+        "n_headers", "n_table_cells", "issue_long_paragraph",
+    )
+
+
 def q_image_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2: the reference's only join-shaped operator — extracted images
     equi-joined to extracted caption items on (url, index)."""
@@ -490,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipage_merge": q_multipage_merge,
         "image_extract": q_image_extract,
         "image_link": q_image_link,
+        "readability": q_readability,
     }
 
 
@@ -701,5 +716,11 @@ def oracle_sql() -> dict[str, str]:
                    '/img/' || doc_id || '-' || k || '.jpg' AS src,
                    'Caption ' || k || ' for document ' || doc_id AS caption
             FROM documents, (SELECT unnest([1, 2]) AS k)
+        """,
+        "readability": """
+            SELECT doc_id, 4 AS n_items, 0 AS n_tables, 1 AS n_paragraphs,
+                   1 AS n_headers, 0 AS n_table_cells,
+                   (length(text) > 500) AS issue_long_paragraph
+            FROM documents
         """,
     }
