@@ -521,7 +521,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_lang_profile": (
             "SELECT lang, count(*) AS n_docs,"
-            " sum(length('Document ' || doc_id || chr(10) || chr(10) || text))"
+            " CAST(sum(length('Document ' || doc_id || chr(10) || chr(10) ||"
+            " text)) AS BIGINT)"
             " AS sum_chars FROM documents GROUP BY lang"
         ),
         "extract_span_profile": (
@@ -656,7 +657,8 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-            SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "event_pivot": """

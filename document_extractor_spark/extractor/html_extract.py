@@ -137,6 +137,11 @@ _START_TAG_RE = re.compile(
     ">"
 )
 _END_TAG_RE = re.compile(r"</\s*(" + _TAGNAME + r")(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>")
+# A trailing "/" marks a self-closing tag only when it is a standalone
+# token — i.e. NOT the last character of an unquoted attribute value
+# (`<a href=/about/>`: html.parser and the HTML spec treat that slash as
+# part of the value, so the anchor stays open).
+_SELFCLOSE_RE = re.compile(r"(?:^|[\s\"'])/$")
 _ATTR_RE = re.compile(
     r"([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^>\s]*))?"
 )
@@ -325,9 +330,9 @@ class _Flattener:
                             except ValueError:
                                 iv = 1
                             if k == "colspan":
-                                cs = max(1, iv)
+                                cs = min(_MAX_COLSPAN, max(1, iv))
                             else:
-                                rs = max(1, iv)
+                                rs = min(_MAX_ROWSPAN, max(1, iv))
                 self._cell = []
                 self._grid[-1].append((self._cell, cs, rs))
             self.stack.append(tag)
@@ -461,7 +466,7 @@ class _Flattener:
                 attrs = m.group(2)
                 pos = m.end()
                 self.handle_starttag(tag, attrs, lt)
-                if attrs.endswith("/"):                  # self-closing
+                if attrs.endswith("/") and _SELFCLOSE_RE.search(attrs):
                     self.handle_endtag(tag, pos)
                 elif tag in _RAWTEXT_END:                # script/style rawtext
                     e = _RAWTEXT_END[tag].search(html, pos)
@@ -489,6 +494,20 @@ def flatten(html: str) -> _Flattener:
 # ---------------------------------------------------------------------------
 
 
+# Hostile-input bounds. colspan/rowspan are clamped to the HTML-spec
+# limits (colspan ≤ 1000, rowspan ≤ 65534) at parse time, and the
+# *expanded* grid is additionally capped at a total cell budget so a
+# 171-byte page with colspan=5000000 can neither wedge the CPU nor drive
+# a multi-GB allocation (which on an overcommitting executor means the
+# OOM killer SIGKILLs the whole Python worker, not a caught
+# MemoryError). Once the budget is exhausted, remaining cells degrade
+# gracefully to span 1×1 — their text is kept, only the replication is
+# dropped.
+_MAX_COLSPAN = 1000
+_MAX_ROWSPAN = 65534
+_MAX_GRID_CELLS = 100_000
+
+
 def _expand_grid(rows) -> list:
     """Normalize a parsed cell grid into a rectangle: honor colspan /
     rowspan by replicating the spanning cell's text into every grid
@@ -504,6 +523,7 @@ def _expand_grid(rows) -> list:
     """
     exp: list[list[str]] = []
     occ: dict = {}          # (row, col) -> text carried down by rowspan
+    total = 0               # expanded-cell budget (_MAX_GRID_CELLS)
     for r, row in enumerate(rows):
         exp_row: list[str] = []
         c = 0
@@ -513,10 +533,17 @@ def _expand_grid(rows) -> list:
                 c += 1
             parts = [x if x == "\n" else _WS_RE.sub(" ", x) for x in cell]
             txt = _NL_TRIM_RE.sub("\n", "".join(parts)).strip()
+            rem = _MAX_GRID_CELLS - total
+            if rem <= 1:
+                cs = rs = 1          # budget spent: keep text, drop spans
+            else:
+                cs = min(cs, rem)
+                rs = min(rs, max(1, rem // cs))
             for dc in range(cs):
                 exp_row.append(txt)
                 for dr in range(1, rs):
                     occ[(r + dr, c + dc)] = txt
+            total += cs * rs
             c += cs
         while (r, c) in occ:
             exp_row.append(occ.pop((r, c)))
@@ -525,8 +552,15 @@ def _expand_grid(rows) -> list:
     occ.clear()
     exp = [row for row in exp if any(row)]
     width = max((len(r) for r in exp), default=0)
+    # padding obeys the same budget: a single hostile wide row must not
+    # multiply into rows×width cells
+    if width and len(exp) * width > _MAX_GRID_CELLS:
+        width = max(1, _MAX_GRID_CELLS // len(exp))
     for row in exp:
-        row.extend([""] * (width - len(row)))    # E5: fill ragged rows
+        if len(row) > width:
+            del row[width:]
+        else:
+            row.extend([""] * (width - len(row)))    # E5: fill ragged rows
     return exp
 
 

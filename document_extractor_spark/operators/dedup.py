@@ -158,27 +158,37 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     near-dup pipeline (candidate set ≪ all-pairs). The shingle set is
     computed once and persisted: it feeds both the signature pass and
     the verification joins (at corpus scale shingling is the dominant
-    map cost — recomputing it would double the query)."""
+    map cost — recomputing it would double the query).
+
+    The shingle cache is scoped to THIS call: the (small) verified-pair
+    result is eagerly ``localCheckpoint``ed, then the (large) shingle
+    DataFrame is unpersisted — nothing corpus-sized stays pinned in
+    executor storage after the operator returns. The returned DataFrame
+    is materialized; callers may ``unpersist()`` it when done."""
     sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
     sh.persist()
-    cands = minhash_lsh_candidates(sh.select(id_col, "sh"), id_col,
-                                   text_col, n, k, bands,
-                                   _pre_shingled=True)
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    joined = (
-        cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
-        .join(b, cands.id_b == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.size(F.array_intersect("sa.sh", "sb.sh"))
-                / F.size(F.array_union("sa.sh", "sb.sh")).cast("double"),
-                6,
-            ).alias("jaccard"),
+    try:
+        cands = minhash_lsh_candidates(sh.select(id_col, "sh"), id_col,
+                                       text_col, n, k, bands,
+                                       _pre_shingled=True)
+        a = sh.alias("sa")
+        b = sh.alias("sb")
+        joined = (
+            cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
+            .join(b, cands.id_b == F.col(f"sb.{id_col}"))
+            .select(
+                "id_a", "id_b",
+                F.round(
+                    F.size(F.array_intersect("sa.sh", "sb.sh"))
+                    / F.size(F.array_union("sa.sh", "sb.sh")).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
         )
-    )
-    return joined.filter(F.col("jaccard") >= threshold)
+        out = joined.filter(F.col("jaccard") >= threshold)
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -58,13 +58,21 @@ def _splice_table_html(parent: str, cont: str) -> str:
 
 
 def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One Arrow batch = one BUCKET of articles (not one article): the
-    per-group overhead of applyInPandas is ~0.5 ms and per-article pandas
-    frames cost ~1.5 ms each, so grouping directly by article_id at
-    corpus scale (millions of 1-2 page articles) drowns in bookkeeping —
-    measured 20× slower at bench scale. Instead: ONE sort of the whole
-    bucket by (article, page, order), one linear pass with article-
-    boundary detection, one output frame."""
+    """One pandas frame = one batch of whole articles (not one article):
+    the per-group overhead of applyInPandas is ~0.5 ms and per-article
+    pandas frames cost ~1.5 ms each, so grouping directly by article_id
+    at corpus scale (millions of 1-2 page articles) drowns in
+    bookkeeping — measured 20× slower at bench scale. Instead: ONE sort
+    of the whole batch by (article, page, order), one linear pass with
+    article-boundary detection, one output frame."""
+    # Arrow→pandas turns nullable int columns into float64 with NaN, and
+    # int(NaN or 0) raises (NaN is truthy) — normalize once up front.
+    for col in ("row_count", "column_count", "page_num", "order"):
+        if col in pdf.columns:
+            pdf[col] = (
+                pd.to_numeric(pdf[col], errors="coerce")
+                .fillna(0).astype("int64")
+            )
     pdf = pdf.sort_values(["article_id", "page_num", "order"],
                           kind="mergesort")
     out: list[dict] = []
@@ -81,8 +89,8 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             "type": row.type,
             "content": row.content or "",
             "html": row.html,
-            "row_count": int(row.row_count or 0),
-            "column_count": int(row.column_count or 0),
+            "row_count": int(row.row_count),
+            "column_count": int(row.column_count),
             "pages": [int(row.page_num)],
             "n_merged": 1,
         }
@@ -129,19 +137,48 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols)
 
 
+def _merge_stream(batches):
+    """mapInPandas kernel: consume sorted Arrow batches, carrying the
+    trailing (possibly incomplete) article across batch boundaries so no
+    pandas frame ever exceeds one Arrow batch + one article. This is the
+    memory bound the fixed-bucket applyInPandas design lacked: there,
+    one Python worker materialized corpus/buckets rows at once, which at
+    100× scale is a driver-sized frame per worker."""
+    carry = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        last_aid = pdf["article_id"].iloc[-1]
+        open_mask = pdf["article_id"] == last_aid
+        carry = pdf[open_mask]
+        done = pdf[~open_mask]
+        if len(done):
+            yield _merge_bucket(done)
+    if carry is not None and len(carry):
+        yield _merge_bucket(carry)
+
+
 def merge_continuations(df: DataFrame, article_col: str = "article_id",
-                        buckets: int = 256) -> DataFrame:
+                        partitions: int | None = None) -> DataFrame:
     """Item rows ``(article_id, page_num, order, type, content[, html,
     row_count, column_count])`` → merged items.
 
-    Shuffles on ``pmod(xxhash64(article_id), buckets)`` — co-locating
-    each article's pages while keeping the group count fixed at
-    ``buckets`` regardless of corpus size (tune ≳ 4× cores)."""
-    from pyspark.sql import functions as F
+    One hash shuffle on the article id (small item rows, not raw
+    payloads) + in-partition sort, then a STREAMING merge: each Python
+    worker sees one byte-capped Arrow batch at a time and carries only
+    the open trailing article between batches. Peak per-worker memory is
+    O(arrow_batch + largest_article) — independent of corpus size, so
+    the plan survives a 100× scale-up where any whole-group
+    materialization (``groupBy.applyInPandas``) would not.
 
-    keyed = df.withColumnRenamed(article_col, "article_id").withColumn(
-        "_bucket", F.pmod(F.xxhash64("article_id"), F.lit(buckets))
+    ``partitions`` defaults to the input partition count (min 32) so
+    shuffle-partition sizing tracks the data volume."""
+    keyed = df.withColumnRenamed(article_col, "article_id")
+    n = partitions or max(32, keyed.rdd.getNumPartitions())
+    parted = (
+        keyed.repartition(n, "article_id")
+        .sortWithinPartitions("article_id", "page_num", "order")
     )
-    return keyed.groupBy("_bucket").applyInPandas(
-        lambda pdf: _merge_bucket(pdf), schema=MERGED_SCHEMA
-    )
+    return parted.mapInPandas(_merge_stream, schema=MERGED_SCHEMA)

@@ -156,3 +156,17 @@ def test_embedding_near_duplicates(spark, emb):
     pairs = embedding_near_duplicates(emb, dim=16, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (3, 500) in got
+
+
+def test_minhash_no_lingering_shingle_cache(spark, docs):
+    """minhash_near_duplicates must not leave the (corpus-sized) shingle
+    DataFrame pinned in executor storage: after the call, at most the
+    small localCheckpoint'd result is persisted."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = minhash_near_duplicates(docs, threshold=0.5)
+    assert out.count() >= 0
+    after = jsc.getPersistentRDDs().size()
+    # shingle cache released; only the checkpointed pair result may remain
+    assert after - before <= 1
+    out.unpersist()

@@ -371,3 +371,72 @@ def test_binary_payload_guard():
                          b"score as content in the classifier</p>" * 3,
                          url="u")
     assert ok["parse_error"] is None
+
+
+# ---------------------------------------------------------------------------
+# Hostile-input bounds (round-2 ADVICE: unclamped colspan/rowspan wedge)
+# ---------------------------------------------------------------------------
+
+
+def test_hostile_colspan_bounded_time_and_size():
+    """A tiny page with colspan=5000000 rowspan=40 must neither wedge the
+    CPU nor allocate a multi-GB grid: spans are clamped to the HTML-spec
+    limits and the expanded grid obeys a total cell budget."""
+    import time
+    from document_extractor_spark.extractor.html_extract import extract_html
+
+    hostile = (b"<table><tr><td colspan='5000000' rowspan='40'>x</td></tr>"
+               b"</table>")
+    t0 = time.monotonic()
+    res = extract_html(hostile)
+    assert time.monotonic() - t0 < 5.0
+    assert len(res.text) < 2_000_000
+
+    # the MemoryError-range value, and a hostile rowspan for symmetry
+    for blob in (b"<table><tr><td colspan='2000000000'>x</td></tr></table>",
+                 b"<table><tr><td rowspan='2000000000'>x</td></tr></table>"):
+        t0 = time.monotonic()
+        res = extract_html(blob)
+        assert time.monotonic() - t0 < 5.0
+        assert res.error is None
+
+
+def test_hostile_many_rows_one_wide_row_bounded():
+    """Padding every row to one hostile wide row must obey the same cell
+    budget (rows x width would otherwise explode)."""
+    import time
+    from document_extractor_spark.extractor.html_extract import extract_html
+
+    rows = b"<tr><td>a</td></tr>" * 5000
+    hostile = (b"<table><tr><td colspan='1000'>w</td></tr>" + rows
+               + b"</table>")
+    t0 = time.monotonic()
+    res = extract_html(hostile)
+    assert time.monotonic() - t0 < 5.0
+    assert len(res.text) < 4_000_000
+
+
+def test_legit_spans_unaffected_by_clamp():
+    """Spec-range spans still expand exactly as before the clamp."""
+    from document_extractor_spark.extractor.html_extract import refine_table_html
+    src = ("<table><tr><td colspan='3'>abc</td></tr>"
+           "<tr><td>a</td><td>b</td><td>c</td></tr></table>")
+    out = refine_table_html(src)
+    assert out.count("abc") == 3  # replicated into all 3 covered cells
+
+
+def test_unquoted_trailing_slash_is_not_selfclosing():
+    """`<a href=/about/>` — html.parser treats the slash as part of the
+    unquoted attribute value, so the anchor must stay OPEN and its text
+    must count as link words (link-density boilerplate classification
+    depends on this)."""
+    from document_extractor_spark.extractor.html_extract import flatten
+
+    fl = flatten("<html><body><p><a href=/about/>click here now</a> and "
+                 "surrounding prose words</p></body></html>")
+    blk = [b for b in fl.blocks if "click here now" in b.text][0]
+    assert blk.n_link_words == 3
+
+    # genuinely self-closing forms still close
+    fl2 = flatten("<p>one<br/>two<br />three<img src='x'/>four</p>")
+    assert "one" in fl2.blocks[0].text and "four" in fl2.blocks[0].text

@@ -14,7 +14,7 @@ from document_extractor_spark.extractor.html_extract import (
 
 # Mix of raw bytes, ASCII-ish text, and tag-soup fragments.
 _tagsoup = st.text(
-    alphabet=st.sampled_from(list("<>/abcdiv ptable&#;\"'=\n-!")),
+    alphabet=st.sampled_from(list("<>/abcdiv ptable&#;\"'=\n-!0159")),
     max_size=400,
 )
 _payloads = st.one_of(

@@ -136,6 +136,48 @@ def test_multipage_column_count_mismatch_no_splice(spark):
     assert len(out) == 2
 
 
+def test_multipage_null_numeric_columns(spark):
+    """Nullable ints arrive in pandas as float64 NaN (Arrow conversion);
+    the merge must treat them as 0, not raise int(NaN)."""
+    rows = [
+        (7, 1, 0, "paragraph", "starts here and", None, None, None),
+        (7, 2, 0, "paragraph", "continues onward.", None, None, None),
+        (7, 2, 1, "table", "x\t1", "<table></table>", None, None),
+    ]
+    out = merge_continuations(spark.createDataFrame(rows, _ITEM_COLS)) \
+        .orderBy("order").collect()
+    assert [r.type for r in out] == ["paragraph", "table"]
+    assert out[0].content == "starts here and continues onward."
+    assert out[1].row_count == 0 and out[1].column_count == 0
+
+
+def test_multipage_merge_across_arrow_batches(spark):
+    """The streaming kernel carries the open trailing article across
+    Arrow batch boundaries: with maxRecordsPerBatch=2, a 6-page article
+    spans 3+ batches and must still merge into one item. This is the
+    bounded-memory design: peak per-worker frame = one Arrow batch + one
+    article, never corpus/buckets."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "2")
+    try:
+        rows = []
+        for page in range(1, 7):
+            frag = ("the opening sentence begins and" if page == 1
+                    else "keeps running across pages and")
+            rows.append((11, page, 0, "paragraph", frag, None, 0, 0))
+        rows.append((12, 1, 0, "paragraph", "Another article.", None, 0, 0))
+        out = merge_continuations(
+            spark.createDataFrame(rows, _ITEM_COLS), partitions=1
+        ).orderBy("article_id").collect()
+        assert len(out) == 2
+        assert out[0].n_merged == 6
+        assert sorted(out[0].pages) == [1, 2, 3, 4, 5, 6]
+        assert out[1].article_id == 12
+    finally:
+        spark.conf.set(key, old)
+
+
 # ---------------------------------------------------------------------------
 # Media explode + link
 # ---------------------------------------------------------------------------
