@@ -58,6 +58,7 @@ from document_extractor_spark.sources.docpages import (
     doc_id_from_url,
     pages_from_documents,
     pages_with_figures,
+    pages_with_formatting,
 )
 from document_extractor_spark.sources.jsonrepair import parse_json_relaxed
 
@@ -345,7 +346,7 @@ def q_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H9: per-doc structural stats over the extracted item array —
     figure pages give a closed-form item census (1 header, 1 paragraph,
-    2 captions)."""
+    2 images, 2 captions)."""
     from document_extractor_spark.operators.render import readability_stats
 
     pages = pages_with_figures(spark, sf_dir)
@@ -353,6 +354,83 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         doc_id_from_url("url"), "n_items", "n_tables", "n_paragraphs",
         "n_headers", "n_table_cells", "issue_long_paragraph",
+    )
+
+
+def q_image_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/H4: figure images surface as typed ``image`` CONTENT ITEMS
+    (openai_content_extractor.py:164,186) and the H4 renderer emits the
+    image container (html_generator.py:395-497) — closed-form over the
+    figure template."""
+    from pyspark.sql import Window as W
+
+    from document_extractor_spark.operators.render import render_item_column
+
+    pages = pages_with_figures(spark, sf_dir)
+    ex = extract_pages(pages, with_items=True)
+    it = ex.select(
+        "url",
+        F.explode(
+            F.filter(F.col("content_items"), lambda i: i["type"] == "image")
+        ).alias("item"),
+    )
+    w = W.partitionBy("url").orderBy(F.col("item.order"))
+    return it.withColumn("image_index", F.row_number().over(w)).select(
+        doc_id_from_url("url"),
+        "image_index",
+        F.col("item.src").alias("src"),
+        F.col("item.content").alias("description"),
+        render_item_column(F.col("item")).alias("rendered"),
+    )
+
+
+def q_formatting_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting flags end-to-end: a centered <strong><em> paragraph
+    must carry {bold, italic, alignment} on its item and the H3 renderer
+    must re-emit <strong>/<em> + the alignment style
+    (openai_content_extractor.py:158-200, html_generator.py:343-393)."""
+    from document_extractor_spark.operators.render import render_item_column
+
+    pages = pages_with_formatting(spark, sf_dir)
+    ex = extract_pages(pages, with_items=True)
+    it = ex.select(
+        "url",
+        F.explode(
+            F.filter(F.col("content_items"),
+                     lambda i: i["type"] == "paragraph")
+        ).alias("item"),
+    )
+    return it.select(
+        doc_id_from_url("url"),
+        F.col("item.bold").alias("bold"),
+        F.col("item.italic").alias("italic"),
+        F.col("item.underline").alias("underline"),
+        F.col("item.alignment").alias("alignment"),
+        render_item_column(F.col("item")).alias("rendered"),
+    )
+
+
+def q_page_chrome_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """page_header/page_footer typed items + the page layout struct
+    (openai_content_extractor.py:146-149, 190-199) — closed-form over
+    the chrome template (header links, footer copyright, 1 column)."""
+    pages = pages_from_documents(spark, sf_dir)
+    ex = extract_pages(pages, with_items=True, with_layout=True,
+                       emit_chrome=True)
+    items = F.col("content_items")
+    heads = F.filter(items, lambda i: i["type"] == "page_header")
+    feet = F.filter(items, lambda i: i["type"] == "page_footer")
+    return ex.select(
+        doc_id_from_url("url"),
+        F.size(heads).alias("n_page_headers"),
+        F.concat_ws("|", F.transform(heads, lambda i: i["content"])).alias(
+            "header_text"),
+        F.size(feet).alias("n_page_footers"),
+        F.concat_ws("|", F.transform(feet, lambda i: i["content"])).alias(
+            "footer_text"),
+        F.col("layout.columns").alias("layout_columns"),
+        F.col("layout.has_header").alias("has_header"),
+        F.col("layout.has_footer").alias("has_footer"),
     )
 
 
@@ -505,6 +583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_extract": q_image_extract,
         "image_link": q_image_link,
         "readability": q_readability,
+        "image_items": q_image_items,
+        "formatting_render": q_formatting_render,
+        "page_chrome_layout": q_page_chrome_layout,
     }
 
 
@@ -720,9 +801,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, (SELECT unnest([1, 2]) AS k)
         """,
         "readability": """
-            SELECT doc_id, 4 AS n_items, 0 AS n_tables, 1 AS n_paragraphs,
+            SELECT doc_id, 6 AS n_items, 0 AS n_tables, 1 AS n_paragraphs,
                    1 AS n_headers, 0 AS n_table_cells,
                    (length(text) > 500) AS issue_long_paragraph
+            FROM documents
+        """,
+        "image_items": """
+            SELECT doc_id, k AS image_index,
+                   '/img/' || doc_id || '-' || k || '.jpg' AS src,
+                   'chart' AS description,
+                   '<div class="image-container"><img src="/img/' || doc_id
+                     || '-' || k || '.jpg" alt="chart"/></div>' AS rendered
+            FROM documents, (SELECT unnest([1, 2]) AS k)
+        """,
+        "formatting_render": """
+            SELECT doc_id, TRUE AS bold, TRUE AS italic, FALSE AS underline,
+                   'center' AS alignment,
+                   '<p style="text-align: center;"><strong><em>'
+                     || replace(replace(replace(replace(replace(text,
+                          '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                          '"', '&quot;'), chr(39), '&#x27;')
+                     || '</em></strong></p>' AS rendered
+            FROM documents
+        """,
+        "page_chrome_layout": """
+            SELECT doc_id, 1 AS n_page_headers, 'Home About' AS header_text,
+                   1 AS n_page_footers,
+                   'Copyright 2026 Example. Terms' AS footer_text,
+                   1 AS layout_columns, TRUE AS has_header,
+                   TRUE AS has_footer
             FROM documents
         """,
     }

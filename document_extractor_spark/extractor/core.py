@@ -41,33 +41,58 @@ def _looks_binary(payload: bytes, probe: int = 1024,
     return n_bin / len(head) > threshold
 
 
+_EMPTY_LAYOUT = {"columns": 1, "has_header": False, "has_footer": False}
+
+
+def _item_dict(order, typ, content, html=None, level=0, row_count=0,
+               column_count=0, converted_from_kv=False, src=None,
+               bold=False, italic=False, underline=False, alignment=None,
+               list_type=None, font_size=None) -> dict:
+    return {
+        "order": order, "type": typ, "content": content, "html": html,
+        "level": int(level), "row_count": int(row_count),
+        "column_count": int(column_count),
+        "converted_from_kv": bool(converted_from_kv),
+        "src": src, "bold": bool(bold), "italic": bool(italic),
+        "underline": bool(underline), "alignment": alignment,
+        "list_type": list_type,
+        "font_size": float(font_size) if font_size is not None else None,
+    }
+
+
 def extract_payload(payload: Optional[bytes], url: str = "",
                     lang_hint: Optional[str] = None,
-                    include_items: bool = False) -> dict:
+                    include_items: bool = False,
+                    include_layout: bool = False,
+                    emit_chrome: bool = False) -> dict:
     """When ``include_items`` is set, the record additionally carries the
     typed content-item array (the reference's core record shape,
     ``openai_content_extractor.py:158-200``) for the rendering operators;
-    the default hot-path record stays lean (north-star schema only)."""
+    the default hot-path record stays lean (north-star schema only).
+    ``include_layout`` adds the page layout struct {columns, has_header,
+    has_footer} (openai_content_extractor.py:190-199); ``emit_chrome``
+    surfaces header/footer chrome as typed page_header/page_footer items."""
     n_in = len(payload) if payload is not None else 0
+    layout = dict(_EMPTY_LAYOUT) if include_layout else None
     if payload is None or len(payload) == 0:
         return _record(url, "", [], lang_hint or "und", "EmptyPayload", 0,
-                       n_in, [] if include_items else None)
+                       n_in, [] if include_items else None, layout)
     if _looks_binary(payload):
         # non-text payload that is not a recognized format: surface as a
         # parse failure rather than emitting mojibake "text" — keeps the
         # A4 run counters honest about corrupt inputs
         return _record(url, "", [], lang_hint or "und", "BinaryPayload", 0,
-                       n_in, [] if include_items else None)
+                       n_in, [] if include_items else None, layout)
     if is_pdf(payload):
         pr = extract_pdf(payload)
         if pr.error is not None:
             return _record(url, "", [], lang_hint or "und", pr.error, 0,
-                           n_in, [] if include_items else None)
+                           n_in, [] if include_items else None, layout)
         spans = []
         items = [] if include_items else None
         pos = 0
         first = True
-        for typ, txt, _page, _size in pr.items:
+        for typ, txt, _page, size in pr.items:
             if not txt:
                 continue
             if not first:
@@ -76,39 +101,47 @@ def extract_payload(payload: Optional[bytes], url: str = "",
             btype = _PDF_TYPE_MAP.get(typ, "paragraph")
             spans.append((pos, pos + len(txt), btype))
             if include_items:
-                items.append({
-                    "order": len(items), "type": btype, "content": txt,
-                    "html": None,
-                    "level": 1 if btype == "header" else 0,
-                    "row_count": 0, "column_count": 0,
-                    "converted_from_kv": False,
-                })
+                items.append(_item_dict(
+                    len(items), btype, txt,
+                    level=1 if btype == "header" else 0,
+                    font_size=size,
+                ))
             pos += len(txt)
         lang = lang_hint or detect_lang(pr.text)
+        if include_layout:
+            layout = {"columns": int(pr.max_columns), "has_header": False,
+                      "has_footer": False}
         return _record(url, pr.text, spans, lang, None, len(pr.items), n_in,
-                       items)
-    res: ExtractResult = extract_html(bytes(payload))
+                       items, layout)
+    res: ExtractResult = extract_html(bytes(payload), emit_chrome=emit_chrome)
     if res.error is not None:
         return _record(url, "", [], lang_hint or "und", res.error, 0, n_in,
-                       [] if include_items else None)
+                       [] if include_items else None, layout)
     lang = lang_hint or detect_lang(res.text)
     items = None
     if include_items:
         items = [
-            {
-                "order": it.order, "type": it.type, "content": it.content,
-                "html": it.html, "level": int(it.level),
-                "row_count": int(it.row_count),
-                "column_count": int(it.column_count),
-                "converted_from_kv": bool(it.converted_from_kv),
-            }
+            _item_dict(it.order, it.type, it.content, html=it.html,
+                       level=it.level, row_count=it.row_count,
+                       column_count=it.column_count,
+                       converted_from_kv=it.converted_from_kv, src=it.src,
+                       bold=it.bold, italic=it.italic,
+                       underline=it.underline, alignment=it.alignment,
+                       list_type=it.list_type, font_size=it.font_size)
             for it in res.items
         ]
+    if include_layout:
+        layout = {
+            "columns": int(res.layout.get("columns", 1)),
+            "has_header": bool(res.layout.get("has_header", False)),
+            "has_footer": bool(res.layout.get("has_footer", False)),
+        }
     return _record(url, res.text, res.spans, lang, None, len(res.items),
-                   n_in, items)
+                   n_in, items, layout)
 
 
-def _record(url, text, spans, lang, error, n_blocks, n_in, items=None) -> dict:
+def _record(url, text, spans, lang, error, n_blocks, n_in, items=None,
+            layout=None) -> dict:
     rec = {
         "url": url,
         "extracted_text": text,
@@ -123,4 +156,6 @@ def _record(url, text, spans, lang, error, n_blocks, n_in, items=None) -> dict:
     }
     if items is not None:
         rec["content_items"] = items
+    if layout is not None:
+        rec["layout"] = layout
     return rec

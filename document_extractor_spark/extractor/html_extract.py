@@ -54,20 +54,34 @@ CHROME_TAGS = {"nav", "aside"}
 HEADER_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
 # Block types — same enum as the reference prompt schema
-# (openai_content_extractor.py:164), minus image/page_* which do not occur
-# in main text; plus kv_table for converted key-value records.
+# (openai_content_extractor.py:164): header/paragraph/table/list/caption/
+# image, plus page_header/page_footer (emitted opt-in via
+# ``emit_chrome`` — the reference classifies them by page position,
+# openai_content_extractor.py:146-149), plus kv_table for converted
+# key-value records.
 T_HEADER = "header"
 T_PARAGRAPH = "paragraph"
 T_TABLE = "table"
 T_LIST = "list"
 T_CAPTION = "caption"
 T_KV_TABLE = "kv_table"
+T_IMAGE = "image"
+T_PAGE_HEADER = "page_header"
+T_PAGE_FOOTER = "page_footer"
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 _NL_TRIM_RE = re.compile(r" *\n *")
 _ROMAN_RE = re.compile(r"^[IVXLCDM]+\.")   # content_structure_fixer.py:109
 _ARABIC_RE = re.compile(r"^\d+\.")          # content_structure_fixer.py:113
 _COLCOUNT_RE = re.compile(r"column-count\s*:\s*(\d+)")
+_TEXT_ALIGN_RE = re.compile(r"text-align\s*:\s*(left|right|center|justify)")
+
+# Inline formatting tags → index into the flattener's open-tag counters.
+# Items carry {bold, italic, underline} like the reference's
+# (openai_content_extractor.py:158-200); a block is flagged only when ALL
+# of its word-carrying text sits inside the tag.
+_FMT_TAGS = {"b": 0, "strong": 0, "i": 1, "em": 1, "u": 2, "ins": 2}
+FMT_BOLD, FMT_ITALIC, FMT_UNDERLINE = 1, 2, 4
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +104,9 @@ class Block:
     is_content: bool = False
     btype: str = T_PARAGRAPH
     level: int = 0                # header level
+    fmt: int = 0                  # FMT_* bitmask (all text formatted)
+    src: Optional[str] = None     # image blocks: <img src>
+    alignment: Optional[str] = None  # style text-align on an open block tag
 
     @property
     def link_density(self) -> float:
@@ -110,6 +127,13 @@ class Item:
     row_count: int = 0
     column_count: int = 0
     converted_from_kv: bool = False
+    src: Optional[str] = None     # image items: source URL
+    bold: bool = False            # formatting flags — the reference's
+    italic: bool = False          # {bold, italic, underline}
+    underline: bool = False       # (openai_content_extractor.py:158-200)
+    alignment: Optional[str] = None   # text-align of the owning block
+    list_type: Optional[str] = None   # lists: 'ordered' | 'unordered'
+    font_size: Optional[float] = None  # PDF items: run font size (pt)
 
 
 @dataclass
@@ -182,7 +206,11 @@ class _Flattener:
         self._skip = 0
         self._link = 0
         self._pre = 0
-        self._frags: list = []      # (kind, text, in_link) kind: 'txt'|'br'
+        self._fmt = [0, 0, 0]       # open b/strong, i/em, u/ins counts
+        # (stack_len_at_push, align) — alignment valid while its owning
+        # block tag is still open; _pop_to trims stale entries
+        self._align_stack: list = []
+        self._frags: list = []      # (kind, text, in_link, fmt) kind: 'txt'|'br'
         # table state
         self._tdepth = 0
         self._tstart = -1
@@ -201,7 +229,7 @@ class _Flattener:
             return
         if len(self._frags) == 1:
             # fast path: the overwhelmingly common single-fragment block
-            kind, txt, in_link = self._frags[0]
+            kind, txt, in_link, fmt = self._frags[0]
             self._frags = []
             if kind == "br":
                 return
@@ -214,14 +242,15 @@ class _Flattener:
             if not text:
                 return
             w = len(text.split())
-            self._emit_block(text, w, w if in_link else 0)
+            self._emit_block(text, w, w if in_link else 0, fmt)
             return
         parts = []
         words = 0
         link_words = 0
         has_pre = False
         any_nl = False
-        for kind, txt, in_link in self._frags:
+        fmt_acc = -1            # AND over word-carrying frags; -1 = none yet
+        for kind, txt, in_link, fmt in self._frags:
             if kind == "br":
                 parts.append("\n")
                 any_nl = True
@@ -241,6 +270,8 @@ class _Flattener:
             words += w
             if in_link:
                 link_words += w
+            if w:
+                fmt_acc = fmt if fmt_acc < 0 else (fmt_acc & fmt)
         self._frags = []
         text = "".join(parts)
         if has_pre:
@@ -251,9 +282,10 @@ class _Flattener:
             text = text.strip()
         if not text:
             return
-        self._emit_block(text, words, link_words)
+        self._emit_block(text, words, link_words, max(fmt_acc, 0))
 
-    def _emit_block(self, text: str, words: int, link_words: int):
+    def _emit_block(self, text: str, words: int, link_words: int,
+                    fmt: int = 0):
         tag = "body"
         for t in reversed(self.stack):
             if t in BLOCK_TAGS:
@@ -267,6 +299,9 @@ class _Flattener:
                 text=text,
                 n_words=words,
                 n_link_words=link_words,
+                fmt=fmt,
+                alignment=self._align_stack[-1][1] if self._align_stack
+                else None,
             )
         )
 
@@ -285,7 +320,7 @@ class _Flattener:
             if self._tdepth and self._cell is not None:
                 self._cell.append("\n")
             else:
-                self._frags.append(("br", "", False))
+                self._frags.append(("br", "", False, 0))
             return
         if tag == "hr":
             self._flush()
@@ -293,7 +328,33 @@ class _Flattener:
         if tag == "a":
             self._link += 1
             return
+        fi = _FMT_TAGS.get(tag)
+        if fi is not None:
+            self._fmt[fi] += 1
+            return
         if tag == "img":
+            # Block-level images become typed blocks (reference emits
+            # `image` items, openai_content_extractor.py:164,186). Inline
+            # images mid-paragraph (pending frags) are ignored — emitting
+            # them would split the paragraph, changing the north-star text
+            # for decorative icons.
+            if not self._tdepth and not self._frags:
+                src = alt = ""
+                if attrs_blob:
+                    for am in _ATTR_RE.finditer(attrs_blob):
+                        k = am.group(1).lower()
+                        if k in ("src", "alt"):
+                            v = (am.group(2) or "").strip("\"'")
+                            if k == "src":
+                                src = unescape(v) if "&" in v else v
+                            else:
+                                alt = unescape(v) if "&" in v else v
+                self.blocks.append(Block(
+                    index=len(self.blocks), tag="img",
+                    ancestors=tuple(self.stack),
+                    text=_WS_RE.sub(" ", alt).strip(),
+                    n_words=0, src=src or None,
+                ))
             return
         if attrs_blob and "column-count" in attrs_blob:
             m = _COLCOUNT_RE.search(_style_attr(attrs_blob))
@@ -346,6 +407,10 @@ class _Flattener:
             if tag == "footer":
                 self.has_footer = True
             self.stack.append(tag)
+            if attrs_blob and "text-align" in attrs_blob:
+                m = _TEXT_ALIGN_RE.search(_style_attr(attrs_blob))
+                if m:
+                    self._align_stack.append((len(self.stack), m.group(1)))
 
     def handle_endtag(self, tag, end_off):
         if tag in SKIP_TAGS:
@@ -355,6 +420,11 @@ class _Flattener:
             return
         if tag == "a":
             self._link = max(0, self._link - 1)
+            return
+        fi = _FMT_TAGS.get(tag)
+        if fi is not None:
+            if self._fmt[fi]:
+                self._fmt[fi] -= 1
             return
         if tag == "table" and self._tdepth:
             self._tdepth -= 1
@@ -378,6 +448,10 @@ class _Flattener:
             while self.stack:
                 if self.stack.pop() == tag:
                     break
+            if self._align_stack:
+                depth = len(self.stack)
+                while self._align_stack and self._align_stack[-1][0] > depth:
+                    self._align_stack.pop()
 
     def handle_data(self, data):
         if self._skip:
@@ -393,7 +467,11 @@ class _Flattener:
         if not data:
             return
         kind = "pre" if self._pre else "txt"
-        self._frags.append((kind, data, self._link > 0))
+        f = self._fmt
+        fmt = ((FMT_BOLD if f[0] else 0) | (FMT_ITALIC if f[1] else 0)
+               | (FMT_UNDERLINE if f[2] else 0)) if (f[0] or f[1] or f[2]) \
+            else 0
+        self._frags.append((kind, data, self._link > 0, fmt))
 
     # -- table finalize ---------------------------------------------------
     def _emit_table(self, end: int):
@@ -627,16 +705,25 @@ def classify_blocks(blocks: list[Block]) -> None:
         if b.tag == "table":
             b.is_content = b.link_density <= 0.35
             continue
-        if b.tag in HEADER_TAGS or b.tag == "figcaption":
-            b.is_content = False  # resolved in pass 2 (attach to content)
+        if b.tag in HEADER_TAGS or b.tag in ("figcaption", "img"):
+            b.is_content = False  # resolved in pass 3 (attach to content)
             continue
         # Semantic-markup override: explicit <main>/<article> IS the page's
         # declared main content — keep unless link-dominated.
         if b.tag != "li" and _in_main(b) and b.link_density <= 0.35 and b.n_words > 0:
             b.is_content = True
             continue
-        prev = blocks[i - 1] if i > 0 else None
-        nxt = blocks[i + 1] if i < n - 1 else None
+        # image blocks are transparent to the word-count neighbor rules —
+        # a zero-word img between two paragraphs must not perturb their
+        # classification
+        j = i - 1
+        while j >= 0 and blocks[j].tag == "img":
+            j -= 1
+        prev = blocks[j] if j >= 0 else None
+        j = i + 1
+        while j < n and blocks[j].tag == "img":
+            j += 1
+        nxt = blocks[j] if j < n else None
         b.is_content = _num_words_rule(prev, b, nxt) or (
             b.link_density <= 0.1 and _looks_like_kv(b.text)
         )
@@ -660,10 +747,10 @@ def classify_blocks(blocks: list[Block]) -> None:
             i = j
         else:
             i += 1
-    # Pass 3: headings/captions attach to nearby kept content (within the
-    # following 3 blocks).
+    # Pass 3: headings/captions/images attach to nearby kept content
+    # (within the following 3 blocks; captions/images look both ways).
     for i, b in enumerate(blocks):
-        if b.tag in HEADER_TAGS or b.tag == "figcaption":
+        if b.tag in HEADER_TAGS or b.tag in ("figcaption", "img"):
             if _in_chrome(b):
                 continue
             window = blocks[i + 1 : i + 4] if b.tag in HEADER_TAGS else \
@@ -688,18 +775,48 @@ def _num_words_rule(prev: Optional[Block], curr: Block, nxt: Optional[Block]) ->
 # ---------------------------------------------------------------------------
 
 
-def blocks_to_items(blocks: list[Block]) -> list[Item]:
+def _chrome_kind(b: Block) -> Optional[str]:
+    """page_header / page_footer membership for a chrome block. nav and
+    aside blocks are navigation chrome with no reference item type — they
+    are never emitted, even when nested inside <header>/<footer>."""
+    if b.tag in CHROME_TAGS or any(t in CHROME_TAGS for t in b.ancestors):
+        return None
+    if b.tag == "header" or "header" in b.ancestors:
+        return T_PAGE_HEADER
+    if b.tag == "footer" or "footer" in b.ancestors:
+        return T_PAGE_FOOTER
+    return None
+
+
+def _fmt_kwargs(fmt: int) -> dict:
+    return {
+        "bold": bool(fmt & FMT_BOLD),
+        "italic": bool(fmt & FMT_ITALIC),
+        "underline": bool(fmt & FMT_UNDERLINE),
+    }
+
+
+def blocks_to_items(blocks: list[Block],
+                    emit_chrome: bool = False) -> list[Item]:
     items: list[Item] = []
     i = 0
     n = len(blocks)
     while i < n:
         b = blocks[i]
         if not b.is_content:
+            if emit_chrome and b.tag != "img" and b.text:
+                kind = _chrome_kind(b)
+                if kind:
+                    items.append(Item(order=len(items), type=kind,
+                                      content=b.text,
+                                      alignment=b.alignment,
+                                      **_fmt_kwargs(b.fmt)))
             i += 1
             continue
         if b.tag in HEADER_TAGS:
             items.append(Item(order=len(items), type=T_HEADER, content=b.text,
-                              level=int(b.tag[1])))
+                              level=int(b.tag[1]), alignment=b.alignment,
+                              **_fmt_kwargs(b.fmt)))
             i += 1
         elif b.tag == "table":
             grid = b.table_grid or []
@@ -708,18 +825,38 @@ def blocks_to_items(blocks: list[Block]) -> list[Item]:
                               row_count=len(grid),
                               column_count=max((len(r) for r in grid), default=0)))
             i += 1
+        elif b.tag == "img":
+            items.append(Item(order=len(items), type=T_IMAGE, content=b.text,
+                              src=b.src))
+            i += 1
         elif b.tag == "li":
             lines = []
-            while i < n and blocks[i].tag == "li" and blocks[i].is_content:
+            fmt_acc = -1
+            first = blocks[i]
+            # one item per list CONTAINER: an <ol> run and the <ul> that
+            # follows it are separate lists (ancestors change at the
+            # container boundary), so list_type stays per-container
+            while (i < n and blocks[i].tag == "li" and blocks[i].is_content
+                   and blocks[i].ancestors == first.ancestors):
                 lines.append(blocks[i].text)
+                fmt_acc = blocks[i].fmt if fmt_acc < 0 \
+                    else fmt_acc & blocks[i].fmt
                 i += 1
+            # H8: ol vs ul from the list container (html_generator_v2.py:
+            # 330-501 renders by metadata.list_type)
+            ltype = "ordered" if "ol" in first.ancestors else "unordered"
             items.append(Item(order=len(items), type=T_LIST,
-                              content="\n".join(lines)))
+                              content="\n".join(lines), list_type=ltype,
+                              alignment=first.alignment,
+                              **_fmt_kwargs(max(fmt_acc, 0))))
         elif b.tag == "figcaption":
-            items.append(Item(order=len(items), type=T_CAPTION, content=b.text))
+            items.append(Item(order=len(items), type=T_CAPTION, content=b.text,
+                              alignment=b.alignment, **_fmt_kwargs(b.fmt)))
             i += 1
         else:
-            items.append(Item(order=len(items), type=T_PARAGRAPH, content=b.text))
+            items.append(Item(order=len(items), type=T_PARAGRAPH,
+                              content=b.text, alignment=b.alignment,
+                              **_fmt_kwargs(b.fmt)))
             i += 1
     return items
 
@@ -943,14 +1080,20 @@ def assemble(items: list[Item]) -> tuple[str, list]:
     return "".join(parts), spans
 
 
-def extract_html(html_bytes: bytes, encoding: str = "utf-8") -> ExtractResult:
-    """bytes → ExtractResult. Never raises: failures land in ``error``."""
+def extract_html(html_bytes: bytes, encoding: str = "utf-8",
+                 emit_chrome: bool = False) -> ExtractResult:
+    """bytes → ExtractResult. Never raises: failures land in ``error``.
+
+    ``emit_chrome``: additionally surface header/footer chrome as typed
+    ``page_header``/``page_footer`` items (the reference classifies them
+    by page position, openai_content_extractor.py:146-149; by default we
+    drop chrome per the main-text north star)."""
     try:
         html = html_bytes.decode(encoding, errors="replace")
         fl = flatten(html)
         blocks = fl.blocks
         classify_blocks(blocks)
-        items = blocks_to_items(blocks)
+        items = blocks_to_items(blocks, emit_chrome=emit_chrome)
         fix_header_levels(items)
         items = convert_kv_items(items)
         items = fix_section_table_order(items)

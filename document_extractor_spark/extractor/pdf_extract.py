@@ -55,6 +55,7 @@ class PdfResult:
     n_pages: int = 0
     page_texts: list = field(default_factory=list)
     items: list = field(default_factory=list)   # (type, text, page, size)
+    max_columns: int = 1      # layout: widest x-gap column split seen
     error: Optional[str] = None
 
 
@@ -414,7 +415,9 @@ def extract_pdf(pdf_bytes: bytes) -> PdfResult:
                         streams.append(s)
             runs = extract_runs(b"\n".join(streams))
             page_items: list[tuple] = []
-            for col_runs in _split_columns(runs, width):
+            cols = _split_columns(runs, width)
+            res.max_columns = max(res.max_columns, len(cols))
+            for col_runs in cols:
                 page_items.extend(_lines_to_items(_cluster_lines(col_runs), pno))
             res.items.extend(page_items)
             res.page_texts.append("\n\n".join(t for _, t, _, _ in page_items if t))

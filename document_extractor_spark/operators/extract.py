@@ -65,8 +65,10 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("n_bytes_out", T.LongType(), True),
 ])
 
-# The reference's core record shape (openai_content_extractor.py:158-200)
-# reduced to text-meaningful fields — opt-in via extract_pages(with_items=True)
+# The reference's core record shape (openai_content_extractor.py:158-200):
+# typed items with formatting flags {bold, italic, underline}, image src,
+# list_type (ol/ul), text alignment, and PDF font size — opt-in via
+# extract_pages(with_items=True)
 ITEM_TYPE = T.ArrayType(
     T.StructType([
         T.StructField("order", T.IntegerType(), False),
@@ -77,8 +79,25 @@ ITEM_TYPE = T.ArrayType(
         T.StructField("row_count", T.IntegerType(), True),
         T.StructField("column_count", T.IntegerType(), True),
         T.StructField("converted_from_kv", T.BooleanType(), True),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("bold", T.BooleanType(), True),
+        T.StructField("italic", T.BooleanType(), True),
+        T.StructField("underline", T.BooleanType(), True),
+        T.StructField("alignment", T.StringType(), True),
+        T.StructField("list_type", T.StringType(), True),
+        T.StructField("font_size", T.DoubleType(), True),
     ])
 )
+
+# Page layout struct (openai_content_extractor.py:190-199) — opt-in via
+# extract_pages(with_layout=True). PDF column count comes from the x-gap
+# column split (pdf_extract.py); HTML from CSS column-count + semantic
+# <header>/<footer> presence.
+LAYOUT_TYPE = T.StructType([
+    T.StructField("columns", T.IntegerType(), True),
+    T.StructField("has_header", T.BooleanType(), True),
+    T.StructField("has_footer", T.BooleanType(), True),
+])
 
 _DEFAULT_BATCH_BYTES = 64 * 1024 * 1024
 
@@ -109,7 +128,9 @@ def _rechunk(it: Iterator[pd.DataFrame], cap_bytes: int) -> Iterator[pd.DataFram
 
 def _extract_map(it: Iterator[pd.DataFrame],
                  cap_bytes: int = _DEFAULT_BATCH_BYTES,
-                 include_items: bool = False) -> Iterator[pd.DataFrame]:
+                 include_items: bool = False,
+                 include_layout: bool = False,
+                 emit_chrome: bool = False) -> Iterator[pd.DataFrame]:
     for pdf in _rechunk(it, cap_bytes):
         urls = pdf["url"].to_numpy()
         payloads = pdf["html"].to_numpy()
@@ -121,7 +142,9 @@ def _extract_map(it: Iterator[pd.DataFrame],
         recs = [
             extract_payload(p, url=u,
                             lang_hint=l if isinstance(l, str) and l else None,
-                            include_items=include_items)
+                            include_items=include_items,
+                            include_layout=include_layout,
+                            emit_chrome=emit_chrome)
             for u, p, l in zip(urls, payloads, langs)
         ]
         out = pd.DataFrame.from_records(recs)
@@ -132,6 +155,8 @@ def _extract_map(it: Iterator[pd.DataFrame],
                 "n_blocks", "n_bytes_in", "n_bytes_out"]
         if include_items:
             cols.append("content_items")
+        if include_layout:
+            cols.append("layout")
         if "warc_day" in out.columns:
             cols.append("warc_day")
         yield out[cols]
@@ -158,7 +183,9 @@ def salted_repartition(df: DataFrame, num_partitions: int,
 def extract_pages(df: DataFrame, num_partitions: Optional[int] = None,
                   salt: int = 16, keep_warc_day: bool = False,
                   cap_bytes: int = _DEFAULT_BATCH_BYTES,
-                  with_items: bool = False) -> DataFrame:
+                  with_items: bool = False,
+                  with_layout: bool = False,
+                  emit_chrome: bool = False) -> DataFrame:
     """pages(url, html[, lang][, warc_day]) → north-star output rows.
 
     Column pruning: selects ONLY the columns the UDF needs before the
@@ -176,10 +203,14 @@ def extract_pages(df: DataFrame, num_partitions: Optional[int] = None,
     fields = list(EXTRACT_SCHEMA.fields)
     if with_items:
         fields.append(T.StructField("content_items", ITEM_TYPE, True))
+    if with_layout:
+        fields.append(T.StructField("layout", LAYOUT_TYPE, True))
     if keep_warc_day and "warc_day" in df.columns:
         fields.append(T.StructField("warc_day", T.StringType(), True))
     return narrow.mapInPandas(
-        lambda it: _extract_map(it, cap_bytes, include_items=with_items),
+        lambda it: _extract_map(it, cap_bytes, include_items=with_items,
+                                include_layout=with_layout,
+                                emit_chrome=emit_chrome),
         schema=T.StructType(fields),
     )
 

@@ -37,17 +37,47 @@ def _with_br(c: Column) -> Column:
     return F.regexp_replace(c, "\n", "<br/>\n")
 
 
+def _fmt_wrap(c: Column, it: Column) -> Column:
+    """H3 formatting flags — <strong>/<em>/<u> nesting per the reference
+    (html_generator.py:343-393). Missing flag columns (older item arrays)
+    coalesce to false."""
+    bold = F.coalesce(it["bold"], F.lit(False))
+    ital = F.coalesce(it["italic"], F.lit(False))
+    und = F.coalesce(it["underline"], F.lit(False))
+    c = F.when(und, F.concat(F.lit("<u>"), c, F.lit("</u>"))).otherwise(c)
+    c = F.when(ital, F.concat(F.lit("<em>"), c, F.lit("</em>"))).otherwise(c)
+    return F.when(bold,
+                  F.concat(F.lit("<strong>"), c, F.lit("</strong>"))
+                  ).otherwise(c)
+
+
+def _align_attr(it: Column) -> Column:
+    """H8 alignment — style attribute when the item carries text-align
+    (html_generator_v2.py:330-501)."""
+    return F.when(
+        it["alignment"].isNotNull(),
+        F.concat(F.lit(' style="text-align: '), it["alignment"],
+                 F.lit(';"')),
+    ).otherwise(F.lit(""))
+
+
 def _render_item(it: Column) -> Column:
     """H3/H4 type dispatch for one item struct."""
     level = F.greatest(F.least(it["level"], F.lit(6)), F.lit(1))  # clamp 1-6
+    align = _align_attr(it)
     header = F.concat(
-        F.lit("<h"), level.cast("string"), F.lit(">"),
-        _esc(it["content"]), F.lit("</h"), level.cast("string"), F.lit(">"),
+        F.lit("<h"), level.cast("string"), align, F.lit(">"),
+        _fmt_wrap(_esc(it["content"]), it),
+        F.lit("</h"), level.cast("string"), F.lit(">"),
     )
-    para = F.concat(F.lit("<p>"), _with_br(_esc(it["content"])),
+    para = F.concat(F.lit("<p"), align, F.lit(">"),
+                    _fmt_wrap(_with_br(_esc(it["content"])), it),
                     F.lit("</p>"))
+    # H8: ol/ul by list_type (html_generator_v2.py:330-501)
+    ltag = F.when(it["list_type"] == "ordered", F.lit("ol")) \
+        .otherwise(F.lit("ul"))
     lst = F.concat(
-        F.lit("<ul>"),
+        F.lit("<"), ltag, F.lit(">"),
         F.concat_ws(
             "",
             F.transform(
@@ -55,7 +85,7 @@ def _render_item(it: Column) -> Column:
                 lambda li: F.concat(F.lit("<li>"), _esc(li), F.lit("</li>")),
             ),
         ),
-        F.lit("</ul>"),
+        F.lit("</"), ltag, F.lit(">"),
     )
     table = F.concat(
         F.lit('<div class="table-container">'),
@@ -64,13 +94,36 @@ def _render_item(it: Column) -> Column:
     )
     caption = F.concat(F.lit('<p class="caption">'), _esc(it["content"]),
                        F.lit("</p>"))
+    # H4 image container (html_generator.py:395-497): embed when a source
+    # is known, placeholder-with-description fallback otherwise
+    image = F.when(
+        it["src"].isNotNull(),
+        F.concat(F.lit('<div class="image-container"><img src="'),
+                 _esc(it["src"]), F.lit('" alt="'), _esc(it["content"]),
+                 F.lit('"/></div>')),
+    ).otherwise(
+        F.concat(F.lit('<div class="image-placeholder"><p>'),
+                 _esc(it["content"]), F.lit("</p></div>")),
+    )
+    chrome = F.concat(
+        F.lit('<div class="'), it["type"], F.lit('"><p>'),
+        _esc(it["content"]), F.lit("</p></div>"),
+    )
     return (
         F.when(it["type"] == "header", header)
         .when(it["type"].isin("table", "kv_table"), table)
         .when(it["type"] == "list", lst)
         .when(it["type"] == "caption", caption)
+        .when(it["type"] == "image", image)
+        .when(it["type"].isin("page_header", "page_footer"), chrome)
         .otherwise(para)
     )
+
+
+def render_item_column(it: Column) -> Column:
+    """Public per-item render expression (H3/H4) — usable after an
+    ``explode(content_items)``."""
+    return _render_item(it)
 
 
 def render_html(df: DataFrame, items_col: str = "content_items",
@@ -118,14 +171,45 @@ def readability_stats(df: DataFrame, items_col: str = "content_items",
     )
 
 
+def _zebra_stripe(c: Column) -> Column:
+    """H10 zebra striping (html_formatter.py:80-321): tbody rows get
+    alternating even/odd classes BY ROW INDEX. Pure Catalyst: split on
+    <tbody>, then index-aware ``transform`` over the <tr> splits of each
+    body segment — no Python, no shuffle. Row counting restarts at each
+    <tbody> (one per table), matching the reference's per-table pass."""
+    segs = F.split(c, "<tbody>")
+
+    def stripe_seg(seg: Column, i: Column) -> Column:
+        rows = F.split(seg, "<tr>")
+        striped = F.concat_ws(
+            "",
+            F.transform(
+                rows,
+                lambda part, j: F.when(j == 0, part).otherwise(
+                    F.concat(
+                        F.when((j % 2) == 1,
+                               F.lit('<tr class="even">'))
+                        .otherwise(F.lit('<tr class="odd">')),
+                        part,
+                    )
+                ),
+            ),
+        )
+        return F.when(i == 0, seg).otherwise(striped)
+
+    return F.concat_ws("<tbody>", F.transform(segs, stripe_seg))
+
+
 def apply_readability_rewrite(df: DataFrame, html_col: str = "html") -> DataFrame:
-    """H10 analog: deterministic restyle pass over rendered HTML —
-    class-tag header/body cells the way the reference's BeautifulSoup pass
-    colors th (header) and zebra-stripes td rows; regexp-based so it stays
-    JVM-side."""
+    """H10 — the reference's readability restyle pass
+    (html_formatter.py:80-321: th header styling, tbody zebra striping by
+    row index, table restyle) re-expressed as Catalyst string
+    expressions; attribute-tolerant (``<th scope=..>`` still matched via
+    lookahead) and fully JVM-side."""
     c = F.col(html_col)
-    c = F.regexp_replace(c, "<th>", '<th class="hdr">')
-    c = F.regexp_replace(c, "<table>", '<table class="readable">')
+    c = _zebra_stripe(c)
+    c = F.regexp_replace(c, "<th(?=[\\s>])", '<th class="hdr"')
+    c = F.regexp_replace(c, "<table(?=[\\s>])", '<table class="readable"')
     return df.withColumn(html_col, c)
 
 

@@ -130,31 +130,88 @@ def ann_topk(indexed: DataFrame, qvec: list, k: int = 10, dim: int = 64,
     return brute_force_topk(cand, qvec, k, id_col, vec_col)
 
 
-def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
-                              n_planes: int = 8, seed: int = 42,
-                              id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs via bucket-join blocking: pairs must
-    collide in the SRP bucket (recall < 1 by construction — the standard
-    precision/throughput trade; raise n_planes/hamming probes for recall),
-    then exact cosine ≥ threshold."""
-    indexed = srp_index(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket",
-        _norm(F.col(vec_col)).alias("nrm"),
+def srp_band_buckets_udf(dim: int, n_bands: int = 8,
+                         planes_per_band: int = 16, seed: int = 42):
+    """Vectorized pandas UDF: n_bands independent SRP bucket ids per
+    vector (one numpy matmul per Arrow batch over all bands' planes)."""
+    planes = _hyperplanes(dim, n_bands * planes_per_band, seed)
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy())                    # (batch, dim)
+        signs = (mat @ planes) > 0                         # (batch, B*P)
+        s = signs.reshape(len(col), n_bands, planes_per_band)
+        ids = (s * weights).sum(axis=2).astype(np.int32)   # (batch, B)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def srp_band_candidates(df: DataFrame, dim: int, n_bands: int = 8,
+                        planes_per_band: int = 16, seed: int = 42,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Banded SRP blocking (the MinHash-LSH band trick applied to sign
+    random projections): a pair is a candidate iff it collides in ≥1 of
+    ``n_bands`` independent ``planes_per_band``-bit buckets. Distinct
+    (id_a, id_b) pairs, id_a < id_b.
+
+    Scale shape: the join key is (band, bucket) — 2^planes_per_band
+    buckets PER BAND, so with the default 16 bits the background
+    collision rate for unrelated vectors is ~n²·n_bands/2^16 ... growing
+    ``planes_per_band`` (not the corpus) is the knob that keeps
+    in-bucket membership bounded as n grows; 20 bits ≈ 1M buckets per
+    band. This replaces the single-table 8-plane design whose 256
+    buckets made the in-bucket self-join quadratic at corpus scale."""
+    udf = srp_band_buckets_udf(dim, n_bands, planes_per_band, seed)
+    banded = (
+        df.select(F.col(id_col).alias("id"),
+                  udf(F.col(vec_col)).alias("bands"))
+        .select("id", F.posexplode("bands").alias("band", "bucket"))
     )
-    a = indexed.alias("a")
-    b = indexed.alias("b")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
+                              n_bands: int = 8, planes_per_band: int = 16,
+                              seed: int = 42, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded SRP blocking
+    (``srp_band_candidates``) → exact cosine verification of the
+    candidate pairs only. Recall for a pair at angle θ is
+    1-(1-(1-θ/π)^planes_per_band)^n_bands — near 1 for true near-dups
+    (cos ≥ 0.95) at the defaults, tunable via n_bands."""
+    cands = srp_band_candidates(df, dim, n_bands, planes_per_band, seed,
+                                id_col, vec_col)
+    vecs = df.select(F.col(id_col).alias("vid"),
+                     F.col(vec_col).alias("v"),
+                     _norm(F.col(vec_col)).alias("nrm"))
+    a = vecs.alias("va")
+    b = vecs.alias("vb")
     dot = F.aggregate(
-        F.zip_with(F.col("a.v").cast("array<double>"),
-                   F.col("b.v").cast("array<double>"), lambda x, y: x * y),
+        F.zip_with(F.col("va.v").cast("array<double>"),
+                   F.col("vb.v").cast("array<double>"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
+        cands.join(a, cands.id_a == F.col("va.vid"))
+        .join(b, cands.id_b == F.col("vb.vid"))
         .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+            "id_a", "id_b",
+            F.round(dot / (F.col("va.nrm") * F.col("vb.nrm")), 6)
+            .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

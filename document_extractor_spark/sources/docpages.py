@@ -66,6 +66,29 @@ _FIG_SUFFIX_TMPL = (
 )
 
 
+# Formatting variant: the main paragraph is centered and wholly wrapped
+# in <strong><em> so the extracted item must carry {bold, italic,
+# alignment} and the H3 renderer must re-emit the formatting — all with
+# closed-form oracles.
+def pages_with_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_PREFIX), did,
+        F.lit("</h1><p style='text-align: center'><strong><em>"),
+        _escaped("text"),
+        F.lit("</em></strong></p></main>"),
+        F.lit(_SUFFIX.replace("</p></main>", "", 1)),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
 def pages_with_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id").cast("string")

@@ -170,3 +170,53 @@ def test_minhash_no_lingering_shingle_cache(spark, docs):
     # shingle cache released; only the checkpointed pair result may remain
     assert after - before <= 1
     out.unpersist()
+
+
+def test_srp_band_candidates_near_linear_growth(spark):
+    """The banded blocking must scale: candidate-pair count on a corpus
+    of random vectors + planted duplicates grows ~linearly with n, not
+    quadratically (the single-table 256-bucket design grew as n²/256)."""
+    import numpy as np
+
+    from document_extractor_spark.operators.similarity import (
+        srp_band_candidates,
+    )
+
+    def corpus(n):
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((n, 32)).astype("float32")
+        rows = [(i, base[i].tolist()) for i in range(n)]
+        # plant n/10 exact duplicates
+        rows += [(n + i, base[i].tolist()) for i in range(n // 10)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+
+    def n_cands(n):
+        return srp_band_candidates(
+            corpus(n), dim=32, n_bands=8, planes_per_band=20).count()
+
+    c1, c4 = n_cands(500), n_cands(2000)
+    assert c1 >= 50          # planted dups are found
+    # quadratic background would give c4/c1 ≈ 16; linear ≈ 4
+    assert c4 / max(c1, 1) < 8.0
+
+
+def test_embedding_near_duplicates_banded_recall(spark):
+    """Planted exact duplicates must all survive the banded blocking +
+    cosine verification at high threshold."""
+    import numpy as np
+
+    from document_extractor_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 16)).astype("float32")
+    rows = [(i, base[i].tolist(), "x") for i in range(200)]
+    rows += [(1000 + i, base[i].tolist(), "x") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string")
+    got = {(r.id_a, r.id_b)
+           for r in embedding_near_duplicates(df, dim=16,
+                                              threshold=0.999).collect()}
+    assert {(i, 1000 + i) for i in range(30)} <= got

@@ -440,3 +440,110 @@ def test_unquoted_trailing_slash_is_not_selfclosing():
     # genuinely self-closing forms still close
     fl2 = flatten("<p>one<br/>two<br />three<img src='x'/>four</p>")
     assert "one" in fl2.blocks[0].text and "four" in fl2.blocks[0].text
+
+
+# ---------------------------------------------------------------------------
+# Round 2: formatting flags, image items, chrome items, layout
+# ---------------------------------------------------------------------------
+
+_CONTENT_P = ("<p>Intro paragraph with enough words to satisfy the content "
+              "classifier threshold comfortably today.</p>")
+
+
+def test_formatting_flags_on_items():
+    html = ("<main>" + _CONTENT_P +
+            "<p><strong><em>Fully bold italic sentence with plenty of words "
+            "to classify as content.</em></strong></p>"
+            "<p><b>Only the start is bold</b> but the rest of this long "
+            "sentence is plain prose text.</p></main>").encode()
+    res = extract_html(html)
+    paras = [it for it in res.items if it.type == "paragraph"]
+    assert paras[1].bold and paras[1].italic and not paras[1].underline
+    # mixed formatting → flags only when ALL words are formatted
+    assert not paras[2].bold
+
+
+def test_alignment_from_style():
+    html = ("<main>" + _CONTENT_P +
+            "<p style='text-align: center'>A centered paragraph long enough "
+            "to be kept by the classifier as content today.</p></main>"
+            ).encode()
+    res = extract_html(html)
+    paras = [it for it in res.items if it.type == "paragraph"]
+    assert paras[0].alignment is None
+    assert paras[1].alignment == "center"
+
+
+def test_image_items_block_level():
+    html = ("<main>" + _CONTENT_P +
+            "<figure><img src='/pic.jpg' alt='a nice chart'>"
+            "<figcaption>The caption</figcaption></figure></main>").encode()
+    res = extract_html(html)
+    types = [it.type for it in res.items]
+    assert types == ["paragraph", "image", "caption"]
+    img = res.items[1]
+    assert img.src == "/pic.jpg" and img.content == "a nice chart"
+
+
+def test_inline_image_does_not_split_paragraph():
+    html = ("<main><p>Leading words of a long sentence "
+            "<img src='/icon.png' alt='icon'> trailing words keep flowing "
+            "in the same paragraph for the classifier.</p></main>").encode()
+    res = extract_html(html)
+    assert [it.type for it in res.items] == ["paragraph"]
+    assert "icon" not in res.text
+
+
+def test_list_type_ordered():
+    html = ("<main>" + _CONTENT_P +
+            "<ol><li>first step of procedure</li><li>second step follows"
+            "</li><li>third step concludes the sequence</li></ol>"
+            "<ul><li>alpha bullet one here</li><li>beta bullet two here</li>"
+            "<li>gamma bullet three here</li></ul></main>").encode()
+    res = extract_html(html)
+    lists = [it for it in res.items if it.type == "list"]
+    assert [lt.list_type for lt in lists] == ["ordered", "unordered"]
+
+
+def test_emit_chrome_typed_items():
+    html = ("<html><body><header><a href='/'>Home</a> <a href='/x'>X</a>"
+            "</header><nav><ul><li><a href='/a'>A</a></li></ul></nav>"
+            "<main>" + _CONTENT_P + "</main>"
+            "<footer><p>Copyright 2026 Example.</p></footer></body></html>"
+            ).encode()
+    off = extract_html(html)
+    assert [it.type for it in off.items] == ["paragraph"]
+    on = extract_html(html, emit_chrome=True)
+    types = [it.type for it in on.items]
+    assert types == ["page_header", "paragraph", "page_footer"]
+    assert on.items[0].content == "Home X"
+    assert on.items[2].content == "Copyright 2026 Example."
+    # nav stays dropped even with chrome emission
+    assert not any("A" == it.content for it in on.items)
+    # spans still tile the (chrome-bearing) text
+    parts = [on.text[s:e] for s, e, _t in on.spans]
+    assert "\n\n".join(parts) == on.text
+
+
+def test_layout_struct_html_and_pdf():
+    html = ("<html><body><header><p>Top</p></header><main "
+            "style='column-count: 3'>" + _CONTENT_P + "</main></body></html>"
+            ).encode()
+    rec = extract_payload(html, url="u", include_layout=True)
+    assert rec["layout"] == {"columns": 3, "has_header": True,
+                             "has_footer": False}
+    two_col = build_pdf([[
+        (72, 700, 12, "Left column text"), (400, 700, 12, "Right column"),
+        (72, 680, 12, "more left"), (400, 680, 12, "more right"),
+    ]])
+    rec2 = extract_payload(two_col, url="u", include_layout=True)
+    assert rec2["layout"]["columns"] == 2
+    assert rec2["layout"]["has_header"] is False
+
+
+def test_pdf_items_carry_font_size():
+    pdf = build_pdf([[(72, 700, 18, "Big Title"),
+                      (72, 660, 10, "Body text paragraph here")]])
+    rec = extract_payload(pdf, url="u", include_items=True)
+    sizes = {it["type"]: it["font_size"] for it in rec["content_items"]}
+    assert sizes.get("header") == 18.0

@@ -39,13 +39,22 @@ def test_items_roundtrip_spans(extracted):
 
 ITEMS_DDL = ("url string, content_items array<struct<order:int,type:string,"
              "content:string,html:string,level:int,row_count:int,"
-             "column_count:int,converted_from_kv:boolean>>")
+             "column_count:int,converted_from_kv:boolean,src:string,"
+             "bold:boolean,italic:boolean,underline:boolean,"
+             "alignment:string,list_type:string,font_size:double>>")
+
+
+def _item(order, typ, content, html=None, level=0, rc=0, cc=0, kv=False,
+          src=None, bold=False, italic=False, underline=False,
+          alignment=None, list_type=None, font_size=None):
+    return (order, typ, content, html, level, rc, cc, kv, src, bold,
+            italic, underline, alignment, list_type, font_size)
 
 
 def _items_df(spark):
     rows = [("u", [
-        (0, "header", "T", None, 1, 0, 0, False),
-        (1, "paragraph", "p", None, 0, 0, 0, False),
+        _item(0, "header", "T", level=1),
+        _item(1, "paragraph", "p"),
     ])]
     return spark.createDataFrame(rows, ITEMS_DDL)
 
@@ -111,3 +120,77 @@ def test_legacy_projection(extracted):
     row = _one(proj, "section_table_reorder")
     assert len(row["tables"]) == 1
     assert len(row["text_blocks"]) == 6
+
+
+# ---------------------------------------------------------------------------
+# Round 2: image/H4 branch, formatting/H3, ol/H8, chrome, H10 zebra
+# ---------------------------------------------------------------------------
+
+
+def _render_one(spark, item):
+    df = spark.createDataFrame([("u", [item])], ITEMS_DDL)
+    return render_html(df).head()["html"]
+
+
+def test_render_image_container(spark):
+    html = _render_one(spark, _item(0, "image", "a chart", src="/p.jpg"))
+    assert ('<div class="image-container">'
+            '<img src="/p.jpg" alt="a chart"/></div>') in html
+
+
+def test_render_image_placeholder_fallback(spark):
+    """H4 fallback (html_generator.py:395-497): no source → placeholder
+    with the description."""
+    html = _render_one(spark, _item(0, "image", "missing figure", src=None))
+    assert '<div class="image-placeholder"><p>missing figure</p></div>' in html
+
+
+def test_render_formatting_flags(spark):
+    html = _render_one(spark, _item(0, "paragraph", "hot take", bold=True,
+                                    italic=True, underline=True))
+    assert "<p><strong><em><u>hot take</u></em></strong></p>" in html
+
+
+def test_render_alignment_style(spark):
+    html = _render_one(spark, _item(0, "paragraph", "centered",
+                                    alignment="center"))
+    assert '<p style="text-align: center;">centered</p>' in html
+
+
+def test_render_ordered_list(spark):
+    html = _render_one(spark, _item(0, "list", "one\ntwo",
+                                    list_type="ordered"))
+    assert "<ol><li>one</li><li>two</li></ol>" in html
+    html2 = _render_one(spark, _item(0, "list", "one\ntwo"))
+    assert "<ul><li>one</li><li>two</li></ul>" in html2
+
+
+def test_render_page_chrome(spark):
+    html = _render_one(spark, _item(0, "page_header", "Home About"))
+    assert '<div class="page_header"><p>Home About</p></div>' in html
+
+
+def test_readability_zebra_striping(spark):
+    """H10 (html_formatter.py:80-321): tbody rows get alternating
+    even/odd classes BY ROW INDEX; thead rows untouched."""
+    table = ("<table><thead><tr><th>K</th></tr></thead>"
+             "<tbody><tr><td>a</td></tr><tr><td>b</td></tr>"
+             "<tr><td>c</td></tr></tbody></table>")
+    df = spark.createDataFrame([(table,)], "html string")
+    out = apply_readability_rewrite(df).head()["html"]
+    expected = ('<table class="readable"><thead><tr><th class="hdr">K</th>'
+                '</tr></thead><tbody><tr class="even"><td>a</td></tr>'
+                '<tr class="odd"><td>b</td></tr>'
+                '<tr class="even"><td>c</td></tr></tbody></table>')
+    assert out == expected
+
+
+def test_render_plans_jvm_only_new_branches(spark):
+    rows = [("u", [
+        _item(0, "image", "c", src="/p.jpg"),
+        _item(1, "paragraph", "p", bold=True, alignment="center"),
+        _item(2, "list", "a\nb", list_type="ordered"),
+        _item(3, "page_footer", "f"),
+    ])]
+    df = spark.createDataFrame(rows, ITEMS_DDL)
+    assert_no_python(apply_readability_rewrite(render_html(df)))
