@@ -547,3 +547,32 @@ def test_pdf_items_carry_font_size():
     rec = extract_payload(pdf, url="u", include_items=True)
     sizes = {it["type"]: it["font_size"] for it in rec["content_items"]}
     assert sizes.get("header") == 18.0
+
+
+def test_langid_batch_parity_corpus():
+    """The vectorized batch kernel must agree with the scalar reference
+    on the full fixture + synthetic corpus and on adversarial samples."""
+    from document_extractor_spark.extractor.langid import (
+        detect_lang,
+        detect_langs_batch,
+    )
+
+    texts = []
+    for row in fixture_rows():
+        rec = extract_payload(row["html"], url=row["url"])
+        texts.append(rec["extracted_text"])
+    for row in corpus_rows(120, seed=5):
+        texts.append((row.get("html") or b"").decode("utf-8", "replace")[:3000])
+    texts += [
+        "", None, "\x00\x00", "a b", "the and", "the and is",
+        "это русский текст кириллица здесь преобладает явно и всюду",
+        "한국어 본문 음절 글자 비율이 높습니다 한국어 본문 글자",
+        "word " * 500 + "the and is of to in",   # stopwords past the cutoff
+        "the and is of to in " + "word " * 500,
+        "mixed 中文 characters but mostly english the and is of to",
+    ]
+    batch = detect_langs_batch(texts)
+    for t, b in zip(texts, batch):
+        assert detect_lang(t or "") == b, repr((t or "")[:60])
+
+
