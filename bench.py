@@ -187,9 +187,13 @@ def scale_run(cores: int) -> None:
         docs = int(obs.get["docs"])
         if len(walls) >= 3 and min(steals) < 150:
             break
-    wall = min(walls)
+    best = min(range(len(walls)), key=walls.__getitem__)
+    wall = walls[best]
     print(json.dumps({"cores": cores, "docs": docs, "wall_sec": wall,
                       "walls": walls, "steal_jiffies": steals,
+                      # steal measured during the SELECTED (fastest) pass —
+                      # the pair-eligibility gate reads this, not min(steals)
+                      "sel_steal": steals[best],
                       "docs_per_sec": docs / wall}))
     spark.stop()
 
@@ -199,21 +203,36 @@ def scale_run(cores: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _run_headline(spark) -> dict:
+HEADLINE_QUERIES = [
+    "extract_roundtrip", "extract_lang_profile", "text_stats",
+    "fingerprints", "exact_dup_groups", "ngram_jaccard",
+    "minhash_near_dups", "simhash", "knn_bruteforce", "ann_topk",
+    "report_agg", "join_revenue", "window_topk_events", "sessionize",
+    "event_pivot", "kv_pivot", "json_repair", "multipage_merge",
+    "image_extract", "image_link", "readability", "dedup_kept",
+    "customers_without_orders", "image_items", "formatting_render",
+    "page_chrome_layout",
+]
+
+# Shuffle-bearing analytics queries also timed at local[8] so the N→4N
+# evidence is not extraction-only (VERDICT r1 item 10).
+ANALYTICS_PAIR_QUERIES = [
+    "text_stats", "exact_dup_groups", "report_agg", "join_revenue",
+    "window_topk_events", "sessionize", "event_pivot",
+]
+
+
+def _run_headline(spark, names=None) -> dict:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    headline = [
-        "extract_roundtrip", "extract_lang_profile", "text_stats",
-        "fingerprints", "exact_dup_groups", "ngram_jaccard",
-        "minhash_near_dups", "simhash", "knn_bruteforce", "ann_topk",
-        "report_agg", "join_revenue", "window_topk_events", "sessionize",
-        "event_pivot", "kv_pivot", "json_repair", "multipage_merge",
-        "image_extract", "image_link", "readability", "dedup_kept",
-        "customers_without_orders",
-    ]
+    # untimed warm query: JVM codegen + parquet footer cache, so the
+    # timed local[8] vs local[32] comparison is not skewed by first-run
+    # JIT happening in only one of the sessions
+    qs["report_agg"](spark, SF_DIR).write.format("noop") \
+        .mode("overwrite").save()
     times = {}
-    for name in headline:
+    for name in (names or HEADLINE_QUERIES):
         df = qs[name](spark, SF_DIR)
         t0 = time.monotonic()
         df.write.format("noop").mode("overwrite").save()
@@ -248,14 +267,20 @@ width the 4N configuration is not fighting the box's own DRAM-bandwidth
 | local[16] (4N) | {out['queries']['extract_corpus_local16']} | {out['docs_per_sec_local16']:.0f} |
 
 **Scaling efficiency (4→16) = {out['scaling_efficiency_4_16']:.3f}** this
-run; **headline = {out['scaling_efficiency']:.3f}** — the best honest
-pair across the {out.get('scaling_runs_recorded', 1)} recorded run(s) at
-this sf (history with per-pass steal evidence:
-`.bench_cache/scaling_history.json`). Rationale: co-tenant steal storms
-on this host depress a measurement by up to 2× (steal of 17k+ jiffies
-per pass observed); steal can only slow the job, so the best observation
-across runs is the closest estimate of the job's true scaling. Measured
-range across runs: ~0.74 under storms → 0.98 on a quiet host.
+run; **headline = {out['scaling_efficiency']:.3f}**
+(basis: `{out.get('scaling_headline_basis')}`,
+{out.get('scaling_runs_eligible', 0)} eligible of
+{out.get('scaling_runs_recorded', 1)} recorded run(s) at this sf;
+history with per-pass steal evidence:
+`.bench_cache/scaling_history.json`).
+
+Methodology (revised after round-1 review): co-tenant CPU steal is NOT
+one-directional for a ratio — steal during the N-side passes *inflates*
+the measured efficiency, steal on the 4N side deflates it. So a run's
+pair is **eligible** for the headline only when the selected (fastest)
+pass on BOTH sides measured steal <150 jiffies, and the headline is the
+**median** of eligible primary-pair observations — not a max over noisy
+runs or over pair definitions.
 
 Secondary pair — local[8] vs local[32] (full machine width):
 
@@ -270,6 +295,24 @@ at only ~0.84 on this box — saturating all 32 vCPUs hits the VM's own
 frequency/steal ceiling, so the full-width number is a lower bound
 bounded by hardware, not by the job's plan (which is shuffle-free).
 
+## Analytics queries — local[8] vs local[{CPUS}] pair evidence
+
+The shuffle-bearing analytics queries (agg / join / window / pivot /
+dedup) timed at both widths in fresh, warmed sessions — so the N→4N
+evidence covers the shuffle plans, not just the narrow extraction job.
+(Wall-clock at this sf includes fixed per-query overheads — plan
+compile, task launch — so per-query speedup understates throughput
+scaling; the corpus-level extraction pair above is the controlled
+measurement.)
+
+| query | local[8] s | local[{CPUS}] s | speedup |
+|---|---|---|---|
+"""
+    for name, s8 in out.get("queries_local8", {}).items():
+        s32 = out["queries"].get(name)
+        if s32:
+            md += f"| {name} | {s8} | {s32} | {s8 / s32:.2f}x |\n"
+    md += f"""
 ## Headline query timings (local[{CPUS}], sf={out['sf']})
 
 | query | sec |
@@ -311,6 +354,13 @@ def main() -> None:
         )
         scale[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
 
+    # analytics pair evidence: same shuffle-bearing queries at local[8]
+    # then local[32], sequential fresh sessions, each warmed untimed
+    spark8 = _session(8)
+    spark8.sparkContext.setLogLevel("ERROR")
+    times8 = _run_headline(spark8, names=ANALYTICS_PAIR_QUERIES)
+    spark8.stop()
+
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     times = _run_headline(spark)
@@ -322,14 +372,15 @@ def main() -> None:
     eff_4_16 = scale[16]["docs_per_sec"] / (4 * scale[4]["docs_per_sec"])
     eff_8_32 = scale[CPUS]["docs_per_sec"] / (
         (CPUS / 8) * scale[8]["docs_per_sec"])
-    # Headline = the better of the two N→4N pairs: both measure the same
-    # job property; co-tenant steal/throttling on the 4N side can only
-    # LOWER a pair's measured efficiency (N-side passes are steal-gated
-    # in scale_run), so max() is the least-noise-corrupted estimate.
-    # A rolling history (.bench_cache/scaling_history.json) additionally
-    # records every run's pairs + steal, and the best observation across
-    # runs is reported with provenance — on a host with co-tenant storms
-    # a single run can under-measure by 2×.
+
+    # Headline methodology (revised after r1 review): steal is NOT
+    # one-directional — steal on the N (denominator) side INFLATES the
+    # ratio, so best-of-history was an upward-biased estimator. A run's
+    # pair is ELIGIBLE only when the selected pass on BOTH sides of the
+    # pair measured low steal (<150 jiffies); the headline is the MEDIAN
+    # of eligible primary-pair (4→16) observations across recorded runs
+    # at this sf. History: .bench_cache/scaling_history.json.
+    STEAL_OK = 150
     hist_path = os.path.join(CACHE, "scaling_history.json")
     try:
         with open(hist_path, encoding="utf-8") as f:
@@ -342,35 +393,57 @@ def main() -> None:
                          for c in (4, 16, 8, CPUS)},
         "steal": {str(c): scale[c].get("steal_jiffies")
                   for c in (4, 16, 8, CPUS)},
-        "eff_4_16": round(scale[16]["docs_per_sec"]
-                          / (4 * scale[4]["docs_per_sec"]), 3),
-        "eff_8_32": round(scale[CPUS]["docs_per_sec"]
-                          / ((CPUS / 8) * scale[8]["docs_per_sec"]), 3),
+        "sel_steal": {str(c): scale[c].get("sel_steal")
+                      for c in (4, 16, 8, CPUS)},
+        "eff_4_16": round(eff_4_16, 3),
+        "eff_8_32": round(eff_8_32, 3),
     })
     with open(hist_path, "w", encoding="utf-8") as f:
         json.dump(history, f)
     same_sf = [h for h in history if h.get("sf") == SF]
-    best_eff = max(max(h["eff_4_16"], h["eff_8_32"]) for h in same_sf)
+
+    def _pair_eligible(h, a, b):
+        ss = h.get("sel_steal") or {}
+        sa, sb = ss.get(str(a)), ss.get(str(b))
+        return (sa is not None and sb is not None
+                and sa < STEAL_OK and sb < STEAL_OK)
+
+    eligible_4_16 = sorted(
+        h["eff_4_16"] for h in same_sf if _pair_eligible(h, 4, 16))
+    if eligible_4_16:
+        n_e = len(eligible_4_16)
+        headline_eff = (eligible_4_16[n_e // 2] if n_e % 2
+                        else (eligible_4_16[n_e // 2 - 1]
+                              + eligible_4_16[n_e // 2]) / 2)
+        basis = f"median_of_{n_e}_steal_quiet_runs_4_16"
+    else:
+        headline_eff = eff_4_16
+        basis = "this_run_4_16_no_steal_quiet_run_recorded"
     out = {
         "metric": "extraction+analytics bench (docs/sec + headline queries)",
         "value": round(time.monotonic() - total0, 3),
         "unit": "sec",
         "queries": times,
+        "queries_local8": times8,
         "sf": SF,
         "corpus_docs": scale[CPUS]["docs"],
         "docs_per_sec_local4": round(scale[4]["docs_per_sec"], 1),
         "docs_per_sec_local16": round(scale[16]["docs_per_sec"], 1),
         "docs_per_sec_local8": round(scale[8]["docs_per_sec"], 1),
         f"docs_per_sec_local{CPUS}": round(scale[CPUS]["docs_per_sec"], 1),
-        "scaling_efficiency": round(max(eff_4_16, eff_8_32, best_eff), 3),
-        "scaling_efficiency_this_run": round(max(eff_4_16, eff_8_32), 3),
+        "scaling_efficiency": round(headline_eff, 3),
+        "scaling_headline_basis": basis,
+        "scaling_efficiency_this_run": round(eff_4_16, 3),
         "scaling_efficiency_4_16": round(eff_4_16, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
         "scaling_runs_recorded": len(same_sf),
+        "scaling_runs_eligible": len(eligible_4_16),
         "steal_local4": scale[4].get("steal_jiffies"),
         "steal_local16": scale[16].get("steal_jiffies"),
         "steal_local8": scale[8].get("steal_jiffies"),
         f"steal_local{CPUS}": scale[CPUS].get("steal_jiffies"),
+        "sel_steal": {str(c): scale[c].get("sel_steal")
+                      for c in (4, 16, 8, CPUS)},
     }
     _write_bench_md(out)
     print(json.dumps(out))
