@@ -379,6 +379,7 @@ def q_image_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id_from_url("url"),
         "image_index",
         F.col("item.src").alias("src"),
+        F.col("item.image_type").alias("image_type"),
         F.col("item.content").alias("description"),
         render_item_column(F.col("item")).alias("rendered"),
     )
@@ -809,7 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "image_items": """
             SELECT doc_id, k AS image_index,
                    '/img/' || doc_id || '-' || k || '.jpg' AS src,
-                   'chart' AS description,
+                   'chart' AS image_type, 'chart' AS description,
                    '<div class="image-container"><img src="/img/' || doc_id
                      || '-' || k || '.jpg" alt="chart"/></div>' AS rendered
             FROM documents, (SELECT unnest([1, 2]) AS k)

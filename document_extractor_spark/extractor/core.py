@@ -46,14 +46,15 @@ _EMPTY_LAYOUT = {"columns": 1, "has_header": False, "has_footer": False}
 
 def _item_dict(order, typ, content, html=None, level=0, row_count=0,
                column_count=0, converted_from_kv=False, src=None,
-               bold=False, italic=False, underline=False, alignment=None,
-               list_type=None, font_size=None) -> dict:
+               image_type=None, bold=False, italic=False, underline=False,
+               alignment=None, list_type=None, font_size=None) -> dict:
     return {
         "order": order, "type": typ, "content": content, "html": html,
         "level": int(level), "row_count": int(row_count),
         "column_count": int(column_count),
         "converted_from_kv": bool(converted_from_kv),
-        "src": src, "bold": bool(bold), "italic": bool(italic),
+        "src": src, "image_type": image_type,
+        "bold": bool(bold), "italic": bool(italic),
         "underline": bool(underline), "alignment": alignment,
         "list_type": list_type,
         "font_size": float(font_size) if font_size is not None else None,
@@ -125,6 +126,7 @@ def extract_payload(payload: Optional[bytes], url: str = "",
                        level=it.level, row_count=it.row_count,
                        column_count=it.column_count,
                        converted_from_kv=it.converted_from_kv, src=it.src,
+                       image_type=it.image_type,
                        bold=it.bold, italic=it.italic,
                        underline=it.underline, alignment=it.alignment,
                        list_type=it.list_type, font_size=it.font_size)

@@ -106,6 +106,7 @@ class Block:
     level: int = 0                # header level
     fmt: int = 0                  # FMT_* bitmask (all text formatted)
     src: Optional[str] = None     # image blocks: <img src>
+    image_type: Optional[str] = None  # image blocks: classified enum
     alignment: Optional[str] = None  # style text-align on an open block tag
 
     @property
@@ -128,6 +129,7 @@ class Item:
     column_count: int = 0
     converted_from_kv: bool = False
     src: Optional[str] = None     # image items: source URL
+    image_type: Optional[str] = None  # image items: reference enum
     bold: bool = False            # formatting flags — the reference's
     italic: bool = False          # {bold, italic, underline}
     underline: bool = False       # (openai_content_extractor.py:158-200)
@@ -340,20 +342,31 @@ class _Flattener:
             # for decorative icons.
             if not self._tdepth and not self._frags:
                 src = alt = ""
+                width = height = None
                 if attrs_blob:
                     for am in _ATTR_RE.finditer(attrs_blob):
                         k = am.group(1).lower()
-                        if k in ("src", "alt"):
+                        if k in ("src", "alt", "width", "height"):
                             v = (am.group(2) or "").strip("\"'")
                             if k == "src":
                                 src = unescape(v) if "&" in v else v
-                            else:
+                            elif k == "alt":
                                 alt = unescape(v) if "&" in v else v
+                            else:
+                                try:
+                                    iv = int(v)
+                                except ValueError:
+                                    continue
+                                if k == "width":
+                                    width = iv
+                                else:
+                                    height = iv
                 self.blocks.append(Block(
                     index=len(self.blocks), tag="img",
                     ancestors=tuple(self.stack),
                     text=_WS_RE.sub(" ", alt).strip(),
                     n_words=0, src=src or None,
+                    image_type=classify_image_type(src, alt, width, height),
                 ))
             return
         if attrs_blob and "column-count" in attrs_blob:
@@ -775,6 +788,31 @@ def _num_words_rule(prev: Optional[Block], curr: Block, nxt: Optional[Block]) ->
 # ---------------------------------------------------------------------------
 
 
+# image_type enum (openai_content_extractor.py:186): the reference asks
+# GPT-4V to classify; the deterministic replacement votes on src/alt
+# keywords and the declared pixel size (tiny = decoration). First match
+# wins; 'photo' is the default like a camera-captured <img> with no
+# structural signal.
+_IMAGE_TYPE_RULES = [
+    ("logo", ("logo", "brand", "favicon")),
+    ("chart", ("chart", "graph", "plot", "histogram")),
+    ("diagram", ("diagram", "schematic", "flowchart", "architecture")),
+    ("table_image", ("table", "spreadsheet", "grid")),
+]
+
+
+def classify_image_type(src: str, alt: str, width: Optional[int],
+                        height: Optional[int]) -> str:
+    if width is not None and height is not None \
+            and width <= 32 and height <= 32:
+        return "decoration"
+    hay = f"{src} {alt}".lower()
+    for itype, keys in _IMAGE_TYPE_RULES:
+        if any(k in hay for k in keys):
+            return itype
+    return "photo"
+
+
 def _chrome_kind(b: Block) -> Optional[str]:
     """page_header / page_footer membership for a chrome block. nav and
     aside blocks are navigation chrome with no reference item type — they
@@ -827,7 +865,7 @@ def blocks_to_items(blocks: list[Block],
             i += 1
         elif b.tag == "img":
             items.append(Item(order=len(items), type=T_IMAGE, content=b.text,
-                              src=b.src))
+                              src=b.src, image_type=b.image_type))
             i += 1
         elif b.tag == "li":
             lines = []

@@ -80,6 +80,7 @@ ITEM_TYPE = T.ArrayType(
         T.StructField("column_count", T.IntegerType(), True),
         T.StructField("converted_from_kv", T.BooleanType(), True),
         T.StructField("src", T.StringType(), True),
+        T.StructField("image_type", T.StringType(), True),
         T.StructField("bold", T.BooleanType(), True),
         T.StructField("italic", T.BooleanType(), True),
         T.StructField("underline", T.BooleanType(), True),

@@ -127,18 +127,31 @@ def render_item_column(it: Column) -> Column:
 
 
 def render_html(df: DataFrame, items_col: str = "content_items",
-                url_col: str = "url") -> DataFrame:
+                url_col: str = "url",
+                layout_col: str | None = None) -> DataFrame:
     """H1: reading-order render — items are already order-sorted by the
     extractor (E2); re-assert with array_sort on ``order`` to stay correct
-    for arbitrary upstream item arrays."""
+    for arbitrary upstream item arrays.
+
+    ``layout_col``: optional layout struct (``extract_pages(
+    with_layout=True)``) — multi-column pages get the H8 ``column-count``
+    CSS on the page container (html_generator_v2.py:98-229)."""
     items = F.array_sort(
         F.col(items_col),
         lambda a, b: F.when(a["order"] < b["order"], -1)
         .when(a["order"] > b["order"], 1).otherwise(0),
     )
     body = F.concat_ws("\n", F.transform(items, _render_item))
-    page = F.concat(
-        F.lit('<div class="page">\n'), body, F.lit("\n</div>"))
+    if layout_col is not None:
+        cols = F.coalesce(F.col(layout_col)["columns"], F.lit(1))
+        open_div = F.when(
+            cols > 1,
+            F.concat(F.lit('<div class="page" style="column-count: '),
+                     cols.cast("string"), F.lit(';">\n')),
+        ).otherwise(F.lit('<div class="page">\n'))
+    else:
+        open_div = F.lit('<div class="page">\n')
+    page = F.concat(open_div, body, F.lit("\n</div>"))
     return df.select(F.col(url_col), page.alias("html"))
 
 

@@ -576,3 +576,24 @@ def test_langid_batch_parity_corpus():
         assert detect_lang(t or "") == b, repr((t or "")[:60])
 
 
+
+
+def test_image_type_classification():
+    from document_extractor_spark.extractor.html_extract import (
+        classify_image_type,
+        extract_html,
+    )
+
+    assert classify_image_type("/img/q3-chart.png", "", None, None) == "chart"
+    assert classify_image_type("/logo.svg", "", None, None) == "logo"
+    assert classify_image_type("/x.png", "system diagram", None, None) \
+        == "diagram"
+    assert classify_image_type("/x.png", "", 16, 16) == "decoration"
+    assert classify_image_type("/holiday.jpg", "beach", 800, 600) == "photo"
+
+    html = ("<main>" + _CONTENT_P +
+            "<figure><img src='/sales-chart.png' alt='Q3 sales' "
+            "width='640' height='480'></figure></main>").encode()
+    res = extract_html(html)
+    img = [it for it in res.items if it.type == "image"][0]
+    assert img.image_type == "chart"

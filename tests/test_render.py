@@ -40,15 +40,16 @@ def test_items_roundtrip_spans(extracted):
 ITEMS_DDL = ("url string, content_items array<struct<order:int,type:string,"
              "content:string,html:string,level:int,row_count:int,"
              "column_count:int,converted_from_kv:boolean,src:string,"
-             "bold:boolean,italic:boolean,underline:boolean,"
-             "alignment:string,list_type:string,font_size:double>>")
+             "image_type:string,bold:boolean,italic:boolean,"
+             "underline:boolean,alignment:string,list_type:string,"
+             "font_size:double>>")
 
 
 def _item(order, typ, content, html=None, level=0, rc=0, cc=0, kv=False,
-          src=None, bold=False, italic=False, underline=False,
-          alignment=None, list_type=None, font_size=None):
-    return (order, typ, content, html, level, rc, cc, kv, src, bold,
-            italic, underline, alignment, list_type, font_size)
+          src=None, image_type=None, bold=False, italic=False,
+          underline=False, alignment=None, list_type=None, font_size=None):
+    return (order, typ, content, html, level, rc, cc, kv, src, image_type,
+            bold, italic, underline, alignment, list_type, font_size)
 
 
 def _items_df(spark):
@@ -194,3 +195,19 @@ def test_render_plans_jvm_only_new_branches(spark):
     ])]
     df = spark.createDataFrame(rows, ITEMS_DDL)
     assert_no_python(apply_readability_rewrite(render_html(df)))
+
+
+def test_render_multicolumn_css_from_layout(spark):
+    """H8: layout.columns > 1 → column-count CSS on the page container
+    (html_generator_v2.py:98-229)."""
+    ddl = ITEMS_DDL + ", layout struct<columns:int,has_header:boolean," \
+        "has_footer:boolean>"
+    rows = [
+        ("u1", [_item(0, "paragraph", "two col")], (3, False, False)),
+        ("u2", [_item(0, "paragraph", "one col")], (1, False, False)),
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    out = {r["url"]: r["html"]
+           for r in render_html(df, layout_col="layout").collect()}
+    assert out["u1"].startswith('<div class="page" style="column-count: 3;">')
+    assert out["u2"].startswith('<div class="page">\n')
