@@ -212,6 +212,32 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over planted duplicate chains: doc i links to
+    i+100000 (i<50) and i+100000 links to i+200000 (i<20) — transitive
+    closure must label every member with the chain's min id."""
+    from document_extractor_spark.operators.dedup import duplicate_clusters
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 50)
+    p1 = d.select(F.col("doc_id").alias("id_a"),
+                  (F.col("doc_id") + 100000).alias("id_b"))
+    p2 = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("id_a"),
+        (F.col("doc_id") + 200000).alias("id_b"))
+    return duplicate_clusters(p1.unionByName(p2))
+
+
+def q_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles (exact interpolated percentile — one
+    shuffle, map-side partial aggregation)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join shape (§2.9: left_anti mismatch detection): customers
     who never placed a high-value order (threshold keeps the result
@@ -585,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_link": q_image_link,
         "readability": q_readability,
         "image_items": q_image_items,
+        "dup_clusters": q_dup_clusters,
+        "source_quantiles": q_source_quantiles,
         "formatting_render": q_formatting_render,
         "page_chrome_layout": q_page_chrome_layout,
     }
@@ -824,6 +852,21 @@ def oracle_sql() -> dict[str, str]:
                           '"', '&quot;'), chr(39), '&#x27;')
                      || '</em></strong></p>' AS rendered
             FROM documents
+        """,
+        "dup_clusters": """
+            WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 50)
+            SELECT doc_id, doc_id AS cluster_id FROM base
+            UNION ALL
+            SELECT doc_id + 100000, doc_id FROM base
+            UNION ALL
+            SELECT doc_id + 200000, doc_id FROM base WHERE doc_id < 20
+        """,
+        "source_quantiles": """
+            SELECT source,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
         """,
         "page_chrome_layout": """
             SELECT doc_id, 1 AS n_page_headers, 'Home About' AS header_text,

@@ -153,6 +153,9 @@ def _cpu_steal() -> int:
 
 
 def scale_run(cores: int) -> None:
+    load0 = os.getloadavg()[0]   # external load BEFORE any Spark work:
+    # in-guest contention (another process on this VM) is invisible to
+    # the steal counter — this is the eligibility signal for it
     from pyspark.sql import functions as F
 
     from document_extractor_spark.operators.extract import (
@@ -194,6 +197,7 @@ def scale_run(cores: int) -> None:
                       # steal measured during the SELECTED (fastest) pass —
                       # the pair-eligibility gate reads this, not min(steals)
                       "sel_steal": steals[best],
+                      "load_at_start": round(load0, 2),
                       "docs_per_sec": docs / wall}))
     spark.stop()
 
@@ -277,8 +281,10 @@ history with per-pass steal evidence:
 Methodology (revised after round-1 review): co-tenant CPU steal is NOT
 one-directional for a ratio — steal during the N-side passes *inflates*
 the measured efficiency, steal on the 4N side deflates it. So a run's
-pair is **eligible** for the headline only when the selected (fastest)
-pass on BOTH sides measured steal <150 jiffies, and the headline is the
+pair is **eligible** for the headline only when, on BOTH sides, the
+selected (fastest) pass measured steal <150 jiffies AND the pre-run
+1-min load average showed no in-guest contention (another process on
+this VM never appears as steal), and the headline is the
 **median** of eligible primary-pair observations — not a max over noisy
 runs or over pair definitions.
 
@@ -395,6 +401,8 @@ def main() -> None:
                   for c in (4, 16, 8, CPUS)},
         "sel_steal": {str(c): scale[c].get("sel_steal")
                       for c in (4, 16, 8, CPUS)},
+        "load": {str(c): scale[c].get("load_at_start")
+                 for c in (4, 16, 8, CPUS)},
         "eff_4_16": round(eff_4_16, 3),
         "eff_8_32": round(eff_8_32, 3),
     })
@@ -404,9 +412,16 @@ def main() -> None:
 
     def _pair_eligible(h, a, b):
         ss = h.get("sel_steal") or {}
+        ld = h.get("load") or {}
         sa, sb = ss.get(str(a)), ss.get(str(b))
+        la, lb = ld.get(str(a)), ld.get(str(b))
+        # load gate: another process on this VM (e.g. a concurrent test
+        # run) contends for cores without showing up as hypervisor steal;
+        # the subprocess's pre-Spark 1-min load exposes it
         return (sa is not None and sb is not None
-                and sa < STEAL_OK and sb < STEAL_OK)
+                and sa < STEAL_OK and sb < STEAL_OK
+                and la is not None and lb is not None
+                and la < max(4.0, a / 2) and lb < max(4.0, b / 2))
 
     eligible_4_16 = sorted(
         h["eff_4_16"] for h in same_sf if _pair_eligible(h, 4, 16))

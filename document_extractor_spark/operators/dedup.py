@@ -253,3 +253,64 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# 6. Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step
+    after any pairwise dedup (exact / MinHash / SimHash / embedding):
+    transitively-linked docs form one cluster whose id is the MIN doc id
+    in the component (the canonical survivor, matching
+    ``exact_duplicates``' min-id rule).
+
+    Algorithm: hash-min label propagation — each node repeatedly adopts
+    the smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. Per round: one shuffle join + map-side
+    partial min aggregation, then ``localCheckpoint`` to truncate the
+    lineage (an unbounded iterative plan otherwise re-executes every
+    prior round on each action — the classic iterative-DataFrame trap).
+    Near-dup components are shallow (dup chains, not social graphs), so
+    rounds ≈ 3-5 in practice; ``max_iter`` bounds hostile inputs.
+    Returns ``(doc_id, cluster_id)`` for every node appearing in pairs.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels, e.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(
+                    labels.label, F.coalesce("nbr_label", labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -220,3 +220,16 @@ def test_embedding_near_duplicates_banded_recall(spark):
            for r in embedding_near_duplicates(df, dim=16,
                                               threshold=0.999).collect()}
     assert {(i, 1000 + i) for i in range(30)} <= got
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Hash-min CC: a chain a-b-c and a separate pair d-e form exactly
+    two clusters labeled by their min ids; transitivity (a~c without a
+    direct edge) must hold."""
+    from document_extractor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 7), (7, 3), (10, 12), (3, 9), (9, 2)],
+        "id_a bigint, id_b bigint")
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 7: 1, 3: 1, 9: 1, 2: 1, 10: 10, 12: 10}
