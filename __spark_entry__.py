@@ -228,8 +228,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source length quantiles (exact interpolated percentile — one
-    shuffle, map-side partial aggregation)."""
+    """Per-source length quantiles. EXACT interpolated ``percentile`` so
+    DuckDB ``quantile_cont`` is a bit-exact oracle; exact percentile
+    buffers each group's values, so the 100-TB path is the same query
+    with ``approx_percentile`` (t-digest sketch, bounded memory,
+    map-side combinable) — the ladder mirrors
+    ngram_jaccard (exact verifier) vs MinHash-LSH (scale path)."""
     d = _docs(spark, sf_dir)
     return d.groupBy("source").agg(
         F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),

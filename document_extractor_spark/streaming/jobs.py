@@ -141,3 +141,27 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_dedup_exact(pages_stream: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop pages whose normalized content hash
+    was already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is evicted once the
+    watermark passes, so state size is bounded by the horizon's volume,
+    not the stream's lifetime). The streaming twin of
+    ``operators.dedup.drop_exact_duplicates``; crawl re-fetches of an
+    unchanged page inside the horizon are suppressed at ingest.
+
+    The key is md5 of the RAW payload bytes — ingest-time dedup runs
+    before extraction, payloads may be binary (PDF), and a byte-exact
+    re-fetch is exactly the case to suppress; text-normalized dedup
+    remains the batch operator's job downstream."""
+    hashed = (
+        pages_stream
+        .withColumn("ts", F.coalesce(F.col("warc_ts"),
+                                     F.current_timestamp()))
+        .withColumn("content_hash", F.md5(F.col("html")))
+        .withWatermark("ts", watermark)
+    )
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])

@@ -171,3 +171,28 @@ def test_stream_host_stats_stateful(spark, tmp_path):
         .collect()
     }
     assert got == truth
+
+
+def test_stream_dedup_exact_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the content hash: a corpus
+    written twice (same pages, second copy inside the horizon) must
+    survive only once."""
+    import shutil
+
+    from document_extractor_spark.sources.generator import write_corpus_parquet
+    from document_extractor_spark.streaming.jobs import stream_dedup_exact
+
+    src = str(tmp_path / "dedup_src")
+    write_corpus_parquet(src, 40, seed=3, rows_per_file=20)
+    # duplicate every file -> every page arrives twice
+    for root, _dirs, files in list(__import__("os").walk(src)):
+        for f in files:
+            if f.endswith(".parquet"):
+                shutil.copy(f"{root}/{f}", f"{root}/dup-{f}")
+    stream = stream_pages(spark, src + "/warc_day=*", max_files_per_trigger=2)
+    out = stream_dedup_exact(stream)
+    run_stream_to_memory(out, "stream_dedup_out", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n, count(DISTINCT content_hash) AS d "
+                  "FROM stream_dedup_out").head()
+    assert n["n"] == n["d"]            # no duplicate hash survived
+    assert n["n"] == 40
