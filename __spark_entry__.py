@@ -158,6 +158,34 @@ def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer count (RE2-compatible GPT-2-style pattern —
+    the identical regex runs in the DuckDB oracle)."""
+    from document_extractor_spark.functions.text import bpe_token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters; every even doc is doubled in-query
+    (text || \n || text) so duplicate-line detection has real work."""
+    from document_extractor_spark.operators.textstats import repetition_stats
+
+    d = _docs(spark, sf_dir)
+    t2 = F.when(F.col("doc_id") % 2 == 0,
+                F.concat("text", F.lit("\n"), "text")).otherwise(F.col("text"))
+    return repetition_stats(d.select("doc_id", t2.alias("text")))
+
+
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_extractor_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: stopword/script tables are not SQL-expressible
     return detect_languages(_docs(spark, sf_dir))
@@ -594,6 +622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "quality_by_source": q_quality_by_source,
         "lang_id": q_lang_id,
+        "bpe_token_counts": q_bpe_token_counts,
+        "repetition_stats": q_repetition_stats,
+        "gopher_flags": q_gopher_flags,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
@@ -856,6 +887,79 @@ def oracle_sql() -> dict[str, str]:
                           '"', '&quot;'), chr(39), '&#x27;')
                      || '</em></strong></p>' AS rendered
             FROM documents
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "repetition_stats": """
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                     THEN text || chr(10) || text ELSE text END AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+                list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS paras
+              FROM src)
+            SELECT doc_id,
+              len(lines) AS n_lines,
+              round(CASE WHEN len(lines) > 0
+                    THEN 1.0 - len(list_distinct(lines)) / len(lines)::DOUBLE
+                    ELSE 0.0 END, 6) AS dup_line_frac,
+              round(CASE WHEN coalesce(list_sum(list_transform(lines,
+                        x -> length(x))), 0) > 0
+                    THEN coalesce(list_sum(list_transform(lines,
+                        x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                             THEN length(x) ELSE 0 END)), 0)
+                       / list_sum(list_transform(lines, x -> length(x)))::DOUBLE
+                    ELSE 0.0 END, 6) AS dup_line_char_frac,
+              round(CASE WHEN len(paras) > 0
+                    THEN 1.0 - len(list_distinct(paras)) / len(paras)::DOUBLE
+                    ELSE 0.0 END, 6) AS dup_para_frac
+            FROM l
+        """,
+        "gopher_flags": f"""
+            WITH g AS (
+              SELECT doc_id,
+                len({_TOKS}) AS n_words,
+                length(regexp_replace(text, '\\s+', '', 'g'))
+                  / nullif(len({_TOKS})::DOUBLE, 0.0) AS mwl,
+                coalesce(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                  / nullif(len({_TOKS})::DOUBLE, 0.0), 0.0) AS symr,
+                list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+                len(list_intersect(list_transform({_TOKS}, t -> lower(t)),
+                  ['the','be','to','of','and','that','have','with'])) >= 2
+                  AS has_english
+              FROM documents)
+            SELECT doc_id, n_words,
+              round(mwl, 6) AS mean_word_len,
+              round(symr, 6) AS symbol_word_ratio,
+              round(CASE WHEN len(lines) > 0
+                THEN len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
+                  / len(lines)::DOUBLE ELSE 0.0 END, 6) AS bullet_line_frac,
+              round(CASE WHEN len(lines) > 0
+                THEN len(list_filter(lines,
+                    x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+                  / len(lines)::DOUBLE ELSE 0.0 END, 6) AS ellipsis_line_frac,
+              (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+              (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+              (symr <= 0.1) AS ok_symbol_ratio,
+              has_english,
+              ((n_words >= 50 AND n_words <= 100000)
+               AND (mwl >= 3.0 AND mwl <= 10.0) AND (symr <= 0.1)
+               AND (CASE WHEN len(lines) > 0
+                    THEN len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
+                      / len(lines)::DOUBLE ELSE 0.0 END) <= 0.9
+               AND (CASE WHEN len(lines) > 0
+                    THEN len(list_filter(lines,
+                        x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+                      / len(lines)::DOUBLE ELSE 0.0 END) <= 0.3
+               AND has_english) AS passes_gopher
+            FROM g
         """,
         "dup_clusters": """
             WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 50)

@@ -95,3 +95,61 @@ def shingles(col, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
+
+
+# GPT-2-style pretokenizer regex, restricted to the RE2-compatible
+# subset (no lookahead) so the DuckDB oracle runs the IDENTICAL pattern:
+# contraction suffixes, space-prefixed letter runs, digit runs, symbol
+# runs, whitespace runs.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(col) -> Column:
+    """BPE-ish token count: the number of pretokenizer pieces — the
+    standard cheap proxy for LLM token budgets (whitespace counting
+    undercounts punctuation-heavy text by 2-3×).
+    Oracle twin: ``len(regexp_extract_all(text, <same pattern>))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def _nonempty_lines(col, sep: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, sep), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def dup_fraction(lines: Column) -> Column:
+    """Fraction of entries that are repeats of an earlier entry:
+    1 - distinct/total (0 for empty).
+    Oracle twin: ``1 - len(list_distinct(l)) / len(l)``."""
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_char_fraction(lines: Column) -> Column:
+    """Fraction of characters living in lines that occur more than once
+    (the Gopher 'duplicate line character fraction'). O(n²) per doc in
+    line count — array-local JVM expression, no shuffle; line counts per
+    web doc are bounded (hundreds), so this beats an explode+groupBy
+    shuffle at corpus scale."""
+    total = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    dup = F.aggregate(
+        lines, F.lit(0),
+        lambda acc, x: acc + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    return F.when(total > 0, dup / total.cast("double")).otherwise(F.lit(0.0))

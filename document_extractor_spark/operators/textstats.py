@@ -62,3 +62,82 @@ def detect_languages(df: DataFrame, id_col: str = "doc_id",
     return df.select(
         F.col(id_col), lang_id_udf(F.col(text_col)).alias("lang_pred")
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition profile: duplicate-line / duplicate-
+    paragraph fractions and the duplicate-line CHARACTER fraction —
+    the standard web-corpus repetition filters. Pure array expressions:
+    no explode, no shuffle, whole-stage codegen."""
+    from ..functions.text import (
+        _nonempty_lines,
+        dup_char_fraction,
+        dup_fraction,
+    )
+
+    lines = _nonempty_lines(text_col, "\n")
+    paras = _nonempty_lines(text_col, "\n\n")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.round(dup_fraction(lines), 6).alias("dup_line_frac"),
+        F.round(dup_char_fraction(lines), 6).alias("dup_line_char_frac"),
+        F.round(dup_fraction(paras), 6).alias("dup_para_frac"),
+    )
+
+
+# Gopher rules (Rae et al. 2021, public): word-count bounds, mean word
+# length bounds, symbol-to-word ratio, bullet/ellipsis line fractions,
+# and the ≥2-common-English-words requirement.
+_GOPHER_ENGLISH = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 50,
+                         max_words: int = 100_000) -> DataFrame:
+    """Per-doc Gopher quality rule evaluation → per-rule booleans +
+    the conjunction (``passes_gopher``). All Catalyst; oracle-twinned."""
+    from ..functions.text import _nonempty_lines, avg_word_len, tokens
+
+    c = F.col(text_col)
+    n_words = F.size(tokens(text_col))
+    mwl = avg_word_len(text_col)
+    n_sym = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    sym_ratio = n_sym / F.nullif(n_words.cast("double"), F.lit(0.0))
+    lines = _nonempty_lines(text_col, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[-*•]")))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    has_english = F.size(F.array_intersect(
+        F.transform(tokens(text_col), lambda t: F.lower(t)),
+        F.array(*[F.lit(w) for w in _GOPHER_ENGLISH]),
+    )) >= 2
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    ok_sym = F.coalesce(sym_ratio, F.lit(0.0)) <= 0.1
+    ok_bullet = bullet_frac <= 0.9
+    ok_ellipsis = ellipsis_frac <= 0.3
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(F.coalesce(sym_ratio, F.lit(0.0)), 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        has_english.alias("has_english"),
+        (ok_words & ok_mwl & ok_sym & ok_bullet & ok_ellipsis
+         & has_english).alias("passes_gopher"),
+    )

@@ -248,3 +248,59 @@ def test_pdf_metadata_probe_spark(spark, tmp_path):
     for r in pdfs:
         assert r.total_pages >= 1
         assert r.page_width == 612.0
+
+
+# ---------------------------------------------------------------------------
+# Round 2: repetition stats, Gopher flags, BPE-ish tokens
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats(spark):
+    from document_extractor_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "alpha beta\nalpha beta\ngamma delta"),
+        (2, "unique one\nunique two"),
+        (3, ""),
+    ]
+    out = {r.doc_id: r for r in repetition_stats(
+        spark.createDataFrame(rows, "doc_id bigint, text string")).collect()}
+    assert out[1].n_lines == 3
+    assert abs(out[1].dup_line_frac - (1 - 2 / 3)) < 1e-6
+    # 2 of 3 lines (20 of 31 chars) live in the duplicated line
+    assert abs(out[1].dup_line_char_frac - 20 / 31) < 1e-6
+    assert out[2].dup_line_frac == 0.0
+    assert out[3].n_lines == 0 and out[3].dup_line_frac == 0.0
+
+
+def test_gopher_flags(spark):
+    from document_extractor_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and friends " * 6
+            + "with plenty of genuine prose to clear fifty words easily "
+              "and some more filler text here now")
+    bullets = "\n".join("- item" for _ in range(10))
+    out = {r.doc_id: r for r in gopher_quality_flags(
+        spark.createDataFrame(
+            [(1, good), (2, bullets), (3, "ha " * 60)],
+            "doc_id bigint, text string")).collect()}
+    assert out[1].passes_gopher
+    assert out[2].bullet_line_frac == 1.0 and not out[2].passes_gopher
+    assert not out[3].ok_mean_word_len          # mean word len 2 < 3
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from document_extractor_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("don't stop—ever! (really?)",)], "text string")
+    r = df.select(token_count("text").alias("ws"),
+                  bpe_token_count("text").alias("bpe")).head()
+    # punctuation-heavy text: BPE pieces far exceed whitespace tokens
+    assert r.ws == 3 and r.bpe == 9
