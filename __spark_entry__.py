@@ -299,6 +299,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(idx, _query_vec(spark, sf_dir), k=10, dim=_EMB_DIM)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: approximate by construction (KMeans cell pruning)
+    from document_extractor_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    indexed, centers = ivf_index(emb, n_cells=8)
+    return ivf_topk(indexed, centers, _query_vec(spark, sf_dir), k=10,
+                    nprobe=3)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: SRP bucket blocking is approximate
     emb = _emb(spark, sf_dir)
@@ -631,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "report_agg": q_report_agg,
         "join_revenue": q_join_revenue,

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers:
+Three tiers:
 
 - **Brute-force cosine top-k** — the correctness baseline. The dot
   product is a JVM-side ``zip_with`` + ``aggregate`` fold (no Python at
@@ -11,6 +11,10 @@ Two tiers:
   ids computed by a *vectorized* pandas UDF (one numpy matmul per Arrow
   batch), multiprobe over Hamming-adjacent buckets, exact cosine rerank
   inside the probed buckets only.
+
+- **IVF ANN** — MLlib-KMeans coarse quantizer over normalized vectors;
+  nprobe nearest cells scanned, exact rerank. The classic inverted-file
+  alternative when the corpus clusters well.
 
 Embedding norms can be precomputed once (``with_norm``) and reused
 across queries — the classic IVF trick of paying normalization at
@@ -215,3 +219,60 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — KMeans coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalized(vec_col: Column) -> Column:
+    n = _norm(vec_col)
+    return F.transform(vec_col.cast("array<double>"),
+                       lambda x: x / F.nullif(n, F.lit(0.0)))
+
+
+def ivf_index(df: DataFrame, n_cells: int = 16, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_fraction: float = 1.0):
+    """IVF coarse quantizer: MLlib KMeans over L2-NORMALIZED vectors
+    (so euclidean cells order by cosine), one ``ivf_cell`` int per row.
+    Returns ``(indexed_df, centers)`` — centers are tiny (n_cells × dim)
+    and live on the driver like any index metadata.
+
+    Scale shape: training runs on a SAMPLE (``sample_fraction``) —
+    KMeans cost is O(sample × n_cells × iters), independent of corpus
+    size; assignment is one JVM-side model.transform pass. At 100 TB,
+    write the indexed table partitioned by ``ivf_cell`` so probes become
+    partition-pruned scans (the same contract as ``srp_index``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.withColumn("_nv",
+                         array_to_vector(_l2_normalized(F.col(vec_col))))
+    train = vecs.sample(sample_fraction, seed=seed) \
+        if sample_fraction < 1.0 else vecs
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_nv",
+                   predictionCol="ivf_cell").fit(train)
+    indexed = model.transform(vecs).drop("_nv")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centers
+
+
+def ivf_topk(indexed: DataFrame, centers: list, qvec: list, k: int = 10,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF probe: rank cells by distance from the (normalized) query to
+    each centroid (driver-side — centers are index metadata), scan only
+    the ``nprobe`` nearest cells (an ``isin`` filter that partition-
+    prunes when the index is cell-partitioned), exact cosine rerank."""
+    import math
+
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=float)
+    qn = math.sqrt(float((q * q).sum())) or 1.0
+    d = (((np.asarray(centers) - q / qn) ** 2).sum(axis=1))
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = indexed.filter(F.col("ivf_cell").isin(probes))
+    return brute_force_topk(cand, qvec, k, id_col, vec_col)

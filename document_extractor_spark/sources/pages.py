@@ -58,3 +58,22 @@ def write_result(df: DataFrame, path: str) -> None:
 
 def with_warc_day(df: DataFrame) -> DataFrame:
     return df.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
+                         num_buckets: int, path: str,
+                         sort_col: str | None = None) -> None:
+    """Write a hash-BUCKETED table (``bucketBy`` + optional in-bucket
+    ``sortBy``): the co-location contract for repeated joins/aggs on the
+    same key. Two tables bucketed on the join key with the same bucket
+    count join with NO Exchange on either side (plan-asserted in tests)
+    — at 100 TB that removes the dominant shuffle from every
+    fact-to-fact join the key participates in; in-bucket sort
+    additionally lets SortMergeJoin skip its sort. Bucketing requires
+    ``saveAsTable`` (the metastore records the bucket spec; a bare
+    parquet path cannot)."""
+    w = df.write.mode("overwrite").option("path", path) \
+        .bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

@@ -233,3 +233,20 @@ def test_duplicate_clusters_transitive(spark):
         "id_a bigint, id_b bigint")
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 7: 1, 3: 1, 9: 1, 2: 1, 10: 10, 12: 10}
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from document_extractor_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    q = [float(x) for x in
+         emb.filter("vec_id = 3").select("embedding").head()[0]]
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=5).collect()]
+    indexed, centers = ivf_index(emb, n_cells=8)
+    approx = [r.vec_id for r in
+              ivf_topk(indexed, centers, q, k=5, nprobe=3).collect()]
+    assert 3 in approx                      # self always found
+    assert len(set(exact) & set(approx)) >= 3   # recall@5 ≥ 3/5

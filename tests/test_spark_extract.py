@@ -162,3 +162,34 @@ def test_manifest_lineage_counters(spark, small_corpus, tmp_path):
         assert m["input_fingerprint"]
         assert m["bytes_in"] > 0
         assert "wall_sec" in m
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators — the co-location contract that
+    removes the dominant shuffle from repeated large joins at scale."""
+    from document_extractor_spark.plans import physical_plan
+    from document_extractor_spark.sources.pages import write_bucketed_table
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("feature"))
+    scores = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2).alias("score"))
+    write_bucketed_table(docs, "b_docs", "doc_id", 8,
+                         str(tmp_path / "b_docs"), sort_col="doc_id")
+    write_bucketed_table(scores, "b_scores", "doc_id", 8,
+                         str(tmp_path / "b_scores"), sort_col="doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_docs").join(spark.table("b_scores"),
+                                            "doc_id")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")

@@ -304,3 +304,29 @@ def test_bpe_token_count_vs_whitespace(spark):
                   bpe_token_count("text").alias("bpe")).head()
     # punctuation-heavy text: BPE pieces far exceed whitespace tokens
     assert r.ws == 3 and r.bpe == 9
+
+
+def test_new_query_plans_pruned_and_vectorized(spark):
+    """Round-2 driver queries keep the scale-shaped plans: parquet scans
+    pruned to exactly the needed columns, Python only as Arrow-batched
+    mapInPandas (never BatchEvalPython)."""
+    import __spark_entry__ as entry_mod
+    from document_extractor_spark.plans import (
+        assert_no_python,
+        assert_vectorized_python_only,
+        scan_read_schema,
+    )
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("image_items", "page_chrome_layout", "formatting_render"):
+        df = qs[name](spark, sf)
+        assert_vectorized_python_only(df)
+        rs = scan_read_schema(df)
+        assert "text" in rs and "source" not in rs, (name, rs)
+    for name in ("source_quantiles", "gopher_flags", "repetition_stats",
+                 "bpe_token_counts"):
+        df = qs[name](spark, sf)
+        assert_no_python(df)
+    rs = scan_read_schema(qs["source_quantiles"](spark, sf))
+    assert "text" not in rs and "source" in rs, rs
