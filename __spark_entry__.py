@@ -3,12 +3,13 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-28 queries, 23 with exact SQL oracles.
+38 queries, 32 with exact SQL oracles.
 
 Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
 MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
-hashing has no DuckDB twin), ANN (approximate by construction),
-language ID (stopword/script tables). Their correctness is pytest-gated
+hashing has no DuckDB twin), ANN + IVF top-k (approximate by
+construction), language ID (stopword/script tables). Their correctness
+is pytest-gated
 instead: MinHash candidate recall vs exact Jaccard ground truth, SimHash
 Hamming properties, ANN recall vs brute force
 (tests/test_dedup_similarity.py).
@@ -144,6 +145,27 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8, w=4), exploded to
+    (doc_id, fingerprint) rows — the substring-match dedup signal."""
+    from document_extractor_spark.functions.text import (
+        winnow_fingerprints_df,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # explode_outer, NOT explode: explode's implicit size(col)>0 filter
+    # is pushed below the staged projections with the whole fingerprint
+    # expression inlined — re-evaluating the O(n·k) gram pipeline per
+    # row a second time. The null-filter on the GENERATED attribute
+    # cannot push down, so the staged projections evaluate once.
+    return (
+        winnow_fingerprints_df(d)
+        .select("doc_id",
+                F.explode_outer("fingerprints").alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
+    )
 
 
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "winnowing": q_winnowing,
         "quality_by_source": q_quality_by_source,
         "lang_id": q_lang_id,
         "bpe_token_counts": q_bpe_token_counts,
@@ -715,6 +738,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprints": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "winnowing": f"""
+            WITH t AS (SELECT doc_id, {_NORM} AS c FROM documents),
+            g AS (SELECT doc_id,
+              CASE WHEN length(c) >= 8
+                   THEN list_transform(range(1, length(c) - 6),
+                        i -> md5(substr(c, i, 8)))
+                   ELSE []::VARCHAR[] END AS grams
+              FROM t),
+            m AS (SELECT doc_id,
+              CASE WHEN len(grams) >= 4
+                   THEN list_distinct(list_transform(
+                        range(1, len(grams) - 2),
+                        j -> list_min(grams[j:j+3])))
+                   WHEN len(grams) > 0 THEN [list_min(grams)]
+                   ELSE []::VARCHAR[] END AS fps
+              FROM g)
+            SELECT doc_id, unnest(fps) AS fingerprint FROM m
+        """,
         "quality_by_source": f"""
             WITH q AS (
               SELECT source,

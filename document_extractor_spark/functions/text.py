@@ -153,3 +153,58 @@ def dup_char_fraction(lines: Column) -> Column:
         ).otherwise(F.lit(0)),
     )
     return F.when(total > 0, dup / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def _winnow_grams(c: Column, k: int) -> Column:
+    n = F.length(c)
+    # NB: Spark's sequence(1, 0) counts DOWN — short inputs need guards
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(c.substr(i, F.lit(k)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _winnow_mins(grams: Column, w: int) -> Column:
+    ng = F.size(grams)
+    return F.array_distinct(
+        F.when(
+            ng >= w,
+            F.transform(
+                F.sequence(F.lit(1), ng - (w - 1)),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            ),
+        )
+        .when(ng > 0, F.array(F.array_min(grams)))  # one short window
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def winnow_fingerprints_df(df, text_col: str = "text", k: int = 8,
+                           w: int = 4, out_col: str = "fingerprints"):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    public algorithm): hash every k-gram of the normalized text, slide a
+    w-window over the hash sequence, keep each window's minimum, dedupe.
+    Any substring match of length ≥ k+w-1 between two documents is
+    GUARANTEED to share a fingerprint — the rolling-hash counterpart to
+    whole-document md5 (which only catches exact duplicates).
+
+    Entirely Catalyst: sequence → substr k-grams → md5 → windowed
+    ``array_min`` (lexicographic on the hex, identical in DuckDB) →
+    ``array_distinct``. md5-hex is the k-gram hash precisely because the
+    oracle engine computes the identical value.
+
+    DataFrame-level BY DESIGN: the normalized text and the gram array
+    must be materialized as columns across staged projections —
+    inlining them into one expression re-evaluates the gram array once
+    PER WINDOW inside the lambda (measured: 415 s vs 3 s at sf0.01, an
+    O(n²·k) blowup). Catalyst's CollapseProject keeps the stages apart
+    because merging would duplicate the non-cheap child expressions."""
+    staged = (
+        df.withColumn("_wn_norm", normalized_text(text_col))
+        .withColumn("_wn_grams", _winnow_grams(F.col("_wn_norm"), k))
+        .withColumn(out_col, _winnow_mins(F.col("_wn_grams"), w))
+    )
+    return staged.drop("_wn_norm", "_wn_grams")

@@ -250,3 +250,22 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
               ivf_topk(indexed, centers, q, k=5, nprobe=3).collect()]
     assert 3 in approx                      # self always found
     assert len(set(exact) & set(approx)) >= 3   # recall@5 ≥ 3/5
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing invariant (Schleimer et al. 2003): documents sharing a
+    substring of length >= k+w-1 share at least one fingerprint; disjoint
+    documents share none; sub-k texts yield no fingerprints."""
+    from document_extractor_spark.functions.text import winnow_fingerprints_df
+
+    df = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "PREFIX then the quick brown fox jumps over the lazy dog END"),
+        (3, "completely different content with no shared substrings here"),
+        (4, "ab"),
+    ], "doc_id bigint, text string")
+    out = {r.doc_id: set(r.fingerprints)
+           for r in winnow_fingerprints_df(df).collect()}
+    assert out[1] and out[1] <= out[2]     # containment detected
+    assert not (out[1] & out[3])
+    assert out[4] == set()
