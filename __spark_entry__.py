@@ -943,7 +943,7 @@ def oracle_sql() -> dict[str, str]:
                      || '</em></strong></p>' AS rendered
             FROM documents
         """,
-        "bpe_token_counts": """
+        "bpe_token_counts": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
                      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens
