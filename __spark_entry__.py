@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-38 queries, 32 with exact SQL oracles.
+39 queries, 33 with exact SQL oracles.
 
 Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
 MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
@@ -248,6 +248,18 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (xxhash64 minhash has no DuckDB twin); pytest validates
     # candidate recall vs exact Jaccard ground truth
     return minhash_near_duplicates(_augmented_near(spark, sf_dir), threshold=0.5)
+
+
+def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus near-dedup: LSH candidates → Jaccard verify →
+    connected components → anti-join victims. Closed form: every planted
+    clone (doc_id+100000, jaccard ≈0.9 vs its source) dies, every
+    original survives (random-vocab originals never cross τ=0.5 — the
+    ngram_jaccard oracle proves the pair set is exactly the clones)."""
+    from document_extractor_spark.operators.dedup import drop_near_duplicates
+
+    return drop_near_duplicates(
+        _augmented_near(spark, sf_dir), threshold=0.5).select("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
+        "drop_near_dups": q_drop_near_dups,
         "simhash": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_topk": q_ann_topk,
@@ -804,6 +817,9 @@ def oracle_sql() -> dict[str, str]:
                    round(n_common / (n_a + n_b - n_common)::DOUBLE, 6) AS jaccard
             FROM common
             WHERE n_common / (n_a + n_b - n_common)::DOUBLE >= 0.5
+        """,
+        "drop_near_dups": """
+            SELECT doc_id FROM documents WHERE doc_id < 120
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -217,7 +217,7 @@ HEADLINE_QUERIES = [
     "customers_without_orders", "image_items", "formatting_render",
     "page_chrome_layout", "bpe_token_counts", "gopher_flags",
     "repetition_stats", "source_quantiles", "dup_clusters", "ivf_topk",
-    "winnowing",
+    "winnowing", "drop_near_dups",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

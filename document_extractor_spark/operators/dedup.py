@@ -314,3 +314,27 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         k: int = 32, bands: int = 8,
+                         threshold: float = 0.8) -> DataFrame:
+    """The end-to-end corpus near-dedup a training pipeline actually
+    runs: MinHash-LSH candidate pairs → exact-Jaccard verification →
+    connected components → keep only each cluster's min-id doc.
+
+    Composition of the tiers above; the anti-join removes every
+    non-canonical cluster member. Shuffles: the LSH band join, the CC
+    rounds (small pair/label tables), and one semi-join of the corpus
+    against the (tiny) victim list — the corpus itself is never
+    re-shuffled on text."""
+    pairs = minhash_near_duplicates(df, id_col, text_col, n, k, bands,
+                                    threshold)
+    clusters = duplicate_clusters(pairs)
+    victims = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(
+        victims.withColumnRenamed("doc_id", id_col),
+        on=id_col, how="left_anti",
+    )

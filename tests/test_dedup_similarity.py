@@ -269,3 +269,17 @@ def test_winnowing_guarantee(spark):
     assert out[1] and out[1] <= out[2]     # containment detected
     assert not (out[1] & out[3])
     assert out[4] == set()
+
+
+def test_drop_near_duplicates_end_to_end(spark, docs):
+    """Pipeline composition: planted near-dup chains collapse to their
+    min-id canonical doc; unrelated docs survive untouched."""
+    from document_extractor_spark.operators.dedup import drop_near_duplicates
+
+    kept = drop_near_duplicates(docs, threshold=0.5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # fixture plants: 100+i near-dup of i (i<5), 200 exact dup of 7 —
+    # every planted duplicate dies, every canonical min-id survives
+    assert {100, 101, 102, 103, 104, 200}.isdisjoint(ids)
+    assert {0, 1, 2, 3, 4, 7}.issubset(ids)
+    assert {i for i in range(30)}.issubset(ids)
