@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-39 queries, 33 with exact SQL oracles.
+40 queries, 34 with exact SQL oracles.
 
 Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
 MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
@@ -260,6 +260,25 @@ def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return drop_near_duplicates(
         _augmented_near(spark, sf_dir), threshold=0.5).select("doc_id")
+
+
+def q_drop_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup: a shared boilerplate
+    paragraph is appended to EVERY doc in-query; after dedup only the
+    min-doc_id occurrence survives. Oracle replicates the full explode →
+    window → reassemble pipeline in SQL."""
+    from document_extractor_spark.operators.dedup import (
+        drop_duplicate_paragraphs,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit("\n\nshared boilerplate paragraph planted for dedup"),
+        ).alias("text"),
+    )
+    return drop_duplicate_paragraphs(d)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "drop_near_dups": q_drop_near_dups,
+        "drop_dup_paragraphs": q_drop_dup_paragraphs,
         "simhash": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_topk": q_ann_topk,
@@ -820,6 +840,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drop_near_dups": """
             SELECT doc_id FROM documents WHERE doc_id < 120
+        """,
+        "drop_dup_paragraphs": """
+            WITH src AS (
+              SELECT doc_id,
+                text || chr(10) || chr(10) ||
+                  'shared boilerplate paragraph planted for dedup' AS text
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                generate_subscripts(string_split(text, chr(10) || chr(10)), 1)
+                  AS pos,
+                unnest(string_split(text, chr(10) || chr(10))) AS para
+              FROM src),
+            k AS (
+              SELECT doc_id, pos, para,
+                row_number() OVER (PARTITION BY md5(para)
+                                   ORDER BY doc_id, pos) AS rn
+              FROM p)
+            SELECT s.doc_id, coalesce(r.text, '') AS text
+            FROM src s LEFT JOIN (
+              SELECT doc_id,
+                string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+              FROM k WHERE rn = 1 OR length(para) < 10
+              GROUP BY doc_id) r USING (doc_id)
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -217,7 +217,7 @@ HEADLINE_QUERIES = [
     "customers_without_orders", "image_items", "formatting_render",
     "page_chrome_layout", "bpe_token_counts", "gopher_flags",
     "repetition_stats", "source_quantiles", "dup_clusters", "ivf_topk",
-    "winnowing", "drop_near_dups",
+    "winnowing", "drop_near_dups", "drop_dup_paragraphs",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -338,3 +338,48 @@ def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         victims.withColumnRenamed("doc_id", id_col),
         on=id_col, how="left_anti",
     )
+
+
+def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", sep: str = "\n\n",
+                              min_len: int = 10) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup: a paragraph that already
+    appeared ANYWHERE in the corpus (first occurrence = smallest
+    (doc_id, position)) is removed from every later document; documents
+    are reassembled in original paragraph order. Paragraphs shorter
+    than ``min_len`` chars pass through untouched (dedup of trivial
+    fragments like '' or '—' would splice unrelated docs together).
+
+    Shape: posexplode → row_number window over md5(paragraph) → filter
+    rank 1 → re-aggregate with an in-group sort. Two shuffles (hash,
+    doc id), both on paragraph-level rows — the classic C4 dedup cost,
+    irreducible because the decision is corpus-global. Skewed hash keys
+    ARE the duplicates being removed; AQE handles the hot partitions.
+    Returns (id_col, text_col) with every input doc present (a doc
+    whose every paragraph was deduplicated keeps empty text)."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pos")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) | (F.length("para") < min_len))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(F.col(id_col),
+                F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -283,3 +283,29 @@ def test_drop_near_duplicates_end_to_end(spark, docs):
     assert {100, 101, 102, 103, 104, 200}.isdisjoint(ids)
     assert {0, 1, 2, 3, 4, 7}.issubset(ids)
     assert {i for i in range(30)}.issubset(ids)
+
+
+def test_drop_duplicate_paragraphs(spark):
+    from document_extractor_spark.operators.dedup import (
+        drop_duplicate_paragraphs,
+    )
+
+    shared = "this exact boilerplate paragraph appears in every document"
+    rows = [
+        (1, f"unique opening one\n\n{shared}\n\nunique closing one"),
+        (2, f"{shared}\n\nunique middle two"),
+        (3, f"unique three\n\n{shared}"),
+        (4, shared),                      # nothing else — goes empty
+        (5, "ok\n\nok\n\nlong enough paragraph to dedupe repeated twice"
+            "\n\nlong enough paragraph to dedupe repeated twice"),
+    ]
+    out = {r.doc_id: r.text for r in drop_duplicate_paragraphs(
+        spark.createDataFrame(rows, "doc_id bigint, text string")).collect()}
+    assert out[1] == f"unique opening one\n\n{shared}\n\nunique closing one"
+    assert out[2] == "unique middle two"
+    assert out[3] == "unique three"
+    assert out[4] == ""                   # all paragraphs deduped
+    # short paragraphs ('ok') pass through; the long repeat dedupes
+    assert out[5] == ("ok\n\nok\n\nlong enough paragraph to dedupe "
+                      "repeated twice")
+    assert len(out) == 5                  # every doc survives as a row
