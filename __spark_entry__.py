@@ -724,7 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
 _STOP = "['the','and','is','of','to','in','that','it','with','as']"
 
 

@@ -269,14 +269,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     in the component (the canonical survivor, matching
     ``exact_duplicates``' min-id rule).
 
-    Algorithm: hash-min label propagation — each node repeatedly adopts
-    the smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds. Per round: one shuffle join + map-side
-    partial min aggregation, then ``localCheckpoint`` to truncate the
-    lineage (an unbounded iterative plan otherwise re-executes every
-    prior round on each action — the classic iterative-DataFrame trap).
-    Near-dup components are shallow (dup chains, not social graphs), so
-    rounds ≈ 3-5 in practice; ``max_iter`` bounds hostile inputs.
+    Algorithm: hash-min label propagation WITH pointer doubling — each
+    round every node (1) adopts the smallest label among itself and its
+    neighbors, then (2) jumps to its label's label (path halving). The
+    jump doubles the propagation distance per round, so convergence is
+    O(log diameter) rounds — ``max_iter=20`` covers components of
+    diameter ≫ 10⁶ (a 10k-doc mirror chain converges in ~13 rounds; the
+    plain nbr-min loop needed 10k). Per round: two shuffle joins on the
+    (small) label table + map-side partial min aggregation, then
+    ``localCheckpoint`` to truncate the lineage (an unbounded iterative
+    plan otherwise re-executes every prior round on each action — the
+    classic iterative-DataFrame trap).
+
+    Raises ``RuntimeError`` if labels have not stabilized after
+    ``max_iter`` rounds — a silently partial clustering would make
+    ``drop_near_duplicates`` under-delete with no signal.
     Returns ``(doc_id, cluster_id)`` for every node appearing in pairs.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -288,17 +295,32 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         nbr = (
             e.join(labels, e.dst == labels.id)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
-        new = (
+        stepped = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 labels.id.alias("id"),
                 F.least(
                     labels.label, F.coalesce("nbr_label", labels.label)
+                ).alias("label"),
+            )
+        )
+        # pointer doubling: label <- label(label). Labels are always ids
+        # of nodes in the set (init: self; step: min over node ids), so
+        # the self-join always matches; coalesce guards regardless.
+        ptr = stepped.select(F.col("id").alias("jid"),
+                             F.col("label").alias("jlabel"))
+        new = (
+            stepped.join(ptr, stepped.label == ptr.jid, "left")
+            .select(
+                stepped.id.alias("id"),
+                F.least(
+                    stepped.label, F.coalesce("jlabel", stepped.label)
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -312,6 +334,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; a "
+            "partial result would silently under-deduplicate"
+        )
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

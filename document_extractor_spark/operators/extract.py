@@ -109,7 +109,10 @@ def _rechunk(it: Iterator[pd.DataFrame], cap_bytes: int) -> Iterator[pd.DataFram
     for pdf in it:
         if len(pdf) == 0:
             continue
-        sizes = pdf["html"].map(lambda b: len(b) if b is not None else 0)
+        # .str.len() stays C-level over the object/bytes column (a
+        # per-row Python ``map`` here was the only interpreted loop in
+        # the batch path); NaN for nulls → 0
+        sizes = pdf["html"].str.len().fillna(0).astype("int64")
         total = int(sizes.sum())
         if total <= cap_bytes:
             yield pdf

@@ -189,12 +189,18 @@ def _zebra_stripe(c: Column) -> Column:
     alternating even/odd classes BY ROW INDEX. Pure Catalyst: split on
     <tbody>, then index-aware ``transform`` over the <tr> splits of each
     body segment — no Python, no shuffle. Row counting restarts at each
-    <tbody> (one per table), matching the reference's per-table pass."""
+    <tbody> (one per table), matching the reference's per-table pass.
+
+    Each post-``<tbody>`` segment runs up to the NEXT ``<tbody>`` — past
+    ``</tbody>`` and into the following table's ``<thead>`` on
+    multi-table pages — so the segment is re-split on the FIRST
+    ``</tbody>`` and only the part before it is striped (the reference
+    stripes tbody rows only, html_formatter.py:188-240)."""
     segs = F.split(c, "<tbody>")
 
-    def stripe_seg(seg: Column, i: Column) -> Column:
-        rows = F.split(seg, "<tr>")
-        striped = F.concat_ws(
+    def stripe_rows(body: Column) -> Column:
+        rows = F.split(body, "<tr>")
+        return F.concat_ws(
             "",
             F.transform(
                 rows,
@@ -208,7 +214,16 @@ def _zebra_stripe(c: Column) -> Column:
                 ),
             ),
         )
-        return F.when(i == 0, seg).otherwise(striped)
+
+    def stripe_seg(seg: Column, i: Column) -> Column:
+        parts = F.split(seg, "</tbody>", 2)
+        body = F.element_at(parts, 1)
+        rest = F.when(
+            F.size(parts) > 1,
+            F.concat(F.lit("</tbody>"), F.element_at(parts, 2)),
+        ).otherwise(F.lit(""))
+        return F.when(i == 0, seg).otherwise(
+            F.concat(stripe_rows(body), rest))
 
     return F.concat_ws("<tbody>", F.transform(segs, stripe_seg))
 

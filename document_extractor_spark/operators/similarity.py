@@ -57,7 +57,11 @@ def cosine_similarity(vec_col: Column, qvec: list) -> Column:
     import math
 
     qn = math.sqrt(acc)
-    return _dot(vec_col, qvec) / (_norm(vec_col) * F.lit(qn))
+    # nullif: a zero-norm vector (or query) yields NULL cosine instead of
+    # an ANSI DIVIDE_BY_ZERO task failure; desc ordering puts NULLS LAST
+    # so degenerate vectors simply never reach a top-k
+    return _dot(vec_col, qvec) / F.nullif(_norm(vec_col) * F.lit(qn),
+                                          F.lit(0.0))
 
 
 def brute_force_topk(df: DataFrame, qvec: list, k: int = 10,
@@ -214,7 +218,8 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
         .join(b, cands.id_b == F.col("vb.vid"))
         .select(
             "id_a", "id_b",
-            F.round(dot / (F.col("va.nrm") * F.col("vb.nrm")), 6)
+            F.round(dot / F.nullif(F.col("va.nrm") * F.col("vb.nrm"),
+                                   F.lit(0.0)), 6)
             .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -227,9 +232,13 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
 
 
 def _l2_normalized(vec_col: Column) -> Column:
+    """L2-normalize; a zero-norm vector passes through UNchanged (an
+    all-null array would crash ``array_to_vector``/KMeans downstream —
+    one degenerate embedding must not kill an index build; the
+    brute-force and SRP tiers already tolerate zero vectors)."""
     n = _norm(vec_col)
-    return F.transform(vec_col.cast("array<double>"),
-                       lambda x: x / F.nullif(n, F.lit(0.0)))
+    arr = vec_col.cast("array<double>")
+    return F.when(n > 0, F.transform(arr, lambda x: x / n)).otherwise(arr)
 
 
 def ivf_index(df: DataFrame, n_cells: int = 16, seed: int = 42,

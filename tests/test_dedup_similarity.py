@@ -309,3 +309,53 @@ def test_drop_duplicate_paragraphs(spark):
     assert out[5] == ("ok\n\nok\n\nlong enough paragraph to dedupe "
                       "repeated twice")
     assert len(out) == 5                  # every doc survives as a row
+
+
+def test_duplicate_clusters_long_chain_pointer_doubling(spark):
+    """A 120-node path (diameter ≫ max_iter) must still converge: the
+    pointer-doubling step makes rounds O(log diameter), so 20 rounds
+    cover any realistic component. Every node labels to the chain min."""
+    from document_extractor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint")
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert set(got) == set(range(121))
+    assert set(got.values()) == {0}
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """If labels have not stabilized within max_iter the operator must
+    FAIL LOUDLY — a silent partial clustering would make
+    drop_near_duplicates under-delete with no signal."""
+    import pytest
+
+    from document_extractor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=2)
+
+
+def test_ivf_index_tolerates_zero_vector(spark):
+    """A zero-norm embedding must not kill the index build (the L2
+    normalizer passes degenerate vectors through instead of emitting
+    an all-null array that crashes array_to_vector/KMeans)."""
+    import numpy as np
+
+    from document_extractor_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(40)]
+    rows.append((999, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    indexed, centers = ivf_index(df, n_cells=4)
+    assert indexed.count() == 41
+    q = rows[0][1]
+    got = [r.vec_id for r in ivf_topk(indexed, centers, q, k=5,
+                                      nprobe=4).collect()]
+    assert 0 in got

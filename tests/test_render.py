@@ -211,3 +211,23 @@ def test_render_multicolumn_css_from_layout(spark):
            for r in render_html(df, layout_col="layout").collect()}
     assert out["u1"].startswith('<div class="page" style="column-count: 3;">')
     assert out["u2"].startswith('<div class="page">\n')
+
+
+def test_zebra_striping_multi_table(spark):
+    """Two tables on one page: the SECOND table's <thead> row must stay
+    unstriped (the segment after a <tbody> runs past </tbody> into the
+    next table — only the part before </tbody> may be rewritten;
+    reference stripes tbody rows only, html_formatter.py:188-240)."""
+    t1 = ("<table><thead><tr><th>A</th></tr></thead>"
+          "<tbody><tr><td>1</td></tr><tr><td>2</td></tr></tbody></table>")
+    t2 = ("<table><thead><tr><th>B</th></tr></thead>"
+          "<tbody><tr><td>3</td></tr></tbody></table>")
+    df = spark.createDataFrame([(t1 + t2,)], "html string")
+    out = apply_readability_rewrite(df).head()["html"]
+    exp = ('<table class="readable"><thead><tr><th class="hdr">A</th>'
+           '</tr></thead><tbody><tr class="even"><td>1</td></tr>'
+           '<tr class="odd"><td>2</td></tr></tbody></table>'
+           '<table class="readable"><thead><tr><th class="hdr">B</th>'
+           '</tr></thead><tbody><tr class="even"><td>3</td></tr>'
+           '</tbody></table>')
+    assert out == exp

@@ -330,3 +330,65 @@ def test_new_query_plans_pruned_and_vectorized(spark):
         assert_no_python(df)
     rs = scan_read_schema(qs["source_quantiles"](spark, sf))
     assert "text" not in rs and "source" in rs, rs
+
+
+def test_token_count_empty_text_is_zero(spark):
+    """Zero-token edge: empty / whitespace-only text counts 0 tokens
+    (a bare split yields [''] → 1; tokens() filters the degenerate
+    piece). Non-empty counts are unchanged."""
+    from document_extractor_spark.functions.text import token_count
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n\t "), (3, "one two three")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 3}
+
+
+def test_dup_char_fraction_hostile_line_count_bounded(spark):
+    """Hostile-input totality: a single document with 30k short lines
+    must complete fast (the sorted run-length formulation is O(n log n);
+    the old nested filter-in-aggregate was O(n²) ≈ 10⁹ comparisons —
+    a single-task straggler). Also checks the exact value."""
+    import time
+
+    from document_extractor_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    uniq = [f"unique line number {i}" for i in range(15000)]
+    dups = ["repeated boilerplate"] * 15000
+    text = "\n".join(uniq + dups)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    t0 = time.monotonic()
+    row = repetition_stats(df).head()
+    elapsed = time.monotonic() - t0
+    total = sum(len(x) for x in uniq) + len(dups) * len("repeated boilerplate")
+    dup_chars = len(dups) * len("repeated boilerplate")
+    assert row.n_lines == 30000
+    assert abs(row.dup_line_char_frac - round(dup_chars / total, 6)) < 1e-9
+    assert elapsed < 60, f"hostile doc took {elapsed:.1f}s"
+
+
+def test_dup_char_fraction_matches_naive_definition(spark):
+    """The run-length formulation must equal the per-instance definition
+    (chars of every line whose value occurs >1 times) on a mixed doc."""
+    from document_extractor_spark.functions.text import (
+        _nonempty_lines,
+        dup_char_fraction,
+    )
+    from pyspark.sql import functions as F
+
+    lines = ["aa", "bbb", "aa", "cccc", "bbb", "aa", "d"]
+    text = "\n".join(lines)
+    from collections import Counter
+
+    c = Counter(lines)
+    dup = sum(len(x) for x in lines if c[x] > 1)
+    total = sum(len(x) for x in lines)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        F.round(dup_char_fraction(_nonempty_lines("text", "\n")), 6)
+        .alias("f")).head().f
+    assert abs(got - round(dup / total, 6)) < 1e-9
