@@ -60,6 +60,7 @@ from document_extractor_spark.sources.docpages import (
     pages_from_documents,
     pages_with_figures,
     pages_with_formatting,
+    pdf_pages_from_documents,
 )
 from document_extractor_spark.sources.jsonrepair import parse_json_relaxed
 
@@ -559,6 +560,34 @@ def q_page_chrome_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item position bboxes + layout margins over the fixed-layout PDF
+    corpus (openai_content_extractor.py:167-173, 195-198): every
+    coordinate is a closed-form page percentage the oracle states
+    directly — an end-to-end gate over the content-stream geometry
+    (mediabox parse, baseline/ascent math, advance estimation)."""
+    pages = pdf_pages_from_documents(spark, sf_dir)
+    ex = extract_pages(pages, with_items=True, with_layout=True)
+    it = F.explode("content_items").alias("it")
+    return ex.select(
+        doc_id_from_url("url"), F.col("layout"), it,
+    ).select(
+        "doc_id",
+        F.col("it.order").alias("item_order"),
+        F.col("it.type").alias("type"),
+        F.col("it.content").alias("content"),
+        F.col("it.position.x_start").alias("x_start"),
+        F.col("it.position.y_start").alias("y_start"),
+        F.col("it.position.x_end").alias("x_end"),
+        F.col("it.position.y_end").alias("y_end"),
+        F.col("it.font_size").alias("font_size"),
+        F.col("layout.margin_top_percent").alias("margin_top"),
+        F.col("layout.margin_bottom_percent").alias("margin_bottom"),
+        F.col("layout.margin_left_percent").alias("margin_left"),
+        F.col("layout.margin_right_percent").alias("margin_right"),
+    )
+
+
 def q_image_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2: the reference's only join-shaped operator — extracted images
     equi-joined to extracted caption items on (url, index)."""
@@ -720,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quantiles": q_source_quantiles,
         "formatting_render": q_formatting_render,
         "page_chrome_layout": q_page_chrome_layout,
+        "pdf_positions": q_pdf_positions,
     }
 
 
@@ -1098,5 +1128,34 @@ def oracle_sql() -> dict[str, str]:
                    1 AS layout_columns, TRUE AS has_header,
                    TRUE AS has_footer
             FROM documents
+        """,
+        # Fixed PDF layout (pdf_pages_from_documents): 18pt title at
+        # (72, 720), two 12pt body lines at (72, 680) with 1.2 leading,
+        # 612x792 mediabox, 0.55 em/char advance estimate — every
+        # coordinate below is that geometry stated in SQL.
+        "pdf_positions": """
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                       '[^ -~]', '', 'g') AS a
+              FROM documents
+            ), ok AS (SELECT doc_id, a FROM src WHERE length(a) >= 80)
+            SELECT doc_id, 0 AS item_order, 'header' AS type,
+                   'Document ' || doc_id AS content,
+                   11.76::DOUBLE AS x_start, 6.82::DOUBLE AS y_start,
+                   round(100*(72 + 0.55*18*(9 +
+                         length(CAST(doc_id AS VARCHAR))))/612, 2) AS x_end,
+                   9.09::DOUBLE AS y_end, 18.0::DOUBLE AS font_size,
+                   6.82::DOUBLE AS margin_top, 84.04::DOUBLE AS margin_bottom,
+                   11.76::DOUBLE AS margin_left, 45.1::DOUBLE AS margin_right
+            FROM ok
+            UNION ALL
+            SELECT doc_id, 1, 'paragraph',
+                   trim(substr(a, 1, 40)) || chr(10) || trim(substr(a, 41, 40)),
+                   11.76::DOUBLE, 12.63::DOUBLE, 54.9::DOUBLE, 15.96::DOUBLE,
+                   12.0::DOUBLE,
+                   6.82::DOUBLE, 84.04::DOUBLE, 11.76::DOUBLE, 45.1::DOUBLE
+            FROM ok
         """,
     }

@@ -41,13 +41,16 @@ def _looks_binary(payload: bytes, probe: int = 1024,
     return n_bin / len(head) > threshold
 
 
-_EMPTY_LAYOUT = {"columns": 1, "has_header": False, "has_footer": False}
+_EMPTY_LAYOUT = {"columns": 1, "has_header": False, "has_footer": False,
+                 "margin_top_percent": None, "margin_bottom_percent": None,
+                 "margin_left_percent": None, "margin_right_percent": None}
 
 
 def _item_dict(order, typ, content, html=None, level=0, row_count=0,
                column_count=0, converted_from_kv=False, src=None,
                image_type=None, bold=False, italic=False, underline=False,
-               alignment=None, list_type=None, font_size=None) -> dict:
+               alignment=None, list_type=None, font_size=None,
+               position=None) -> dict:
     return {
         "order": order, "type": typ, "content": content, "html": html,
         "level": int(level), "row_count": int(row_count),
@@ -58,6 +61,27 @@ def _item_dict(order, typ, content, html=None, level=0, row_count=0,
         "underline": bool(underline), "alignment": alignment,
         "list_type": list_type,
         "font_size": float(font_size) if font_size is not None else None,
+        # {x_start, y_start, x_end, y_end} page percentages
+        # (openai_content_extractor.py:167-173); PDF items carry real
+        # line/column extents, HTML items a reading-order substitute
+        "position": position,
+    }
+
+
+def _html_position(start: int, end: int, total: int) -> Optional[dict]:
+    """Reading-order position substitute for HTML items: web pages carry
+    no pixel geometry, so y pct = character-offset pct of the assembled
+    text (span start/end) and x spans the full width — keeps the
+    reference's position schema (openai_content_extractor.py:167-173)
+    populated and monotone in reading order. Documented substitute, like
+    the span-offset item shape (SURVEY §1.3)."""
+    if total <= 0:
+        return None
+    return {
+        "x_start": 0.0,
+        "y_start": round(100.0 * start / total, 2),
+        "x_end": 100.0,
+        "y_end": round(100.0 * end / total, 2),
     }
 
 
@@ -93,7 +117,7 @@ def extract_payload(payload: Optional[bytes], url: str = "",
         items = [] if include_items else None
         pos = 0
         first = True
-        for typ, txt, _page, size in pr.items:
+        for typ, txt, _page, size, ipos in pr.items:
             if not txt:
                 continue
             if not first:
@@ -105,13 +129,13 @@ def extract_payload(payload: Optional[bytes], url: str = "",
                 items.append(_item_dict(
                     len(items), btype, txt,
                     level=1 if btype == "header" else 0,
-                    font_size=size,
+                    font_size=size, position=ipos,
                 ))
             pos += len(txt)
         lang = lang_hint or detect_lang(pr.text)
         if include_layout:
-            layout = {"columns": int(pr.max_columns), "has_header": False,
-                      "has_footer": False}
+            layout = {**_EMPTY_LAYOUT, "columns": int(pr.max_columns),
+                      **(pr.margins or {})}
         return _record(url, pr.text, spans, lang, None, len(pr.items), n_in,
                        items, layout)
     res: ExtractResult = extract_html(bytes(payload), emit_chrome=emit_chrome)
@@ -121,6 +145,7 @@ def extract_payload(payload: Optional[bytes], url: str = "",
     lang = lang_hint or detect_lang(res.text)
     items = None
     if include_items:
+        total = len(res.text)
         items = [
             _item_dict(it.order, it.type, it.content, html=it.html,
                        level=it.level, row_count=it.row_count,
@@ -129,14 +154,20 @@ def extract_payload(payload: Optional[bytes], url: str = "",
                        image_type=it.image_type,
                        bold=it.bold, italic=it.italic,
                        underline=it.underline, alignment=it.alignment,
-                       list_type=it.list_type, font_size=it.font_size)
-            for it in res.items
+                       list_type=it.list_type, font_size=it.font_size,
+                       # assemble() emits spans 1:1 with items, in order
+                       position=_html_position(res.spans[i][0],
+                                               res.spans[i][1], total)
+                       if i < len(res.spans) else None)
+            for i, it in enumerate(res.items)
         ]
     if include_layout:
         layout = {
             "columns": int(res.layout.get("columns", 1)),
             "has_header": bool(res.layout.get("has_header", False)),
             "has_footer": bool(res.layout.get("has_footer", False)),
+            "margin_top_percent": None, "margin_bottom_percent": None,
+            "margin_left_percent": None, "margin_right_percent": None,
         }
     return _record(url, res.text, res.spans, lang, None, len(res.items),
                    n_in, items, layout)

@@ -54,8 +54,9 @@ class PdfResult:
     text: str = ""
     n_pages: int = 0
     page_texts: list = field(default_factory=list)
-    items: list = field(default_factory=list)   # (type, text, page, size)
+    items: list = field(default_factory=list)   # (type, text, page, size, pos)
     max_columns: int = 1      # layout: widest x-gap column split seen
+    margins: Optional[dict] = None   # text-extent page margins (pct)
     error: Optional[str] = None
 
 
@@ -314,10 +315,20 @@ def extract_runs(stream: bytes) -> list[TextRun]:
 
 _LINE_TOL = 2.0          # pt — runs within this y-delta form one line
 _COL_GAP_MIN = 72.0      # pt — min x gap between column clusters
+# Estimated glyph advance as a fraction of font size. The content-stream
+# subset carries no font metrics, so run width is approximated as
+# 0.55 em/char (Helvetica average) — deterministic, documented, and only
+# used for the item position percentages / margin estimates the reference
+# schema carries (openai_content_extractor.py:167-173, 190-199).
+_EST_ADVANCE = 0.55
+
+
+def _run_x_end(r: TextRun) -> float:
+    return r.x + _EST_ADVANCE * r.size * len(r.text)
 
 
 def _cluster_lines(runs: list[TextRun]) -> list[dict]:
-    """Group runs into lines by y; each line: {y, x, size, runs}."""
+    """Group runs into lines by y; each line: {y, x, x_end, size, runs}."""
     lines: list[dict] = []
     for r in sorted(runs, key=lambda r: (-r.y, r.x)):
         if lines and abs(lines[-1]["y"] - r.y) <= _LINE_TOL:
@@ -327,6 +338,7 @@ def _cluster_lines(runs: list[TextRun]) -> list[dict]:
     for ln in lines:
         ln["runs"].sort(key=lambda r: r.x)
         ln["x"] = ln["runs"][0].x
+        ln["x_end"] = max(_run_x_end(r) for r in ln["runs"])
         ln["size"] = max(r.size for r in ln["runs"])
         ln["text"] = " ".join(r.text for r in ln["runs"]).strip()
     return [ln for ln in lines if ln["text"]]
@@ -354,22 +366,43 @@ def _split_columns(runs: list[TextRun], page_width: float) -> list[list[TextRun]
     return [left, right]
 
 
-def _lines_to_items(lines: list[dict], page: int) -> list[tuple]:
-    """Paragraph grouping by vertical gap; header detection by font size."""
+def _pct(v: float, span: float) -> float:
+    return round(max(0.0, min(100.0, 100.0 * v / span)) if span > 0 else 0.0, 2)
+
+
+def _lines_to_items(lines: list[dict], page: int,
+                    width: float = 612.0, height: float = 792.0) -> list[tuple]:
+    """Paragraph grouping by vertical gap; header detection by font size.
+
+    Each item carries a position bbox as page percentages (x/y from the
+    top-left, 0-100 — the reference's item position schema,
+    openai_content_extractor.py:167-173): x from the line origins /
+    estimated advances, y_start from the first line's baseline + ascent
+    (≈ font size), y_end from the last line's baseline. PDF user space
+    is bottom-up, so y pct = 100·(height − y)/height."""
     items: list[tuple] = []
     body_size = 12.0
     sizes = sorted(ln["size"] for ln in lines)
     if sizes:
         body_size = sizes[len(sizes) // 2]
     para: list[str] = []
+    bbox: list = []           # [min_x, max_x_end, top_y, bottom_y] in pt
     prev_y = None
     prev_size = None
 
     def flush():
         if para:
             typ = "header" if (prev_size or 0) > body_size * 1.15 else "paragraph"
-            items.append((typ, "\n".join(para), page, prev_size or body_size))
+            pos = {
+                "x_start": _pct(bbox[0], width),
+                "y_start": _pct(height - bbox[2], height),
+                "x_end": _pct(bbox[1], width),
+                "y_end": _pct(height - bbox[3], height),
+            }
+            items.append((typ, "\n".join(para), page,
+                          prev_size or body_size, pos))
             para.clear()
+            bbox.clear()
 
     for ln in lines:
         gap = None if prev_y is None else prev_y - ln["y"]
@@ -380,6 +413,14 @@ def _lines_to_items(lines: list[dict], page: int) -> list[tuple]:
         )
         if new_para:
             flush()
+        top = ln["y"] + ln["size"]
+        if not para:
+            bbox[:] = [ln["x"], ln["x_end"], top, ln["y"]]
+        else:
+            bbox[0] = min(bbox[0], ln["x"])
+            bbox[1] = max(bbox[1], ln["x_end"])
+            bbox[2] = max(bbox[2], top)
+            bbox[3] = min(bbox[3], ln["y"])
         para.append(ln["text"])
         prev_y = ln["y"]
         prev_size = ln["size"]
@@ -401,6 +442,7 @@ def extract_pdf(pdf_bytes: bytes) -> PdfResult:
             body = objs[num]
             m = _MEDIABOX_RE.search(body)
             width = float(m.group(3)) - float(m.group(1)) if m else 612.0
+            height = float(m.group(4)) - float(m.group(2)) if m else 792.0
             streams: list[bytes] = []
             mc = _CONTENTS_RE.search(body)
             if mc:
@@ -418,10 +460,28 @@ def extract_pdf(pdf_bytes: bytes) -> PdfResult:
             cols = _split_columns(runs, width)
             res.max_columns = max(res.max_columns, len(cols))
             for col_runs in cols:
-                page_items.extend(_lines_to_items(_cluster_lines(col_runs), pno))
+                page_items.extend(
+                    _lines_to_items(_cluster_lines(col_runs), pno,
+                                    width, height))
             res.items.extend(page_items)
-            res.page_texts.append("\n\n".join(t for _, t, _, _ in page_items if t))
+            res.page_texts.append(
+                "\n\n".join(t for _, t, _, _, _ in page_items if t))
         res.text = "\n\n".join(t for t in res.page_texts if t)
+        if res.items:
+            # Doc-level text-extent margins as page percentages
+            # (margin_*_percent, openai_content_extractor.py:195-198):
+            # distance from each page edge to the union of item bboxes.
+            # Positions are already per-page percentages, so the union is
+            # comparable across pages with differing mediaboxes.
+            ps = [it[4] for it in res.items]
+            res.margins = {
+                "margin_top_percent": round(min(p["y_start"] for p in ps), 2),
+                "margin_bottom_percent": round(
+                    100.0 - max(p["y_end"] for p in ps), 2),
+                "margin_left_percent": round(min(p["x_start"] for p in ps), 2),
+                "margin_right_percent": round(
+                    100.0 - max(p["x_end"] for p in ps), 2),
+            }
         return res
     except Exception as exc:  # noqa: BLE001
         return PdfResult(error=f"{type(exc).__name__}: {exc}")

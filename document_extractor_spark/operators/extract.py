@@ -87,6 +87,17 @@ ITEM_TYPE = T.ArrayType(
         T.StructField("alignment", T.StringType(), True),
         T.StructField("list_type", T.StringType(), True),
         T.StructField("font_size", T.DoubleType(), True),
+        # Position bbox as page percentages from the top-left
+        # (openai_content_extractor.py:167-173). PDF items: real
+        # line/column extents from the content stream; HTML items:
+        # reading-order substitute (character-offset pct — web pages
+        # have no pixel geometry).
+        T.StructField("position", T.StructType([
+            T.StructField("x_start", T.DoubleType(), True),
+            T.StructField("y_start", T.DoubleType(), True),
+            T.StructField("x_end", T.DoubleType(), True),
+            T.StructField("y_end", T.DoubleType(), True),
+        ]), True),
     ])
 )
 
@@ -98,6 +109,13 @@ LAYOUT_TYPE = T.StructType([
     T.StructField("columns", T.IntegerType(), True),
     T.StructField("has_header", T.BooleanType(), True),
     T.StructField("has_footer", T.BooleanType(), True),
+    # Text-extent page margins as percentages
+    # (margin_*_percent, openai_content_extractor.py:195-198) — PDF
+    # only (mediabox vs item-bbox union); NULL for HTML pages.
+    T.StructField("margin_top_percent", T.DoubleType(), True),
+    T.StructField("margin_bottom_percent", T.DoubleType(), True),
+    T.StructField("margin_left_percent", T.DoubleType(), True),
+    T.StructField("margin_right_percent", T.DoubleType(), True),
 ])
 
 _DEFAULT_BATCH_BYTES = 64 * 1024 * 1024

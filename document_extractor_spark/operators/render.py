@@ -228,14 +228,98 @@ def _zebra_stripe(c: Column) -> Column:
     return F.concat_ws("<tbody>", F.transform(segs, stripe_seg))
 
 
+# Reference th content styling (html_formatter.py:148-156) — merged
+# into any pre-existing inline style with dict.update() semantics:
+# conflicting keys are overridden IN PLACE (they keep their original
+# position), new keys append in this order, serialized as 'k: v; …'
+# (html_formatter.py:305-321).
+_TH_PROPS = [
+    ("padding", "10px"),
+    ("background-color", "#4a90e2"),
+    ("color", "white"),
+    ("font-weight", "bold"),
+    ("text-align", "left"),
+]
+
+
+def _merged_style(existing: Column, props: list) -> Column:
+    """Catalyst twin of _parse_style_string + dict.update +
+    _dict_to_style_string (html_formatter.py:305-321) — all array/string
+    expressions, no Python."""
+    rules = F.filter(F.split(existing, ";"), lambda p: F.instr(p, ":") > 0)
+    pairs = F.filter(
+        F.transform(rules, lambda p: F.struct(
+            F.trim(F.substring_index(p, ":", 1)).alias("k"),
+            F.trim(F.regexp_extract(p, "^[^:]*:(.*)$", 1)).alias("v"))),
+        lambda s: s["k"] != "",
+    )
+
+    def override(s):
+        v = s["v"]
+        for k, nv in reversed(props):
+            v = F.when(s["k"] == k, F.lit(nv)).otherwise(v)
+        return F.concat(s["k"], F.lit(": "), v)
+
+    kept = F.transform(pairs, override)
+
+    def has_key(kk):
+        return F.exists(pairs, lambda s: s["k"] == kk)
+
+    appended = F.filter(
+        F.array(*[
+            F.when(~has_key(k), F.lit(f"{k}: {v}")) for k, v in props
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return F.array_join(F.concat(kept, appended), "; ")
+
+
+def _restyle_th(c: Column) -> Column:
+    """Rewrite every ``<th …>`` tag's ``style`` attribute to the merge of
+    its existing inline style with ``_TH_PROPS``. Split on ``<th`` +
+    index-aware ``transform`` (the zebra pattern); quote-aware style
+    extraction for both quote kinds. Limitation (documented): a literal
+    ``>`` inside a quoted attribute value truncates that tag's attrs —
+    our renderers never emit one."""
+    segs = F.split(c, "<th(?=[\\s>])")
+
+    def fix(seg: Column, i: Column) -> Column:
+        parts = F.split(seg, ">", 2)
+        attrs = F.element_at(parts, 1)
+        rest = F.when(
+            F.size(parts) > 1,
+            F.concat(F.lit(">"), F.element_at(parts, 2)),
+        ).otherwise(F.lit(""))
+        dq = F.regexp_extract(attrs, "style\\s*=\\s*\"([^\"]*)\"", 1)
+        sq = F.regexp_extract(attrs, "style\\s*=\\s*'([^']*)'", 1)
+        existing = F.when(dq != "", dq).otherwise(sq)
+        # escape \ and $ so the merged value is literal in the
+        # regexp_replace replacement position
+        merged = F.regexp_replace(_merged_style(existing, _TH_PROPS),
+                                  "[\\\\$]", "\\\\$0")
+        attrs2 = F.when(
+            attrs.rlike("style\\s*=\\s*[\"']"),
+            F.regexp_replace(
+                attrs, "style\\s*=\\s*(\"[^\"]*\"|'[^']*')",
+                F.concat(F.lit('style="'), merged, F.lit('"'))),
+        ).otherwise(
+            F.concat(attrs, F.lit(' style="'), merged, F.lit('"')))
+        return F.when(i == 0, seg).otherwise(
+            F.concat(F.lit("<th"), attrs2, rest))
+
+    return F.concat_ws("", F.transform(segs, fix))
+
+
 def apply_readability_rewrite(df: DataFrame, html_col: str = "html") -> DataFrame:
     """H10 — the reference's readability restyle pass
-    (html_formatter.py:80-321: th header styling, tbody zebra striping by
-    row index, table restyle) re-expressed as Catalyst string
-    expressions; attribute-tolerant (``<th scope=..>`` still matched via
-    lookahead) and fully JVM-side."""
+    (html_formatter.py:80-321: th header styling merged into any
+    pre-existing inline style, tbody zebra striping by row index, table
+    restyle) re-expressed as Catalyst string expressions;
+    attribute-tolerant (``<th scope=..>`` still matched via lookahead)
+    and fully JVM-side."""
     c = F.col(html_col)
     c = _zebra_stripe(c)
+    c = _restyle_th(c)
     c = F.regexp_replace(c, "<th(?=[\\s>])", '<th class="hdr"')
     c = F.regexp_replace(c, "<table(?=[\\s>])", '<table class="readable"')
     return df.withColumn(html_col, c)

@@ -113,3 +113,44 @@ def pages_with_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.col("lang"),
     )
+
+
+# PDF variant for the position/margin operators: each document becomes a
+# deterministic one-page PDF with a FIXED layout — an 18 pt title at
+# (72, 720) and a two-line 12 pt body at (72, 680) holding the first two
+# 40-char chunks of the (whitespace-normalized, ASCII-only) text — so
+# every extracted item position and every layout margin is a closed-form
+# constant the DuckDB oracle can state directly. PDF bytes are built in
+# an Arrow-batched pandas UDF (test source, not the extraction hot path).
+def pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .generator import build_pdf
+
+    @F.pandas_udf("binary")
+    def _pdf_bytes(did, body):
+        return pd.Series([
+            build_pdf([[(72, 720, 18, [f"Document {d}"]),
+                        (72, 680, 12, [a[:40], a[40:80]])]])
+            for d, a in zip(did, body)
+        ])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    # whitespace-normalize then strip non-ASCII (build_pdf writes
+    # latin-1 literals; the oracle must see the same bytes roundtrip)
+    ascii_body = F.regexp_replace(
+        F.regexp_replace(F.trim("text"), r"\s+", " "), "[^ -~]", "")
+    return (
+        docs.select("doc_id", did.alias("did"), ascii_body.alias("body"),
+                    F.col("lang"))
+        .filter(F.length("body") >= 80)
+        .select(
+            F.concat(F.lit("https://docs.example.org/pdf/"),
+                     F.col("did")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            _pdf_bytes("did", "body").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("lang"),
+        )
+    )

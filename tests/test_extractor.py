@@ -530,8 +530,9 @@ def test_layout_struct_html_and_pdf():
             "style='column-count: 3'>" + _CONTENT_P + "</main></body></html>"
             ).encode()
     rec = extract_payload(html, url="u", include_layout=True)
-    assert rec["layout"] == {"columns": 3, "has_header": True,
-                             "has_footer": False}
+    assert {k: v for k, v in rec["layout"].items()
+            if not k.startswith("margin_")} == {
+        "columns": 3, "has_header": True, "has_footer": False}
     two_col = build_pdf([[
         (72, 700, 12, "Left column text"), (400, 700, 12, "Right column"),
         (72, 680, 12, "more left"), (400, 680, 12, "more right"),
@@ -547,6 +548,64 @@ def test_pdf_items_carry_font_size():
     rec = extract_payload(pdf, url="u", include_items=True)
     sizes = {it["type"]: it["font_size"] for it in rec["content_items"]}
     assert sizes.get("header") == 18.0
+
+
+def test_pdf_item_positions_two_column():
+    """Position bboxes (page pct from top-left, openai_content_extractor.py
+    :167-173): a two-column page must yield items whose x_start separates
+    the columns and whose y coords come from baseline/ascent math on the
+    612x792 mediabox."""
+    pdf = build_pdf([[
+        (72, 720, 12, ["left column line one", "left column line two"]),
+        (340, 720, 12, ["right column line one", "right column line two"]),
+    ]])
+    rec = extract_payload(pdf, url="u", include_items=True,
+                          include_layout=True)
+    items = rec["content_items"]
+    assert len(items) == 2
+    left, right = items[0]["position"], items[1]["position"]
+    assert left["x_start"] == round(100 * 72 / 612, 2)
+    assert right["x_start"] == round(100 * 340 / 612, 2)
+    assert left["x_start"] < right["x_start"] <= right["x_end"] <= 100.0
+    # first-line top = baseline 720 + 12pt ascent; last baseline 705.6
+    assert left["y_start"] == round(100 * (792 - 732) / 792, 2)
+    assert left["y_end"] == round(100 * (792 - 705.6) / 792, 2)
+    assert rec["layout"]["columns"] == 2
+
+
+def test_pdf_layout_margins_from_text_extents():
+    """margin_*_percent (openai_content_extractor.py:195-198): distance
+    from each page edge to the union of item bboxes, as percentages."""
+    pdf = build_pdf([[(100, 692, 12, ["x" * 20])]])
+    rec = extract_payload(pdf, url="u", include_items=True,
+                          include_layout=True)
+    lay = rec["layout"]
+    assert lay["margin_left_percent"] == round(100 * 100 / 612, 2)
+    assert lay["margin_top_percent"] == round(100 * (792 - 704) / 792, 2)
+    assert lay["margin_bottom_percent"] == round(100 * 692 / 792, 2)
+    # right margin backs out the 0.55 em/char advance estimate
+    x_end = 100 + 0.55 * 12 * 20
+    assert lay["margin_right_percent"] == round(100 - 100 * x_end / 612, 2)
+    # HTML pages have no pixel geometry — margins stay NULL
+    rec2 = extract_payload(b"<html><body><main><p>" + b"w " * 60
+                           + b"</p></main></body></html>",
+                           url="u", include_layout=True)
+    assert rec2["layout"]["margin_left_percent"] is None
+
+
+def test_html_item_positions_reading_order():
+    """HTML items carry the reading-order position substitute: y pct =
+    char-offset pct of the assembled text, monotone in order."""
+    html = (b"<html><body><main><h1>Title here</h1><p>"
+            + b"alpha " * 40 + b"</p><p>" + b"beta " * 40
+            + b"</p></main></body></html>")
+    rec = extract_payload(html, url="u", include_items=True)
+    ps = [it["position"] for it in rec["content_items"]]
+    assert len(ps) >= 3
+    assert ps[0]["y_start"] == 0.0 and ps[-1]["y_end"] == 100.0
+    for a, b in zip(ps, ps[1:]):
+        assert a["y_end"] <= b["y_start"]
+    assert all(p["x_start"] == 0.0 and p["x_end"] == 100.0 for p in ps)
 
 
 def test_langid_batch_parity_corpus():

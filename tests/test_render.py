@@ -112,7 +112,7 @@ def test_readability_stats(extracted):
 def test_readability_rewrite(extracted):
     html_df = apply_readability_rewrite(render_html(extracted))
     html = _one(html_df, "kv_blank_line")["html"]
-    assert '<th class="hdr">' in html
+    assert ('<th class="hdr" style="padding: 10px; background-color: #4a90e2; color: white; font-weight: bold; text-align: left">') in html
     assert '<table class="readable">' in html
 
 
@@ -179,7 +179,8 @@ def test_readability_zebra_striping(spark):
              "<tr><td>c</td></tr></tbody></table>")
     df = spark.createDataFrame([(table,)], "html string")
     out = apply_readability_rewrite(df).head()["html"]
-    expected = ('<table class="readable"><thead><tr><th class="hdr">K</th>'
+    expected = ('<table class="readable"><thead><tr>'
+                '<th class="hdr" style="padding: 10px; background-color: #4a90e2; color: white; font-weight: bold; text-align: left">K</th>'
                 '</tr></thead><tbody><tr class="even"><td>a</td></tr>'
                 '<tr class="odd"><td>b</td></tr>'
                 '<tr class="even"><td>c</td></tr></tbody></table>')
@@ -224,10 +225,31 @@ def test_zebra_striping_multi_table(spark):
           "<tbody><tr><td>3</td></tr></tbody></table>")
     df = spark.createDataFrame([(t1 + t2,)], "html string")
     out = apply_readability_rewrite(df).head()["html"]
-    exp = ('<table class="readable"><thead><tr><th class="hdr">A</th>'
+    exp = ('<table class="readable"><thead><tr>'
+           '<th class="hdr" style="padding: 10px; background-color: #4a90e2; color: white; font-weight: bold; text-align: left">A</th>'
            '</tr></thead><tbody><tr class="even"><td>1</td></tr>'
            '<tr class="odd"><td>2</td></tr></tbody></table>'
-           '<table class="readable"><thead><tr><th class="hdr">B</th>'
+           '<table class="readable"><thead><tr>'
+           '<th class="hdr" style="padding: 10px; background-color: #4a90e2; color: white; font-weight: bold; text-align: left">B</th>'
            '</tr></thead><tbody><tr class="even"><td>3</td></tr>'
            '</tbody></table>')
     assert out == exp
+
+
+def test_th_inline_style_merge(spark):
+    """H10 style merge (html_formatter.py:146-156, 305-321): a
+    pre-styled <th> keeps its non-conflicting properties in place,
+    conflicting ones are overridden IN POSITION (dict.update), and the
+    remaining reference properties append — plus it gains the header
+    class."""
+    table = ('<table><thead><tr>'
+             "<th style='border: 1px solid; color: red'>K</th>"
+             '</tr></thead><tbody><tr><td>a</td></tr></tbody></table>')
+    df = spark.createDataFrame([(table,)], "html string")
+    out = apply_readability_rewrite(df).head()["html"]
+    assert ('<th class="hdr" style="border: 1px solid; color: white; '
+            'padding: 10px; background-color: #4a90e2; font-weight: bold; '
+            'text-align: left">K</th>') in out
+    # plan stays fully JVM
+    from document_extractor_spark.plans import assert_no_python
+    assert_no_python(apply_readability_rewrite(df))
