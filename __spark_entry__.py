@@ -3,7 +3,8 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-40 queries, 34 with exact SQL oracles.
+42 queries, 36 with exact SQL oracles (incl. the Structured Streaming
+ingest-dedup job and PDF position/margin geometry).
 
 Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
 MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
@@ -292,6 +293,52 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return drop_exact_duplicates(_augmented_exact(spark, sf_dir)) \
         .select("doc_id")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup parity: the planted-clone corpus
+    (``_augmented_exact``: doc i duplicated as i+100000 for i<50) runs
+    through ``stream_dedup_exact`` as a REAL Structured Streaming job —
+    file-source micro-batches, ``dropDuplicatesWithinWatermark`` state,
+    ``foreachBatch`` parquet sink, ``availableNow`` trigger — and the
+    survivors must match the batch dedup contract group-for-group:
+    every content group keeps exactly one page. Which clone survives is
+    first-seen order (legitimately nondeterministic across micro-batch
+    schedules), so parity is stated at group level: (group, n_in,
+    n_kept), all closed-form."""
+    import os
+    import tempfile
+
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_dedup_foreach_batch,
+    )
+
+    base = tempfile.mkdtemp(prefix="sg_stream_dedup_")
+    inp, outp, ckpt = (os.path.join(base, x) for x in ("in", "out", "ckpt"))
+    d = _augmented_exact(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("https://docs.example.org/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    # several input files → several micro-batches → dedup state must
+    # carry across triggers, not just within one batch
+    pages.repartition(8).write.mode("overwrite").parquet(inp)
+    kept = run_stream_dedup_foreach_batch(spark, inp, outp, ckpt)
+    kept_groups = (
+        kept.select((F.element_at(F.split("url", "/"), -1).cast("bigint")
+                     % 100000).alias("group_id"))
+        .groupBy("group_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    n_in = (
+        d.select((F.col("doc_id") % 100000).alias("group_id"))
+        .groupBy("group_id").agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    return kept_groups.join(n_in, "group_id").select(
+        "group_id", "n_in", "n_kept")
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_pivot": q_event_pivot,
         "dedup_kept": q_dedup_kept,
+        "stream_dedup": q_stream_dedup,
         "customers_without_orders": q_customers_without_orders,
         "kv_pivot": q_kv_pivot,
         "json_repair": q_json_repair,
@@ -1127,6 +1175,16 @@ def oracle_sql() -> dict[str, str]:
                    'Copyright 2026 Example. Terms' AS footer_text,
                    1 AS layout_columns, TRUE AS has_header,
                    TRUE AS has_footer
+            FROM documents
+        """,
+        # Streaming ingest dedup, stated at group level (survivor
+        # identity is first-seen order — nondeterministic by design):
+        # originals doc_id<50 are cloned once, every group keeps one.
+        "stream_dedup": """
+            SELECT doc_id AS group_id,
+                   CAST(CASE WHEN doc_id < 50 THEN 2 ELSE 1 END AS BIGINT)
+                     AS n_in,
+                   CAST(1 AS BIGINT) AS n_kept
             FROM documents
         """,
         # Fixed PDF layout (pdf_pages_from_documents): 18pt title at

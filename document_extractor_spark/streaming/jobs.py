@@ -165,3 +165,27 @@ def stream_dedup_exact(pages_stream: DataFrame,
         .withWatermark("ts", watermark)
     )
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+def run_stream_dedup_foreach_batch(spark: SparkSession, input_path: str,
+                                   out_path: str, checkpoint: str,
+                                   watermark: str = "1 hour") -> DataFrame:
+    """Drive ``stream_dedup_exact`` over a parquet-backed page stream
+    with a ``foreachBatch`` parquet sink (the deploy shape: idempotent
+    append + checkpointed progress, resumable mid-stream), then return
+    the accumulated survivors as a batch DataFrame. ``availableNow``
+    processes the full backlog in bounded micro-batches and stops."""
+    kept = stream_dedup_exact(stream_pages(spark, input_path),
+                              watermark=watermark)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.select("url").write.mode("append").parquet(out_path)
+
+    q = (
+        kept.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
