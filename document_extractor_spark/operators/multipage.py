@@ -39,6 +39,14 @@ MERGED_SCHEMA = T.StructType([
     T.StructField("column_count", T.IntegerType(), True),
     T.StructField("pages", T.ArrayType(T.IntegerType()), True),
     T.StructField("n_merged", T.IntegerType(), False),
+    # Source-item lineage — the structural twin of the reference's
+    # continuation_of id links (openai_content_extractor_multipage.py:
+    # 92-137, 214): every (page, item_order) that merged into this item,
+    # in merge order, so a merged row is auditable back to its sources.
+    T.StructField("merged_from", T.ArrayType(T.StructType([
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("item_order", T.IntegerType(), False),
+    ])), True),
 ])
 
 _PROSE = {"paragraph", "list"}
@@ -93,6 +101,8 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             "column_count": int(row.column_count),
             "pages": [int(row.page_num)],
             "n_merged": 1,
+            "merged_from": [{"page": int(row.page_num),
+                             "item_order": int(row.order)}],
         }
         first_of_page = prev_page is not None and row.page_num != prev_page
         prev_page = row.page_num
@@ -108,6 +118,7 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
                 last["content"] = last["content"] + " " + c
                 last["pages"].append(item["pages"][0])
                 last["n_merged"] += 1
+                last["merged_from"].extend(item["merged_from"])
                 continue
             if (
                 item["type"] == "table"
@@ -121,6 +132,7 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
                 last["row_count"] += item["row_count"]
                 last["pages"].append(item["pages"][0])
                 last["n_merged"] += 1
+                last["merged_from"].extend(item["merged_from"])
                 continue
         item["order"] = len(out) - article_start
         out.append(item)

@@ -26,10 +26,20 @@ PAGES_SCHEMA = T.StructType([
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan the pages table. ``basePath`` keeps the ``warc_day`` partition
-    column visible so Catalyst partition-prunes ``warc_day = X`` filters."""
+    column visible so Catalyst partition-prunes ``warc_day = X`` filters.
+
+    The scan schema is built fresh each call: ``StructType.add`` MUTATES
+    the receiver, so ``PAGES_SCHEMA.add(...)`` would permanently grow
+    the shared module-level schema — any later ``stream_pages`` over a
+    ``warc_day=*`` glob then sees the column twice
+    (COLUMN_ALREADY_EXISTS)."""
+    scan_schema = T.StructType(
+        list(PAGES_SCHEMA.fields)
+        + [T.StructField("warc_day", T.StringType())]
+    )
     return (
         spark.read.option("basePath", path)
-        .schema(PAGES_SCHEMA.add("warc_day", T.StringType()))
+        .schema(scan_schema)
         .parquet(path)
     )
 

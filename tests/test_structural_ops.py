@@ -102,6 +102,23 @@ def test_multipage_prose_merge(spark):
     assert out[2].n_merged == 1
 
 
+def test_multipage_merged_from_lineage(spark):
+    """Every merged item carries (page, item_order) source lineage — the
+    structural twin of the reference's continuation_of id links
+    (openai_content_extractor_multipage.py:92-137), so a merged row is
+    auditable back to exactly the items it absorbed."""
+    rows = [
+        (1, 1, 0, "header", "Title", None, 0, 0),
+        (1, 1, 1, "paragraph", "The sentence starts here and", None, 0, 0),
+        (1, 2, 0, "paragraph", "continues on the next page.", None, 0, 0),
+        (1, 2, 1, "paragraph", "A fresh paragraph.", None, 0, 0),
+    ]
+    out = merge_continuations(spark.createDataFrame(rows, _ITEM_COLS)) \
+        .orderBy("order").collect()
+    lineage = [[(m.page, m.item_order) for m in r.merged_from] for r in out]
+    assert lineage == [[(1, 0)], [(1, 1), (2, 0)], [(2, 1)]]
+
+
 def test_multipage_table_splice(spark):
     t1 = "<table><tr><td>a</td><td>1</td></tr></table>"
     t2 = "<table><tr><td>b</td><td>2</td></tr></table>"
