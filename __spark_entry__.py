@@ -3,8 +3,10 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-42 queries, 36 with exact SQL oracles (incl. the Structured Streaming
-ingest-dedup job and PDF position/margin geometry).
+45 queries, 39 with exact SQL oracles (incl. the Structured Streaming
+ingest-dedup job, PDF position/margin geometry, and the curation
+family: 13-gram benchmark decontamination, staged PII redaction,
+deterministic md5-bucket data-mix sampling).
 
 Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
 MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
@@ -48,6 +50,12 @@ from document_extractor_spark.operators.textstats import (
     detect_languages,
     doc_fingerprints,
     text_stats,
+)
+from document_extractor_spark.operators.curation import (
+    decontaminate,
+    mix_threshold_hex,
+    redact_pii,
+    sample_mix,
 )
 from document_extractor_spark.operators.kvpivot import kv_records_to_table
 from document_extractor_spark.operators.media import (
@@ -293,6 +301,43 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return drop_exact_duplicates(_augmented_exact(spark, sf_dir)) \
         .select("doc_id")
+
+
+def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram rule): docs 0-9 ARE the
+    benchmark, so they (and anything sharing a 13-gram with them) must
+    drop; the oracle runs the identical gram join in SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 10).select("text")
+    return decontaminate(d, bench).select("doc_id")
+
+
+# Deterministic data-mix weights for the sample_mix contract query —
+# derived from the stable src0..src19 source names so the oracle can
+# state the same CASE thresholds.
+_MIX_WEIGHTS = {f"src{i}": ((i % 5) + 1) / 10 for i in range(20)}
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_mix(_docs(spark, sf_dir), _MIX_WEIGHTS).select(
+        "doc_id", "source")
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII planted deterministically per doc (email, IP, SSN, phone),
+    then the staged redaction chain — redacted text and per-rule counts
+    are oracle-exact (identical Java∩RE2 patterns run in DuckDB)."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 call +1 (415) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return redact_pii(d.select("doc_id", planted.alias("text"))).select(
+        "doc_id", "redacted", "n_email", "n_ssn", "n_ip", "n_phone")
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,6 +830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "dedup_kept": q_dedup_kept,
         "stream_dedup": q_stream_dedup,
+        "decontam_kept": q_decontam_kept,
+        "sample_mix": q_sample_mix,
+        "pii_redaction": q_pii_redaction,
         "customers_without_orders": q_customers_without_orders,
         "kv_pivot": q_kv_pivot,
         "json_repair": q_json_repair,
@@ -804,6 +852,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
 _TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
 _STOP = "['the','and','is','of','to','in','that','it','with','as']"
+
+
+
+# Oracle-side constants for the curation twins: the CASE thresholds and
+# regex strings are derived from the SAME Python objects the Spark
+# operators use, so the two engines cannot drift.
+from document_extractor_spark.operators.curation import PII_RULES as _PII
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN '{mix_threshold_hex(w)}'"
+    for s, w in _MIX_WEIGHTS.items()
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1176,6 +1236,53 @@ def oracle_sql() -> dict[str, str]:
                    1 AS layout_columns, TRUE AS has_header,
                    TRUE AS has_footer
             FROM documents
+        """,
+        # Curation family — mechanical SQL twins of the Catalyst chains.
+        "decontam_kept": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(tk) - 12, 1) + 1),
+                i -> array_to_string(tk[i:i+12], ' '))) AS s
+              FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            bench AS (SELECT DISTINCT g FROM ex WHERE doc_id < 10),
+            bad AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bench b USING (g))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "sample_mix": (
+            "SELECT doc_id, source FROM documents"
+            " WHERE substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            " < CASE source " + _MIX_CASE + " ELSE '0' END"
+        ),
+        "pii_redaction": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com ip 10.0.'
+                          || (doc_id % 256) || '.7 ssn 123-45-6789 call +1 (415) 555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                     len(regexp_extract_all(t0, '{_PII[0][1]}')) AS n_email,
+                     regexp_replace(t0, '{_PII[0][1]}', '{_PII[0][2]}', 'g') AS t1
+                   FROM p),
+            s2 AS (SELECT doc_id, t1, n_email,
+                     len(regexp_extract_all(t1, '{_PII[1][1]}')) AS n_ssn,
+                     regexp_replace(t1, '{_PII[1][1]}', '{_PII[1][2]}', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, t2, n_email, n_ssn,
+                     len(regexp_extract_all(t2, '{_PII[2][1]}')) AS n_ip,
+                     regexp_replace(t2, '{_PII[2][1]}', '{_PII[2][2]}', 'g') AS t3
+                   FROM s2),
+            s4 AS (SELECT doc_id, n_email, n_ssn, n_ip,
+                     len(regexp_extract_all(t3, '{_PII[3][1]}')) AS n_phone,
+                     regexp_replace(t3, '{_PII[3][1]}', '{_PII[3][2]}', 'g') AS redacted
+                   FROM s3)
+            SELECT doc_id, redacted, n_email, n_ssn, n_ip, n_phone FROM s4
         """,
         # Streaming ingest dedup, stated at group level (survivor
         # identity is first-seen order — nondeterministic by design):

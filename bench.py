@@ -218,7 +218,8 @@ HEADLINE_QUERIES = [
     "page_chrome_layout", "bpe_token_counts", "gopher_flags",
     "repetition_stats", "source_quantiles", "dup_clusters", "ivf_topk",
     "winnowing", "drop_near_dups", "drop_dup_paragraphs",
-    "pdf_positions", "stream_dedup",
+    "pdf_positions", "stream_dedup", "decontam_kept", "sample_mix",
+    "pii_redaction",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -1,0 +1,128 @@
+"""Training-data curation operators — decontamination, PII redaction,
+deterministic source-weighted sampling (SURVEY.md §2.10 beyond-reference
+mandate: the operations a large-scale training-data pipeline needs that
+the reference, a per-document extractor, never had).
+
+All three are pure Catalyst (no Python in any plan) and scale-shaped:
+
+- ``decontaminate``: the benchmark side is the SMALL side — its distinct
+  n-grams broadcast; the corpus side is a narrow explode (no corpus
+  shuffle). The only shuffles touch gram/id projections, never payloads.
+- ``redact_pii``: a narrow map — chained ``regexp_replace`` stages.
+- ``sample_mix``: a narrow filter on an md5-derived hash bucket —
+  deterministic across runs, engines, and partitionings (no RNG state,
+  no sampleBy seed coupling to partition layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap, GPT-3/PaLM-style 13-gram rule)
+# ---------------------------------------------------------------------------
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     bench_text_col: str = "text") -> DataFrame:
+    """Ids of documents sharing ANY lowercased n-word gram with the
+    benchmark corpus (the standard 13-gram decontamination rule).
+
+    Plan: benchmark grams → distinct (small side, broadcast); corpus
+    grams → narrow ``explode`` per doc; inner join on the gram; distinct
+    ids. The corpus is never shuffled on text — only (id, gram)
+    projections move, and the benchmark side rides the broadcast."""
+    bg = (
+        benchmark.select(F.explode(shingles(bench_text_col, n)).alias("g"))
+        .distinct()
+    )
+    dg = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+    return dg.join(F.broadcast(bg), "g").select(id_col).distinct()
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Drop every document that shares an n-gram with the benchmark —
+    anti-join of the corpus against ``contaminated_ids`` (small, so it
+    broadcasts; the corpus again stays unshuffled)."""
+    bad = contaminated_ids(docs, benchmark, n, id_col, text_col,
+                           bench_text_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, RE2-compatible pattern, replacement). ORDER MATTERS and is part
+# of the contract: SSN before phone (an SSN is also a phone-shaped digit
+# run), IP before phone (dotted quads are phone-shaped too). Patterns
+# stay in the Java∩RE2 regex subset (no lookahead, no backrefs, ASCII
+# \d/\s/\b) so the DuckDB oracle runs the IDENTICAL strings.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Chained PII redaction with per-rule match counts.
+
+    Counts are defined ON THE STAGED TEXT (rule k counts matches after
+    rules 1..k-1 replaced) — so an SSN counts once as an SSN, not again
+    as a phone. Pure ``regexp_replace``/``regexp_extract_all`` chain: a
+    narrow, shuffle-free map the oracle replicates verbatim."""
+    staged: Column = F.col(text_col)
+    counts = {}
+    for name, pat, rep in PII_RULES:
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(staged, F.lit(pat), F.lit(0)))
+        staged = F.regexp_replace(staged, pat, rep)
+    out = df.withColumn(out_col, staged)
+    for cname, expr in counts.items():
+        out = out.withColumn(cname, expr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source-weighted sampling (data-mix construction)
+# ---------------------------------------------------------------------------
+
+
+def mix_threshold_hex(weight: float) -> str:
+    """First-8-hex-chars md5 threshold for a keep fraction. Hex strings
+    of equal length compare lexicographically as numbers, so the filter
+    is a plain string comparison — identical in Spark and DuckDB
+    (md5 hex output matches engine-for-engine). weight ≥ 1 → 'g', which
+    every hex string sorts below (keep all)."""
+    if weight >= 1.0:
+        return "g"
+    return format(max(int(weight * 16**8), 0), "08x")
+
+
+def sample_mix(docs: DataFrame, weights: dict, key_col: str = "doc_id",
+               source_col: str = "source", seed: str = "mix1") -> DataFrame:
+    """Source-weighted deterministic subsample: keep a row iff the first
+    8 hex chars of ``md5(seed || key)`` fall below its source's
+    threshold. Sources absent from ``weights`` are dropped (weight 0).
+
+    Unlike ``df.sampleBy``, the decision is a pure function of
+    (seed, key) — stable under repartitioning, retries, and engine
+    (the DuckDB oracle evaluates the same md5 comparison), which is what
+    a reproducible training-data mix requires. Narrow filter; no
+    shuffle."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8)
+    cond = F.lit(False)
+    for src, w in weights.items():
+        cond = cond | (
+            (F.col(source_col) == src) & (h < F.lit(mix_threshold_hex(w))))
+    return docs.filter(cond)

@@ -1,0 +1,122 @@
+"""Curation operators — decontamination, PII redaction, deterministic
+source-weighted sampling (operators/curation.py)."""
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.curation import (
+    PII_RULES,
+    decontaminate,
+    mix_threshold_hex,
+    redact_pii,
+    sample_mix,
+)
+from document_extractor_spark.plans import assert_no_python
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+BENCH_SENT = ("the quick brown fox jumps over the lazy dog while "
+              "seven wizards brew strong potions at midnight exactly")
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """A doc containing a benchmark 13-gram drops; clean docs survive;
+    short docs (<13 tokens) only match via their whole-text gram."""
+    docs = _docs(spark, [
+        (1, "totally clean document with many unique words "
+            "that never appear in any benchmark at all ok"),
+        (2, "prefix words then " + BENCH_SENT + " and a suffix"),
+        (3, "another clean one with its own vocabulary entirely "
+            "separate from evaluation data for sure yes indeed"),
+    ])
+    bench = spark.createDataFrame([(BENCH_SENT,)], "text string")
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench).collect())
+    assert kept == [1, 3]
+    assert_no_python(decontaminate(docs, bench))
+
+
+def test_decontaminate_no_false_positive_below_n(spark):
+    """Sharing only a 12-token run with the benchmark is NOT
+    contamination under the 13-gram rule."""
+    toks = BENCH_SENT.split()
+    twelve = " ".join(toks[:12])
+    docs = _docs(spark, [(1, "lead in words " + twelve + " broken tail")])
+    bench = spark.createDataFrame([(BENCH_SENT,)], "text string")
+    assert [r.doc_id for r in decontaminate(docs, bench).collect()] == [1]
+
+
+def test_redact_pii_rules_and_counts(spark):
+    txt = ("write to jo.doe+x@mail.example.org or call +1 (415) 555-0100; "
+           "ssn 123-45-6789 server 192.168.0.12 ok")
+    out = redact_pii(_docs(spark, [(1, txt)])).head()
+    assert "<EMAIL>" in out.redacted and "@" not in out.redacted
+    assert "<SSN>" in out.redacted and "123-45-6789" not in out.redacted
+    assert "<IP>" in out.redacted and "192.168.0.12" not in out.redacted
+    assert "<PHONE>" in out.redacted and "555-0100" not in out.redacted
+    # staged counting: the SSN counts once (as SSN, not again as phone)
+    assert (out.n_email, out.n_ssn, out.n_ip, out.n_phone) == (1, 1, 1, 1)
+    assert_no_python(redact_pii(_docs(spark, [(1, txt)])))
+
+
+def test_redact_pii_clean_text_untouched(spark):
+    txt = "nothing sensitive here just words and the number 42"
+    out = redact_pii(_docs(spark, [(1, txt)])).head()
+    assert out.redacted == txt
+    assert (out.n_email, out.n_ssn, out.n_ip, out.n_phone) == (0, 0, 0, 0)
+
+
+def test_mix_threshold_hex_bounds():
+    assert mix_threshold_hex(0.0) == "00000000"
+    assert mix_threshold_hex(1.0) == "g"      # every md5 prefix < 'g'
+    assert mix_threshold_hex(0.5) == "80000000"
+
+
+def test_sample_mix_deterministic_and_weighted(spark):
+    rows = [(i, f"src{i % 2}", "t") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w = {"src0": 0.25, "src1": 1.0}
+    got1 = sorted(r.doc_id for r in sample_mix(df, w).collect())
+    got2 = sorted(r.doc_id for r in sample_mix(df, w).collect())
+    assert got1 == got2                       # pure function of (seed, key)
+    by_src = {r["source"]: r["n"] for r in sample_mix(df, w)
+              .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["src1"] == 2000             # weight 1.0 keeps everything
+    assert 380 <= by_src["src0"] <= 620       # ~25% of 2000, md5-uniform
+    # absent source = weight 0
+    w2 = {"src1": 1.0}
+    assert sample_mix(df, w2).filter(F.col("source") == "src0").count() == 0
+    assert_no_python(sample_mix(df, w))
+
+
+def test_pii_rules_are_re2_safe():
+    """Oracle parity precondition: patterns must stay in the Java∩RE2
+    subset — no lookahead/lookbehind/backrefs."""
+    for _name, pat, _rep in PII_RULES:
+        assert "(?=" not in pat and "(?!" not in pat
+        assert "(?<" not in pat and "\\1" not in pat
+
+
+def test_curation_query_plans_scale_shape(spark):
+    """The contract plans carry the 100-TB shape: decontamination joins
+    BROADCAST the benchmark grams and the contaminated-id set (never a
+    sort-merge shuffle of the corpus); sample_mix is a zero-exchange
+    filter whose scan prunes text; pii_redaction is a zero-exchange
+    narrow map. No Python anywhere."""
+    import __spark_entry__ as entry_mod
+    from document_extractor_spark.plans import (
+        physical_plan,
+        scan_read_schema,
+    )
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+    p = physical_plan(qs["decontam_kept"](spark, sf))
+    assert p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p
+    sm = qs["sample_mix"](spark, sf)
+    assert "Exchange" not in physical_plan(sm)
+    assert "text" not in scan_read_schema(sm)
+    assert "Exchange" not in physical_plan(qs["pii_redaction"](spark, sf))
+    for name in ("decontam_kept", "sample_mix", "pii_redaction"):
+        assert_no_python(qs[name](spark, sf))
