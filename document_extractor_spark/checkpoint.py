@@ -42,7 +42,15 @@ def _manifest_path(out_path: str, partition: str) -> str:
 
 def input_fingerprint(in_path: str, partition: str) -> str:
     """Cheap lineage: (name, size) of each input file in the partition.
-    Content-hash-free so resume planning stays metadata-only."""
+    Content-hash-free so resume planning stays metadata-only.
+
+    Catalog-table sources have no listable files; the fingerprint is the
+    table identifier + partition. With a real Iceberg runtime this is
+    where the SNAPSHOT ID binds instead (the format's own lineage handle
+    — strictly stronger than file sizes); the manifest schema already
+    carries it opaquely."""
+    if "/" not in in_path and not in_path.startswith("."):
+        return f"table:{in_path}:warc_day={partition}"
     d = os.path.join(in_path, f"warc_day={partition}")
     entries = []
     if os.path.isdir(d):

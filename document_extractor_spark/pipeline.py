@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from .checkpoint import commit_partition, committed_partitions
 from .operators.extract import extract_pages, observe_extract
-from .sources.pages import list_partitions, read_pages, write_result
+from .sources.pages import (
+    is_catalog_table,
+    list_partitions,
+    read_pages_table,
+    table_partition_values,
+    write_result,
+)
 
 
 def run_extract_job(
@@ -49,8 +55,16 @@ def run_extract_job(
     ``num_partitions=None`` (default) keeps the narrow zero-shuffle plan;
     pass a count only to force a salted repartition of the raw payload
     (skewed/unsplittable source files).
+
+    ``in_path`` may be a filesystem path (Iceberg-style parquet layout)
+    or a catalog table identifier (``db.pages``) — the latter binds the
+    real Iceberg/Delta table on a cluster with the runtime jars, with
+    partition planning via the catalog instead of directory listing.
     """
-    all_parts = list_partitions(in_path)
+    if is_catalog_table(in_path):
+        all_parts = table_partition_values(spark, in_path)
+    else:
+        all_parts = list_partitions(in_path)
     done = committed_partitions(out_path, in_path) if resume else set()
     todo = [p for p in all_parts if p not in done]
     summary = {
@@ -64,7 +78,8 @@ def run_extract_job(
     }
     for part in todo:
         t0 = time.monotonic()
-        pages = read_pages(spark, in_path).filter(F.col("warc_day") == part)
+        pages = read_pages_table(spark, in_path) \
+            .filter(F.col("warc_day") == part)
         result = extract_pages(
             pages, num_partitions=num_partitions, salt=salt, keep_warc_day=True
         )

@@ -87,3 +87,45 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
     if sort_col:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+def is_catalog_table(source: str) -> bool:
+    """Dispatch heuristic for the ingest seam: a catalog identifier
+    (``db.pages``, ``iceberg.crawl.pages``) has no path separator; a
+    filesystem path does."""
+    return "/" not in source and not source.startswith(".")
+
+
+def read_pages_table(spark: SparkSession, source: str) -> DataFrame:
+    """The one-line Iceberg swap SURVEY §7 promises, made literal: a
+    catalog identifier binds through ``spark.read.table`` — on a cluster
+    with the Iceberg (or Delta) runtime this is the real table format,
+    and predicate/partition pushdown, hidden partitioning, and snapshot
+    isolation come from the format's DataSourceV2 implementation, not
+    from this code. A path falls back to the Iceberg-style parquet
+    layout (`read_pages`). Either way the downstream plan is identical:
+    scan → narrow extract."""
+    if is_catalog_table(source):
+        return spark.read.table(source)
+    return read_pages(spark, source)
+
+
+def table_partition_values(spark: SparkSession, source: str) -> list:
+    """``warc_day`` partition values of a catalog table — the catalog
+    analogue of ``list_partitions``' directory listing, and the same
+    metadata scale (one value per partition, collected on the driver for
+    resume PLANNING only; row data never moves). Prefers the Iceberg
+    ``<table>.partitions`` metadata table (pure metadata read); falls
+    back to a DISTINCT over the partition column, which Spark answers
+    from partition values without touching payload columns."""
+    try:
+        rows = spark.sql(
+            f"SELECT partition.warc_day AS warc_day "
+            f"FROM {source}.partitions"
+        ).collect()
+    except Exception:
+        rows = (
+            spark.read.table(source)
+            .select("warc_day").distinct().collect()
+        )
+    return sorted(r["warc_day"] for r in rows if r["warc_day"] is not None)

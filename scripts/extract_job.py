@@ -20,7 +20,11 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("in_path")
+    ap.add_argument("in_path",
+                    help="pages source: a filesystem path (Iceberg-style "
+                         "parquet layout) or a catalog table identifier "
+                         "(db.pages — binds real Iceberg/Delta when the "
+                         "runtime jars are on the cluster)")
     ap.add_argument("out_path")
     ap.add_argument("--salt-partitions", type=int, default=None,
                     help="force a salted pre-extraction repartition "

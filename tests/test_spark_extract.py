@@ -193,3 +193,35 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_run_extract_job_from_catalog_table(spark, small_corpus, tmp_path):
+    """The ingest seam's catalog branch: register the pages corpus as a
+    session-catalog table partitioned by warc_day, run the SAME job with
+    the table identifier — partition planning goes through the catalog
+    (DISTINCT on the partition column; on Iceberg, the .partitions
+    metadata table), extraction output matches the path-based run, and
+    resume skips committed partitions."""
+    src = read_pages(spark, small_corpus)
+    spark.sql("DROP TABLE IF EXISTS pages_cat")
+    (src.write.mode("overwrite")
+        .partitionBy("warc_day")
+        .option("path", str(tmp_path / "pages_cat_data"))
+        .saveAsTable("pages_cat"))
+    try:
+        out_t = str(tmp_path / "out_table")
+        s1 = run_extract_job(spark, "pages_cat", out_t, num_partitions=8)
+        assert s1["partitions_processed"] == s1["partitions_total"] == 8
+        assert s1["docs"] == 300
+        out_p = str(tmp_path / "out_path")
+        s2 = run_extract_job(spark, small_corpus, out_p, num_partitions=8)
+        got_t = {r["url"]: r["extracted_text"]
+                 for r in read_extracted(spark, out_t).collect()}
+        got_p = {r["url"]: r["extracted_text"]
+                 for r in read_extracted(spark, out_p).collect()}
+        assert got_t == got_p and s2["docs"] == 300
+        s3 = run_extract_job(spark, "pages_cat", out_t, num_partitions=8)
+        assert s3["partitions_processed"] == 0
+        assert s3["partitions_skipped"] == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_cat")
