@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
+from ..functions.text import shingles_df
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap, GPT-3/PaLM-style 13-gram rule)
@@ -36,11 +36,21 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     grams → narrow ``explode`` per doc; inner join on the gram; distinct
     ids. The corpus is never shuffled on text — only (id, gram)
     projections move, and the benchmark side rides the broadcast."""
+    # explode_outer + null-filter, NOT explode: explode's implicit
+    # size(col)>0 filter pushes BELOW the staged shingle projection with
+    # the whole expression inlined, re-evaluating the token split per
+    # gram (the winnowing trap — measured minutes on a 100k-token doc).
+    # The filter on the GENERATED attribute cannot push down.
     bg = (
-        benchmark.select(F.explode(shingles(bench_text_col, n)).alias("g"))
-        .distinct()
+        shingles_df(benchmark, bench_text_col, n)
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull()).distinct()
     )
-    dg = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+    dg = (
+        shingles_df(docs, text_col, n)
+        .select(F.col(id_col), F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
     return dg.join(F.broadcast(bg), "g").select(id_col).distinct()
 
 
@@ -64,11 +74,21 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
 # run), IP before phone (dotted quads are phone-shaped too). Patterns
 # stay in the Java∩RE2 regex subset (no lookahead, no backrefs, ASCII
 # \d/\s/\b) so the DuckDB oracle runs the IDENTICAL strings.
+#
+# Every quantifier is BOUNDED (RFC 5321 limits: local part ≤64, domain
+# ≤255; phones ≤32 chars). Unbounded +/{7,} make Java's backtracking
+# matcher O(n²) on a hostile megabyte digit run (each start position
+# consumes the rest of the string before failing) — a single-task
+# CPU-wedge straggler. Bounded quantifiers cap per-position work at a
+# constant, keeping the scan linear in BOTH engines (RE2 is linear
+# either way — the bound protects the Java side).
 PII_RULES = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("email",
+     r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,251}\.[A-Za-z]{2,24}",
+     "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("phone", r"\+?\d[\d\s().-]{7,30}\d", "<PHONE>"),
 ]
 
 

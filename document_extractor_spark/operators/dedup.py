@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import content_hash, shingles
+from ..functions.text import content_hash, shingles_df
 
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
@@ -70,11 +70,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     explode → self-join on shingle → count common → Jaccard. The
     shingle join is the shuffle; at scale run AFTER MinHash has cut
     candidates (this operator doubles as the verifier)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    # staged shingling (shingles_df): hostile 100k-token docs stay
+    # O(n), not O(n²) — see functions/text.py HOF re-evaluation notes
+    sh = (
+        shingles_df(df, text_col, n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .withColumn("n_sh", F.size("sh"))
+    )
+    # explode_outer + null-filter (see curation.py): plain explode's
+    # pushed-down size filter would inline and re-evaluate the staged
+    # shingle build per gram
+    ex = (sh.select("id", "n_sh", F.explode_outer("sh").alias("s"))
+          .filter(F.col("s").isNotNull()))
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
@@ -108,7 +115,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """k-permutation MinHash over n-gram shingles, entirely JVM-side:
     sig[i] = min over shingles of xxhash64(i, shingle)."""
     sh = (df.select(F.col(id_col), F.col("sh")) if _pre_shingled
-          else df.select(F.col(id_col), shingles(text_col, n).alias("sh")))
+          else shingles_df(df, text_col, n).select(F.col(id_col), "sh"))
     sig = F.array(*[
         F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s)))
         for i in range(k)
@@ -165,7 +172,7 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     DataFrame is unpersisted — nothing corpus-sized stays pinned in
     executor storage after the operator returns. The returned DataFrame
     is materialized; callers may ``unpersist()`` it when done."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh = shingles_df(df, text_col, n).select(F.col(id_col), "sh")
     sh.persist()
     try:
         cands = minhash_lsh_candidates(sh.select(id_col, "sh"), id_col,

@@ -120,3 +120,35 @@ def test_curation_query_plans_scale_shape(spark):
     assert "Exchange" not in physical_plan(qs["pii_redaction"](spark, sf))
     for name in ("decontam_kept", "sample_mix", "pii_redaction"):
         assert_no_python(qs[name](spark, sf))
+
+
+def test_curation_hostile_inputs_bounded(spark):
+    """Hostile-input totality for the curation chain: megabyte digit
+    runs (regex stress), dotted-quad floods, unicode, empty text, and a
+    100k-token doc through 13-gram shingling — one batch, no task
+    failure, bounded wall."""
+    import time
+
+    big_digits = "9" * 1_000_000
+    ip_flood = " ".join("1.2.3.4" for _ in range(20_000))
+    huge_doc = " ".join(f"w{i}" for i in range(100_000))
+    rows = [
+        (1, big_digits),
+        (2, ip_flood),
+        (3, "héllo wörld ünïcode ™ ☃ ‮ reversed?"),
+        (4, ""),
+        (5, huge_doc),
+    ]
+    docs = _docs(spark, rows)
+    t0 = time.monotonic()
+    red = redact_pii(docs).collect()
+    assert len(red) == 5
+    by_id = {r.doc_id: r for r in red}
+    assert by_id[2].n_ip == 20_000
+    assert by_id[4].redacted == ""
+    bench = spark.createDataFrame([("w50 w51 w52 w53 w54 w55 w56 w57 "
+                                    "w58 w59 w60 w61 w62",)], "text string")
+    kept = decontaminate(docs, bench).count()
+    assert kept == 4                      # only the 100k-token doc drops
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"hostile curation batch took {elapsed:.1f}s"

@@ -63,3 +63,37 @@ def test_refine_table_idempotent_any_grid(rows):
     ) + "</table>"
     once = refine_table_html(html)
     assert refine_table_html(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(_payloads)
+def test_extract_payload_total_with_items_layout(payload):
+    """The opt-in item/layout path (positions, margins) is as total as
+    the lean path: never raises, position pcts stay in [0, 100] and
+    margins are None or in-range, on arbitrary bytes."""
+    rec = extract_payload(payload, url="u", include_items=True,
+                          include_layout=True, emit_chrome=True)
+    for it in rec.get("content_items") or []:
+        pos = it["position"]
+        if pos is not None:
+            for k in ("x_start", "y_start", "x_end", "y_end"):
+                assert 0.0 <= pos[k] <= 100.0
+    lay = rec["layout"]
+    for k in ("margin_top_percent", "margin_bottom_percent",
+              "margin_left_percent", "margin_right_percent"):
+        assert lay[k] is None or 0.0 <= lay[k] <= 100.0
+
+
+def test_pdf_degenerate_mediabox_total():
+    """A zero-area mediabox must not divide by zero — positions clamp
+    to 0 and extraction still returns the text."""
+    from document_extractor_spark.sources.generator import build_pdf
+
+    raw = build_pdf([[(72, 720, 12, ["hello world"])]])
+    raw = raw.replace(b"/MediaBox [0 0 612 792]", b"/MediaBox [0 0 0 0]")
+    rec = extract_payload(raw, url="u", include_items=True,
+                          include_layout=True)
+    assert rec["parse_error"] is None
+    assert "hello world" in rec["extracted_text"]
+    pos = rec["content_items"][0]["position"]
+    assert all(0.0 <= pos[k] <= 100.0 for k in pos)
