@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-45 queries, 39 with exact SQL oracles (incl. the Structured Streaming
+46 queries, 40 with exact SQL oracles (incl. the Structured Streaming
 ingest-dedup job, PDF position/margin geometry, and the curation
 family: 13-gram benchmark decontamination, staged PII redaction,
 deterministic md5-bucket data-mix sampling).
@@ -695,6 +695,25 @@ def q_image_link(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch per-host crawl-health counters (the streaming A4 counters'
+    batch twin): hosts, planted parse failures (every 50th doc), and
+    byte mass derive from doc_id so the oracle is closed-form."""
+    from document_extractor_spark.operators.textstats import host_stats
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.org/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.length("text").cast("bigint").alias("n_bytes_in"),
+        F.when(F.col("doc_id") % 50 == 0, F.lit("SimulatedError"))
+        .otherwise(F.lit(None).cast("string")).alias("parse_error"),
+    )
+    return host_stats(pages, bytes_col="n_bytes_in",
+                      error_col="parse_error")
+
+
 def q_report_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 summary-report analog (pdf_processor.py:599-640) in TPC-H Q1
     shape: grouped multi-aggregate over the big fact table."""
@@ -824,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "report_agg": q_report_agg,
+        "host_profile": q_host_profile,
         "join_revenue": q_join_revenue,
         "window_topk_events": q_window_topk_events,
         "sessionize": q_sessionize,
@@ -1236,6 +1256,14 @@ def oracle_sql() -> dict[str, str]:
                    1 AS layout_columns, TRUE AS has_header,
                    TRUE AS has_footer
             FROM documents
+        """,
+        "host_profile": """
+            SELECT 'h' || (doc_id % 37) || '.example.org' AS host,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS parse_failures,
+                   CAST(sum(length(text)) AS BIGINT) AS bytes_in
+            FROM documents GROUP BY 1
         """,
         # Curation family — mechanical SQL twins of the Catalyst chains.
         "decontam_kept": r"""

@@ -141,3 +141,23 @@ def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
         (ok_words & ok_mwl & ok_sym & ok_bullet & ok_ellipsis
          & has_english).alias("passes_gopher"),
     )
+
+
+def host_stats(df, url_col: str = "url", bytes_col: str = None,
+               error_col: str = None):
+    """Per-host crawl-health profile — the BATCH twin of the streaming
+    ``stream_host_stats`` counters (A4, SURVEY §2.7): docs, parse
+    failures, bytes per host, host parsed JVM-side via ``parse_url``.
+    One shuffle on the host key; Zipfian host skew is bounded by
+    map-side partial aggregation (counts/sums combine before the
+    exchange), so a mega-host costs its reducer one merged row per map
+    partition, not one row per document."""
+    from pyspark.sql import functions as F
+
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    aggs = [F.count(F.lit(1)).alias("docs")]
+    if error_col:
+        aggs.append(F.count(F.col(error_col)).alias("parse_failures"))
+    if bytes_col:
+        aggs.append(F.sum(F.col(bytes_col)).alias("bytes_in"))
+    return df.groupBy(host.alias("host")).agg(*aggs)

@@ -409,3 +409,28 @@ def test_dup_char_fraction_matches_naive_definition(spark):
         F.round(dup_char_fraction(_nonempty_lines("text", "\n")), 6)
         .alias("f")).head().f
     assert abs(got - round(dup / total, 6)) < 1e-9
+
+
+def test_host_stats_partial_agg_before_exchange(spark):
+    """Batch A4 twin: host parsed JVM-side, and the plan shows map-side
+    partial aggregation BEFORE the host exchange (the Zipfian-skew
+    bound: a mega-host reaches its reducer as one merged row per map
+    partition)."""
+    from document_extractor_spark.operators.textstats import host_stats
+    from document_extractor_spark.plans import (
+        assert_no_python,
+        physical_plan,
+    )
+
+    rows = [(f"https://h{i % 3}.example.org/p/{i}", i * 10,
+             "E" if i % 5 == 0 else None) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "url string, n_bytes_in bigint, parse_error string")
+    out = host_stats(df, bytes_col="n_bytes_in", error_col="parse_error")
+    got = {r.host: (r.docs, r.parse_failures, r.bytes_in)
+           for r in out.collect()}
+    assert got["h0.example.org"] == (10, 2, 1350)
+    plan = physical_plan(out)
+    before_exchange = plan.split("Exchange")[-1]
+    assert "partial" in before_exchange.lower()
+    assert_no_python(out)
