@@ -146,3 +146,29 @@ def sample_mix(docs: DataFrame, weights: dict, key_col: str = "doc_id",
         cond = cond | (
             (F.col(source_col) == src) & (h < F.lit(mix_threshold_hex(w))))
     return docs.filter(cond)
+
+
+def sample_mix_table(docs: DataFrame, weights: DataFrame,
+                     key_col: str = "doc_id", source_col: str = "source",
+                     weight_col: str = "weight",
+                     seed: str = "mix1") -> DataFrame:
+    """``sample_mix`` for LARGE source cardinality: weights arrive as a
+    (source, weight) DataFrame instead of a Python dict, join broadcast,
+    and the same md5-bucket threshold decides per row. The dict variant
+    compiles one CASE branch per source — fine for tens of sources,
+    plan-bloat for thousands; this shape is constant-size regardless.
+    Sources absent from the weights table are dropped (inner join =
+    weight 0), matching the dict variant's contract."""
+    thr = F.when(F.col(weight_col) >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.conv(
+            F.floor(F.col(weight_col) * F.lit(float(16**8))).cast("string"),
+            10, 16), 8, "0"))
+    w = weights.select(F.col(source_col).alias("_mix_src"),
+                       F.lower(thr).alias("_mix_thr"))
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8)
+    return (
+        docs.join(F.broadcast(w), docs[source_col] == F.col("_mix_src"))
+        .filter(h < F.col("_mix_thr"))
+        .drop("_mix_src", "_mix_thr")
+    )

@@ -152,3 +152,23 @@ def test_curation_hostile_inputs_bounded(spark):
     assert kept == 4                      # only the 100k-token doc drops
     elapsed = time.monotonic() - t0
     assert elapsed < 120, f"hostile curation batch took {elapsed:.1f}s"
+
+
+def test_sample_mix_table_matches_dict_variant(spark):
+    """The broadcast-join weights-table variant must select EXACTLY the
+    same rows as the CASE-compiled dict variant (same md5 thresholds),
+    and its plan must broadcast the weights side."""
+    from document_extractor_spark.operators.curation import sample_mix_table
+    from document_extractor_spark.plans import physical_plan
+
+    rows = [(i, f"src{i % 4}", "t") for i in range(2000)]
+    df = spark.createDataFrame(rows,
+                               "doc_id bigint, source string, text string")
+    w = {"src0": 0.25, "src1": 1.0, "src2": 0.0}
+    wdf = spark.createDataFrame(list(w.items()), "source string, weight double")
+    got_dict = sorted(r.doc_id for r in sample_mix(df, w).collect())
+    got_tbl = sorted(r.doc_id
+                     for r in sample_mix_table(df, wdf).collect())
+    assert got_tbl == got_dict
+    plan = physical_plan(sample_mix_table(df, wdf))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
