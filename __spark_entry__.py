@@ -352,6 +352,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedules), so parity is stated at group level: (group, n_in,
     n_kept), all closed-form."""
     import os
+    import shutil
     import tempfile
 
     from document_extractor_spark.streaming.jobs import (
@@ -382,8 +383,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select((F.col("doc_id") % 100000).alias("group_id"))
         .groupBy("group_id").agg(F.count(F.lit(1)).alias("n_in"))
     )
-    return kept_groups.join(n_in, "group_id").select(
-        "group_id", "n_in", "n_kept")
+    out = (
+        kept_groups.join(n_in, "group_id")
+        .select("group_id", "n_in", "n_kept")
+        # eager localCheckpoint so the temp input/sink/checkpoint dirs
+        # can be deleted immediately (the result is tiny); without it
+        # every bench/oracle invocation leaked a corpus-sized /tmp dir
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

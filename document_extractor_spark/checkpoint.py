@@ -29,6 +29,8 @@ import json
 import os
 import time
 
+from .sources.pages import is_catalog_table
+
 ENGINE_VERSION = 1  # bump to force global re-extraction
 
 
@@ -40,17 +42,27 @@ def _manifest_path(out_path: str, partition: str) -> str:
     return os.path.join(_manifest_dir(out_path), f"warc_day={partition}.json")
 
 
-def input_fingerprint(in_path: str, partition: str) -> str:
+def input_fingerprint(in_path: str, partition: str,
+                      spark=None) -> str:
     """Cheap lineage: (name, size) of each input file in the partition.
     Content-hash-free so resume planning stays metadata-only.
 
-    Catalog-table sources have no listable files; the fingerprint is the
-    table identifier + partition. With a real Iceberg runtime this is
-    where the SNAPSHOT ID binds instead (the format's own lineage handle
-    — strictly stronger than file sizes); the manifest schema already
-    carries it opaquely."""
-    if "/" not in in_path and not in_path.startswith("."):
-        return f"table:{in_path}:warc_day={partition}"
+    Catalog-table sources have no listable files; the fingerprint is
+    the table identifier + partition (+ a per-partition row count when a
+    session is provided — parquet answers count() from footer metadata,
+    so resume planning stays metadata-scale while still catching a
+    partition overwrite). With a real Iceberg runtime this is where the
+    SNAPSHOT ID binds instead (the format's own lineage handle —
+    strictly stronger); the manifest schema carries it opaquely."""
+    if is_catalog_table(in_path):
+        base = f"table:{in_path}:warc_day={partition}"
+        if spark is not None:
+            from pyspark.sql import functions as F
+
+            n = (spark.read.table(in_path)
+                 .filter(F.col("warc_day") == partition).count())
+            return f"{base}:n={n}"
+        return base
     d = os.path.join(in_path, f"warc_day={partition}")
     entries = []
     if os.path.isdir(d):
@@ -61,7 +73,8 @@ def input_fingerprint(in_path: str, partition: str) -> str:
     return ";".join(entries)
 
 
-def committed_partitions(out_path: str, in_path: str) -> set:
+def committed_partitions(out_path: str, in_path: str,
+                         spark=None) -> set:
     """Partitions safe to skip: manifest present, same engine version,
     input fingerprint unchanged."""
     done = set()
@@ -80,19 +93,20 @@ def committed_partitions(out_path: str, in_path: str) -> set:
         if (
             part
             and m.get("engine_version") == ENGINE_VERSION
-            and m.get("input_fingerprint") == input_fingerprint(in_path, part)
+            and m.get("input_fingerprint")
+                == input_fingerprint(in_path, part, spark)
         ):
             done.add(part)
     return done
 
 
 def commit_partition(out_path: str, in_path: str, partition: str,
-                     metrics: dict, wall_sec: float) -> None:
+                     metrics: dict, wall_sec: float, spark=None) -> None:
     os.makedirs(_manifest_dir(out_path), exist_ok=True)
     manifest = {
         "partition": partition,
         "engine_version": ENGINE_VERSION,
-        "input_fingerprint": input_fingerprint(in_path, partition),
+        "input_fingerprint": input_fingerprint(in_path, partition, spark),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "wall_sec": round(wall_sec, 3),
         **{k: int(v) for k, v in metrics.items()},

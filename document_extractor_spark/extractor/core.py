@@ -163,11 +163,10 @@ def extract_payload(payload: Optional[bytes], url: str = "",
         ]
     if include_layout:
         layout = {
+            **_EMPTY_LAYOUT,
             "columns": int(res.layout.get("columns", 1)),
             "has_header": bool(res.layout.get("has_header", False)),
             "has_footer": bool(res.layout.get("has_footer", False)),
-            "margin_top_percent": None, "margin_bottom_percent": None,
-            "margin_left_percent": None, "margin_right_percent": None,
         }
     return _record(url, res.text, res.spans, lang, None, len(res.items),
                    n_in, items, layout)

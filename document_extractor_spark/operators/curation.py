@@ -88,7 +88,17 @@ PII_RULES = [
      "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,30}\d", "<PHONE>"),
+    # Two phone shapes, both requiring phone-LIKE structure — a bare
+    # permissive [\d\s.-]{7,} class would also consume ordinary numeric
+    # content ('scores 10 20 30 40', 'pi 3.14159 2.71828', year lists),
+    # deleting legitimate training text. (1) international: an explicit
+    # leading '+' licenses loose separators; (2) NANP-style: 3-3-4 digit
+    # groups with at most one separator between groups (a year list or
+    # decimal constant never parses as consecutive 3-3-4 runs).
+    ("phone",
+     r"\+\d[\d\s().-]{7,30}\d"
+     r"|\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}\b",
+     "<PHONE>"),
 ]
 
 
@@ -159,9 +169,15 @@ def sample_mix_table(docs: DataFrame, weights: DataFrame,
     plan-bloat for thousands; this shape is constant-size regardless.
     Sources absent from the weights table are dropped (inner join =
     weight 0), matching the dict variant's contract."""
+    # greatest(…, 0): a negative weight must clamp to keep-nothing like
+    # mix_threshold_hex's max(int(…), 0) — unclamped, floor of a
+    # negative goes through conv's 64-bit unsigned wrap and lpad
+    # truncation to 'ffffffff', silently keeping ~everything
     thr = F.when(F.col(weight_col) >= 1.0, F.lit("g")).otherwise(
         F.lpad(F.conv(
-            F.floor(F.col(weight_col) * F.lit(float(16**8))).cast("string"),
+            F.greatest(
+                F.floor(F.col(weight_col) * F.lit(float(16**8))),
+                F.lit(0)).cast("string"),
             10, 16), 8, "0"))
     w = weights.select(F.col(source_col).alias("_mix_src"),
                        F.lower(thr).alias("_mix_thr"))

@@ -65,7 +65,8 @@ def run_extract_job(
         all_parts = table_partition_values(spark, in_path)
     else:
         all_parts = list_partitions(in_path)
-    done = committed_partitions(out_path, in_path) if resume else set()
+    done = (committed_partitions(out_path, in_path, spark)
+            if resume else set())
     todo = [p for p in all_parts if p not in done]
     summary = {
         "partitions_total": len(all_parts),
@@ -93,7 +94,7 @@ def run_extract_job(
             "bytes_out": row.get("bytes_out") or 0,
         }
         commit_partition(out_path, in_path, part, metrics,
-                         time.monotonic() - t0)
+                         time.monotonic() - t0, spark=spark)
         summary["partitions_processed"] += 1
         for k, v in metrics.items():
             summary[k] += int(v)

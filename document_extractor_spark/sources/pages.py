@@ -10,6 +10,7 @@ Iceberg catalog table is a one-line swap on a cluster with the runtime.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,11 +90,23 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
     w.format("parquet").saveAsTable(table)
 
 
+_CATALOG_IDENT_RE = re.compile(
+    r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){0,2}")
+
+
 def is_catalog_table(source: str) -> bool:
     """Dispatch heuristic for the ingest seam: a catalog identifier
-    (``db.pages``, ``iceberg.crawl.pages``) has no path separator; a
-    filesystem path does."""
-    return "/" not in source and not source.startswith(".")
+    (``db.pages``, ``iceberg.crawl.pages``) is 1-3 dot-separated SQL
+    identifiers. Anything with a path separator, anything that EXISTS
+    as a local directory (a bare relative dir like ``pages_data`` must
+    keep reading as a path — it worked before the catalog seam and an
+    identifier-shaped directory name is still a directory), and
+    anything not identifier-shaped routes as a filesystem path."""
+    if not source or "/" in source or "\\" in source:
+        return False
+    if os.path.isdir(source):
+        return False
+    return _CATALOG_IDENT_RE.fullmatch(source) is not None
 
 
 def read_pages_table(spark: SparkSession, source: str) -> DataFrame:

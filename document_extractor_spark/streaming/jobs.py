@@ -178,8 +178,15 @@ def run_stream_dedup_foreach_batch(spark: SparkSession, input_path: str,
     kept = stream_dedup_exact(stream_pages(spark, input_path),
                               watermark=watermark)
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.select("url").write.mode("append").parquet(out_path)
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent commit: each micro-batch OVERWRITES its own
+        # batch-keyed directory. foreachBatch gives at-least-once
+        # delivery — a crash between the parquet write and the
+        # streaming checkpoint replays the batch, and a plain append
+        # would duplicate its rows (defeating the dedup job itself);
+        # replaying an overwrite converges to the same bytes.
+        batch_df.select("url").write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}")
 
     q = (
         kept.writeStream.foreachBatch(sink)
@@ -188,4 +195,4 @@ def run_stream_dedup_foreach_batch(spark: SparkSession, input_path: str,
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(out_path).drop("batch")

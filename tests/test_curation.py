@@ -172,3 +172,31 @@ def test_sample_mix_table_matches_dict_variant(spark):
     assert got_tbl == got_dict
     plan = physical_plan(sample_mix_table(df, wdf))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_redact_pii_leaves_ordinary_numbers_alone(spark):
+    """False-positive guard (review finding): number lists, decimal
+    constants, and year ranges are NOT phones — a permissive separator
+    class would delete legitimate numeric training text."""
+    txts = [
+        (1, "scores 10 20 30 40 in the table"),
+        (2, "pi 3.14159 2.71828 constants"),
+        (3, "years 1999 2000 2001 2002"),
+        (4, "call (415) 555-0100 or +44 20 7946 0958 today"),
+    ]
+    out = {r.doc_id: r for r in redact_pii(_docs(spark, txts)).collect()}
+    for i in (1, 2, 3):
+        assert out[i].n_phone == 0 and "<PHONE>" not in out[i].redacted, \
+            out[i].redacted
+    assert out[4].n_phone == 2
+
+
+def test_sample_mix_table_clamps_bad_weights(spark):
+    """A negative weight must keep NOTHING (parity with the dict
+    variant's clamp), not wrap through conv() into keep-everything."""
+    from document_extractor_spark.operators.curation import sample_mix_table
+
+    df = spark.createDataFrame([(i, "srcN", "t") for i in range(500)],
+                               "doc_id bigint, source string, text string")
+    wdf = spark.createDataFrame([("srcN", -0.5)], "source string, weight double")
+    assert sample_mix_table(df, wdf).count() == 0

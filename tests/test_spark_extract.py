@@ -225,3 +225,30 @@ def test_run_extract_job_from_catalog_table(spark, small_corpus, tmp_path):
         assert s3["partitions_skipped"] == 8
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_cat")
+
+
+def test_is_catalog_table_routing():
+    """Dispatch heuristic (review finding): existing relative dirs and
+    path-like strings are paths; only identifier-shaped non-dirs are
+    catalog tables."""
+    import os
+    import tempfile
+
+    from document_extractor_spark.sources.pages import is_catalog_table
+
+    assert is_catalog_table("db.pages")
+    assert is_catalog_table("iceberg.crawl.pages")
+    assert is_catalog_table("pages_cat")
+    assert not is_catalog_table("/data/pages")
+    assert not is_catalog_table("data/pages")
+    assert not is_catalog_table("C:\\data")
+    assert not is_catalog_table("")
+    assert not is_catalog_table("warc_day=2026")
+    d = tempfile.mkdtemp(prefix="pagesdir")
+    cwd = os.getcwd()
+    try:
+        os.chdir(os.path.dirname(d))
+        rel = os.path.basename(d)
+        assert not is_catalog_table(rel)   # existing relative dir = path
+    finally:
+        os.chdir(cwd)
