@@ -29,9 +29,25 @@ import json
 import os
 import time
 
-from .sources.pages import is_catalog_table
+from .sources.pages import is_catalog_table, strip_table_prefix
 
 ENGINE_VERSION = 1  # bump to force global re-extraction
+
+
+def catalog_partition_counts(spark, in_path: str) -> dict:
+    """Per-``warc_day`` row counts of a catalog table in ONE Spark job
+    (``groupBy(warc_day).count()``, answered from parquet footer /
+    Iceberg manifest metadata, collected once on the driver).
+
+    This exists so resume planning stays O(1) Spark jobs: fingerprinting
+    each committed partition separately would launch one ``count()`` job
+    PER partition PER resume — at 100k ``warc_day×bucket`` partitions
+    that is hours of sequential driver planning before any work."""
+    from pyspark.sql import functions as F
+
+    rows = (spark.read.table(strip_table_prefix(in_path))
+            .groupBy("warc_day").agg(F.count("*").alias("n")).collect())
+    return {str(r["warc_day"]): int(r["n"]) for r in rows}
 
 
 def _manifest_dir(out_path: str) -> str:
@@ -43,23 +59,29 @@ def _manifest_path(out_path: str, partition: str) -> str:
 
 
 def input_fingerprint(in_path: str, partition: str,
-                      spark=None) -> str:
+                      spark=None, counts: dict | None = None) -> str:
     """Cheap lineage: (name, size) of each input file in the partition.
     Content-hash-free so resume planning stays metadata-only.
 
     Catalog-table sources have no listable files; the fingerprint is
-    the table identifier + partition (+ a per-partition row count when a
-    session is provided — parquet answers count() from footer metadata,
-    so resume planning stays metadata-scale while still catching a
-    partition overwrite). With a real Iceberg runtime this is where the
-    SNAPSHOT ID binds instead (the format's own lineage handle —
-    strictly stronger); the manifest schema carries it opaquely."""
+    the table identifier + partition (+ a per-partition row count —
+    parquet answers it from footer metadata, so resume planning stays
+    metadata-scale while still catching a partition overwrite). Pass
+    ``counts`` from ``catalog_partition_counts`` to fingerprint many
+    partitions off ONE Spark job; a bare ``spark`` falls back to a
+    single filtered count (fine per-commit, never in a planning loop).
+    With a real Iceberg runtime this is where the SNAPSHOT ID binds
+    instead (the format's own lineage handle — strictly stronger); the
+    manifest schema carries it opaquely."""
     if is_catalog_table(in_path):
-        base = f"table:{in_path}:warc_day={partition}"
+        ident = strip_table_prefix(in_path)
+        base = f"table:{ident}:warc_day={partition}"
+        if counts is not None:
+            return f"{base}:n={counts.get(str(partition), 0)}"
         if spark is not None:
             from pyspark.sql import functions as F
 
-            n = (spark.read.table(in_path)
+            n = (spark.read.table(ident)
                  .filter(F.col("warc_day") == partition).count())
             return f"{base}:n={n}"
         return base
@@ -76,11 +98,16 @@ def input_fingerprint(in_path: str, partition: str,
 def committed_partitions(out_path: str, in_path: str,
                          spark=None) -> set:
     """Partitions safe to skip: manifest present, same engine version,
-    input fingerprint unchanged."""
+    input fingerprint unchanged. Catalog sources fingerprint ALL
+    partitions off one batched count job (``catalog_partition_counts``),
+    not one Spark job per manifest."""
     done = set()
     mdir = _manifest_dir(out_path)
     if not os.path.isdir(mdir):
         return done
+    counts = None
+    if spark is not None and is_catalog_table(in_path):
+        counts = catalog_partition_counts(spark, in_path)
     for name in os.listdir(mdir):
         if not name.endswith(".json"):
             continue
@@ -94,7 +121,7 @@ def committed_partitions(out_path: str, in_path: str,
             part
             and m.get("engine_version") == ENGINE_VERSION
             and m.get("input_fingerprint")
-                == input_fingerprint(in_path, part, spark)
+                == input_fingerprint(in_path, part, spark, counts)
         ):
             done.add(part)
     return done

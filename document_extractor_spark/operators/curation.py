@@ -58,11 +58,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text") -> DataFrame:
     """Drop every document that shares an n-gram with the benchmark —
-    anti-join of the corpus against ``contaminated_ids`` (small, so it
-    broadcasts; the corpus again stays unshuffled)."""
+    anti-join of the corpus against ``contaminated_ids``.
+
+    The id set is NOT hint-broadcast: unlike the benchmark grams (bounded
+    by the benchmark corpus), the contaminated-id side is unbounded — a
+    heavily contaminated 100-TB corpus can yield billions of ids, and a
+    forced broadcast would OOM the driver. AQE picks broadcast at runtime
+    whenever the measured size actually fits."""
     bad = contaminated_ids(docs, benchmark, n, id_col, text_col,
                            bench_text_col)
-    return docs.join(F.broadcast(bad), id_col, "left_anti")
+    return docs.join(bad, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -94,10 +99,18 @@ PII_RULES = [
     # deleting legitimate training text. (1) international: an explicit
     # leading '+' licenses loose separators; (2) NANP-style: 3-3-4 digit
     # groups with at most one separator between groups (a year list or
-    # decimal constant never parses as consecutive 3-3-4 runs).
+    # decimal constant never parses as consecutive 3-3-4 runs). The NANP
+    # branch needs a LEADING anchor, not just the trailing \b: with only
+    # `\(?\d{3}...` the engine slides INTO long digit runs and redacts
+    # their last 10 digits (ISBN 9780306406157 → 978<PHONE>, order ids,
+    # epoch-millis timestamps). `(?:\(\d{3}\)|\b\d{3})` fixes it in the
+    # Java∩RE2 subset: inside a pure digit run no position satisfies \b,
+    # and a 10-digit span inside a longer run also fails the TRAILING
+    # \b — so ≥11-digit runs never match, while 555-867-5309 and
+    # (415) 555-2671 still do.
     ("phone",
      r"\+\d[\d\s().-]{7,30}\d"
-     r"|\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}\b",
+     r"|(?:\(\d{3}\)|\b\d{3})[\s.-]?\d{3}[\s.-]?\d{4}\b",
      "<PHONE>"),
 ]
 

@@ -94,14 +94,41 @@ _CATALOG_IDENT_RE = re.compile(
     r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){0,2}")
 
 
+#: Explicit-dispatch prefix: ``table:db.pages`` ALWAYS reads the
+#: catalog, never the filesystem. The unprefixed heuristic stays as a
+#: convenience fallback, but it is cwd-dependent (``os.path.isdir`` on a
+#: bare identifier can flip meaning between invocations) — deploy
+#: scripts should use the prefix.
+TABLE_PREFIX = "table:"
+
+
+def strip_table_prefix(source: str) -> str:
+    """Bare identifier behind an explicit ``table:`` prefix (unchanged
+    input when unprefixed)."""
+    if source.startswith(TABLE_PREFIX):
+        return source[len(TABLE_PREFIX):]
+    return source
+
+
 def is_catalog_table(source: str) -> bool:
-    """Dispatch heuristic for the ingest seam: a catalog identifier
-    (``db.pages``, ``iceberg.crawl.pages``) is 1-3 dot-separated SQL
-    identifiers. Anything with a path separator, anything that EXISTS
-    as a local directory (a bare relative dir like ``pages_data`` must
-    keep reading as a path — it worked before the catalog seam and an
+    """Dispatch for the ingest seam. An explicit ``table:`` prefix is
+    unambiguous and always wins (a malformed identifier behind it
+    raises rather than silently falling back to a path read). Without
+    the prefix, the heuristic: a catalog identifier (``db.pages``,
+    ``iceberg.crawl.pages``) is 1-3 dot-separated SQL identifiers.
+    Anything with a path separator, anything that EXISTS as a local
+    directory (a bare relative dir like ``pages_data`` must keep
+    reading as a path — it worked before the catalog seam and an
     identifier-shaped directory name is still a directory), and
     anything not identifier-shaped routes as a filesystem path."""
+    if source.startswith(TABLE_PREFIX):
+        ident = source[len(TABLE_PREFIX):]
+        if not _CATALOG_IDENT_RE.fullmatch(ident):
+            raise ValueError(
+                f"{source!r} has the explicit {TABLE_PREFIX!r} prefix but "
+                f"{ident!r} is not a 1-3-part SQL identifier; use a plain "
+                f"path (no prefix) for filesystem sources")
+        return True
     if not source or "/" in source or "\\" in source:
         return False
     if os.path.isdir(source):
@@ -117,9 +144,10 @@ def read_pages_table(spark: SparkSession, source: str) -> DataFrame:
     isolation come from the format's DataSourceV2 implementation, not
     from this code. A path falls back to the Iceberg-style parquet
     layout (`read_pages`). Either way the downstream plan is identical:
-    scan → narrow extract."""
+    scan → narrow extract. ``table:db.pages`` forces the catalog read
+    explicitly (see ``is_catalog_table``)."""
     if is_catalog_table(source):
-        return spark.read.table(source)
+        return spark.read.table(strip_table_prefix(source))
     return read_pages(spark, source)
 
 
@@ -131,6 +159,7 @@ def table_partition_values(spark: SparkSession, source: str) -> list:
     ``<table>.partitions`` metadata table (pure metadata read); falls
     back to a DISTINCT over the partition column, which Spark answers
     from partition values without touching payload columns."""
+    source = strip_table_prefix(source)
     try:
         rows = spark.sql(
             f"SELECT partition.warc_day AS warc_day "

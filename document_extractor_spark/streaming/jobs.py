@@ -15,6 +15,8 @@ All testable synchronously against parquet sources with a memory sink
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -195,4 +197,9 @@ def run_stream_dedup_foreach_batch(spark: SparkSession, input_path: str,
         .start()
     )
     q.awaitTermination()
+    # Zero input batches → no sink directory was ever written; an empty
+    # stream is a valid run (fresh checkpoint over an already-drained
+    # source) and must yield an empty frame, not PATH_NOT_FOUND.
+    if not os.path.isdir(out_path.replace("file://", "")):
+        return spark.createDataFrame([], "url string")
     return spark.read.parquet(out_path).drop("batch")

@@ -60,6 +60,32 @@ def test_redact_pii_rules_and_counts(spark):
     assert_no_python(redact_pii(_docs(spark, [(1, txt)])))
 
 
+def test_redact_pii_digit_runs_survive(spark):
+    """Long digit runs are NOT phones: the NANP branch's leading
+    (?:\\(\\d{3}\\)|\\b\\d{3}) anchor means no match can start inside a
+    digit run, and the trailing \\b rejects 10-digit spans embedded in
+    longer runs — ISBNs, order ids, and epoch-millis timestamps survive
+    verbatim while real phone shapes still redact."""
+    keep = [
+        (1, "isbn 9780306406157 in stock"),          # 13-digit ISBN
+        (2, "order id 1234567890123456 shipped"),    # 16-digit order id
+        (3, "ts 20260817123456 logged"),             # 14-digit timestamp
+        (4, "epoch 1755397200000 ms"),               # 13-digit epoch ms
+    ]
+    out = {r.doc_id: r for r in redact_pii(_docs(spark, keep)).collect()}
+    for i, txt in keep:
+        assert out[i].redacted == txt, out[i].redacted
+        assert out[i].n_phone == 0
+    redacts = [
+        (1, "call 555-867-5309 now"),
+        (2, "tel (415) 555-2671 ext 9"),
+        (3, "intl +44 20 7946 0958 line"),
+    ]
+    out = {r.doc_id: r for r in redact_pii(_docs(spark, redacts)).collect()}
+    for i, _ in redacts:
+        assert out[i].n_phone == 1 and "<PHONE>" in out[i].redacted
+
+
 def test_redact_pii_clean_text_untouched(spark):
     txt = "nothing sensitive here just words and the number 42"
     out = redact_pii(_docs(spark, [(1, txt)])).head()

@@ -196,3 +196,24 @@ def test_stream_dedup_exact_within_watermark(spark, tmp_path):
                   "FROM stream_dedup_out").head()
     assert n["n"] == n["d"]            # no duplicate hash survived
     assert n["n"] == 40
+
+
+def test_stream_dedup_foreach_batch_empty_source(spark, tmp_path):
+    """Zero input batches: an already-drained (empty) source must yield
+    an empty survivors frame, not PATH_NOT_FOUND on the unwritten sink
+    directory."""
+    import os
+
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_dedup_foreach_batch,
+    )
+
+    src = str(tmp_path / "empty_src" / "warc_day=2026-01-01")
+    os.makedirs(src)
+    # Empty parquet directory with the pages schema so the file source
+    # can bind a schema but finds no data files.
+    out = run_stream_dedup_foreach_batch(
+        spark, str(tmp_path / "empty_src"),
+        str(tmp_path / "empty_out"), str(tmp_path / "empty_ckpt"))
+    assert out.count() == 0
+    assert out.columns == ["url"]

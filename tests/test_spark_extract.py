@@ -220,9 +220,40 @@ def test_run_extract_job_from_catalog_table(spark, small_corpus, tmp_path):
         got_p = {r["url"]: r["extracted_text"]
                  for r in read_extracted(spark, out_p).collect()}
         assert got_t == got_p and s2["docs"] == 300
-        s3 = run_extract_job(spark, "pages_cat", out_t, num_partitions=8)
+        # Resume planning must fingerprint all 8 committed partitions
+        # off ONE batched groupBy-count job, never one Spark count()
+        # per manifest (at 100k partitions that is hours of planning).
+        import document_extractor_spark.checkpoint as ckpt
+
+        calls = {"batched": 0, "single": 0}
+        orig_cpc = ckpt.catalog_partition_counts
+        orig_fp = ckpt.input_fingerprint
+
+        def counting_cpc(sp, path):
+            calls["batched"] += 1
+            return orig_cpc(sp, path)
+
+        def counting_fp(path, part, sp=None, counts=None):
+            if sp is not None and counts is None and \
+                    ckpt.is_catalog_table(path):
+                calls["single"] += 1
+            return orig_fp(path, part, sp, counts)
+
+        ckpt.catalog_partition_counts = counting_cpc
+        ckpt.input_fingerprint = counting_fp
+        try:
+            s3 = run_extract_job(spark, "pages_cat", out_t,
+                                 num_partitions=8)
+        finally:
+            ckpt.catalog_partition_counts = orig_cpc
+            ckpt.input_fingerprint = orig_fp
         assert s3["partitions_processed"] == 0
         assert s3["partitions_skipped"] == 8
+        assert calls == {"batched": 1, "single": 0}
+        # Explicit table: prefix resolves to the same catalog read.
+        s4 = run_extract_job(spark, "table:pages_cat", out_t,
+                             num_partitions=8)
+        assert s4["partitions_skipped"] == 8
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_cat")
 
@@ -244,6 +275,16 @@ def test_is_catalog_table_routing():
     assert not is_catalog_table("C:\\data")
     assert not is_catalog_table("")
     assert not is_catalog_table("warc_day=2026")
+    # Explicit prefix: unambiguous, wins over the heuristic; malformed
+    # identifier behind it is an error, not a silent path fallback.
+    assert is_catalog_table("table:db.pages")
+    assert is_catalog_table("table:pages_cat")
+    import pytest
+
+    with pytest.raises(ValueError):
+        is_catalog_table("table:/data/pages")
+    with pytest.raises(ValueError):
+        is_catalog_table("table:warc_day=2026")
     d = tempfile.mkdtemp(prefix="pagesdir")
     cwd = os.getcwd()
     try:
