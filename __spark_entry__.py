@@ -794,6 +794,21 @@ def q_pdf_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 full metadata surface (pdf_to_png_converter.py:198-236): the
+    PDF source plants an ``/Info`` dict whose every field is a pure
+    function of doc_id, so title/author/subject/creator/producer/dates
+    plus page count and first-page dims are all closed-form."""
+    from document_extractor_spark.operators.media import pdf_metadata_probe
+
+    pages = pdf_pages_from_documents(spark, sf_dir)
+    return pdf_metadata_probe(pages).select(
+        doc_id_from_url("url"), "title", "author", "subject", "creator",
+        "producer", "creation_date", "modification_date", "total_pages",
+        "page_width", "page_height",
+    )
+
+
 def q_image_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2: the reference's only join-shaped operator — extracted images
     equi-joined to extracted caption items on (url, index)."""
@@ -980,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "formatting_render": q_formatting_render,
         "page_chrome_layout": q_page_chrome_layout,
         "pdf_positions": q_pdf_positions,
+        "pdf_metadata": q_pdf_metadata,
     }
 
 
@@ -1466,6 +1482,32 @@ def oracle_sql() -> dict[str, str]:
             FROM ok
         """,
     }
+    # pdf_metadata: every /Info field is a pure function of doc_id
+    # (planted by pdf_pages_from_documents); the length filter mirrors
+    # the source's ascii-body floor, same as pdf_positions.
+    d["pdf_metadata"] = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(trim(text), '\s+', ' ', 'g'),
+                   '[^ -~]', '', 'g') AS a
+          FROM documents
+        ), ok AS (SELECT doc_id FROM src WHERE length(a) >= 80)
+        SELECT doc_id,
+               'Document ' || doc_id AS title,
+               'Author ' || (doc_id % 7) AS author,
+               'Subject ' || (doc_id % 3) AS subject,
+               'docgen' AS creator,
+               'document-extractor-spark' AS producer,
+               'D:2026010' || (doc_id % 9 + 1) || '120000Z'
+                 AS creation_date,
+               'D:2026020' || (doc_id % 9 + 1) || '120000Z'
+                 AS modification_date,
+               CAST(1 AS INTEGER) AS total_pages,
+               612.0::DOUBLE AS page_width,
+               792.0::DOUBLE AS page_height
+        FROM ok
+    """
     # -- Formerly rows-only approximate queries, oracle-ized via planted
     # fixtures with structural-recall arguments (VERDICT r3 item 1). ----
     # minhash_near_dups: LSH candidates verified by exact Jaccard — the

@@ -20,7 +20,8 @@ from .langid import detect_lang
 from .pdf_extract import extract_pdf, is_pdf
 
 # Span types emitted for PDF items map onto the same enum as HTML items.
-_PDF_TYPE_MAP = {"header": "header", "paragraph": "paragraph"}
+_PDF_TYPE_MAP = {"header": "header", "paragraph": "paragraph",
+                 "table": "table"}
 
 # Bytes that essentially never occur in text of any encoding: NUL..BS,
 # SO..US minus the \t\n\r\f\v whitespace family. >10% of the head being
@@ -117,19 +118,21 @@ def extract_payload(payload: Optional[bytes], url: str = "",
         items = [] if include_items else None
         pos = 0
         first = True
-        for typ, txt, _page, size, ipos in pr.items:
+        for it in pr.items:
+            txt = it["text"]
             if not txt:
                 continue
             if not first:
                 pos += 2
             first = False
-            btype = _PDF_TYPE_MAP.get(typ, "paragraph")
+            btype = _PDF_TYPE_MAP.get(it["type"], "paragraph")
             spans.append((pos, pos + len(txt), btype))
             if include_items:
                 items.append(_item_dict(
-                    len(items), btype, txt,
+                    len(items), btype, txt, html=it["html"],
                     level=1 if btype == "header" else 0,
-                    font_size=size, position=ipos,
+                    row_count=it["rows"], column_count=it["cols"],
+                    font_size=it["size"], position=it["pos"],
                 ))
             pos += len(txt)
         lang = lang_hint or detect_lang(pr.text)

@@ -54,7 +54,9 @@ class PdfResult:
     text: str = ""
     n_pages: int = 0
     page_texts: list = field(default_factory=list)
-    items: list = field(default_factory=list)   # (type, text, page, size, pos)
+    items: list = field(default_factory=list)
+    # item dicts: {type, text, page, size, pos, html, rows, cols} —
+    # html/rows/cols are populated for table items only
     max_columns: int = 1      # layout: widest x-gap column split seen
     margins: Optional[dict] = None   # text-extent page margins (pct)
     error: Optional[str] = None
@@ -370,8 +372,141 @@ def _pct(v: float, span: float) -> float:
     return round(max(0.0, min(100.0, 100.0 * v / span)) if span > 0 else 0.0, 2)
 
 
+# ---------------------------------------------------------------------------
+# Table detection (column-aligned line grids) + pct-gap adjacent merge
+# ---------------------------------------------------------------------------
+
+_CELL_ALIGN_TOL = 3.0    # pt — cell x-origins matching across rows
+_TABLE_GAP_PCT = 5.0     # content_structure_fixer.py:152 — <5% page height
+
+
+def _is_tabular(ln: dict) -> bool:
+    """A line whose runs form table CELLS: ≥3 runs always qualifies;
+    exactly 2 runs only when the inter-run gap is narrower than the
+    page-column threshold (a wide 2-run line is a 2-column LAYOUT, which
+    ``_split_columns`` owns — the one ambiguity the content stream
+    cannot resolve, documented as a 2-column-table limitation)."""
+    runs = ln["runs"]
+    if len(runs) < 2:
+        return False
+    if len(runs) == 2:
+        return runs[1].x - _run_x_end(runs[0]) < _COL_GAP_MIN
+    return True
+
+
+def _same_grid(a: dict, b: dict) -> bool:
+    ra, rb = a["runs"], b["runs"]
+    return len(ra) == len(rb) and all(
+        abs(x.x - y.x) <= _CELL_ALIGN_TOL for x, y in zip(ra, rb))
+
+
+def _detect_tables(lines: list[dict]) -> tuple[list[list[dict]], list[dict]]:
+    """Split top-down-ordered lines into table blocks (≥2 consecutive
+    lines with the same aligned cell grid) and the remaining flow lines.
+    The content-stream subset has no table markup — recurring column
+    alignment IS the table signal (the reference gets table items from
+    its vision model; this is the text-run equivalent)."""
+    blocks: list[list[dict]] = []
+    rest: list[dict] = []
+    cur: list[dict] = []
+
+    def flush():
+        if len(cur) >= 2:
+            blocks.append(list(cur))
+        else:
+            rest.extend(cur)
+        cur.clear()
+
+    for ln in lines:
+        # A same-grid line continues the block only within a normal row
+        # leading (≤2× font size) — a larger vertical gap starts a NEW
+        # table, which the <5%-page-gap MERGE rule may then rejoin
+        # (that separation is what makes the merge rule observable).
+        row_gap_ok = bool(cur) and (
+            cur[-1]["y"] - ln["y"] <= 2.0 * max(ln["size"], cur[-1]["size"]))
+        if _is_tabular(ln) and cur and _same_grid(cur[-1], ln) \
+                and row_gap_ok:
+            cur.append(ln)
+        else:
+            flush()
+            if _is_tabular(ln):
+                cur.append(ln)
+            else:
+                rest.append(ln)
+    flush()
+    return blocks, rest
+
+
+def _table_item(block: list[dict], page: int,
+                width: float, height: float) -> dict:
+    from html import escape
+
+    html = "<table><tbody>" + "".join(
+        "<tr>" + "".join(f"<td>{escape(r.text)}</td>" for r in ln["runs"])
+        + "</tr>"
+        for ln in block
+    ) + "</tbody></table>"
+    content = "\n".join(
+        " | ".join(r.text for r in ln["runs"]) for ln in block)
+    top = block[0]["y"] + block[0]["size"]
+    pos = {
+        "x_start": _pct(min(ln["x"] for ln in block), width),
+        "y_start": _pct(height - top, height),
+        "x_end": _pct(max(ln["x_end"] for ln in block), width),
+        "y_end": _pct(height - block[-1]["y"], height),
+    }
+    return {"type": "table", "text": content, "page": page,
+            "size": max(ln["size"] for ln in block), "pos": pos,
+            "html": html, "rows": len(block), "cols": len(block[0]["runs"])}
+
+
+_PDF_TBODY_RE = re.compile(r"^.*?<tbody>", re.DOTALL)
+
+
+def merge_adjacent_pdf_tables(items: list[dict]) -> list[dict]:
+    """R3, the real rule — ``content_structure_fixer.py:120-177``: two
+    CONSECUTIVE table items whose vertical gap is under 5% of page
+    height merge into one. Reference semantics preserved exactly: the
+    scan appends the merged item and skips past the pair (a 3-table
+    chain merges its first two per pass), y_end extends to the second
+    table's, row counts add. Unlike the reference's literal
+    string-surgery (which leaves a second ``<tbody>``), the splice is
+    clean — our table HTML is self-generated and well-formed."""
+    out: list[dict] = []
+    i = 0
+    while i < len(items):
+        cur = items[i]
+        if (
+            cur["type"] == "table"
+            and i + 1 < len(items)
+            and items[i + 1]["type"] == "table"
+        ):
+            nxt = items[i + 1]
+            if abs(nxt["pos"]["y_start"] - cur["pos"]["y_end"]) \
+                    < _TABLE_GAP_PCT:
+                cur = dict(cur)
+                cur["html"] = (
+                    cur["html"].replace("</tbody></table>", "")
+                    + _PDF_TBODY_RE.sub("", nxt["html"], count=1)
+                )
+                cur["text"] = cur["text"] + "\n" + nxt["text"]
+                cur["rows"] += nxt["rows"]
+                cur["pos"] = {**cur["pos"],
+                              "y_end": nxt["pos"]["y_end"],
+                              "x_end": max(cur["pos"]["x_end"],
+                                           nxt["pos"]["x_end"]),
+                              "x_start": min(cur["pos"]["x_start"],
+                                             nxt["pos"]["x_start"])}
+                out.append(cur)
+                i += 2
+                continue
+        out.append(cur)
+        i += 1
+    return out
+
+
 def _lines_to_items(lines: list[dict], page: int,
-                    width: float = 612.0, height: float = 792.0) -> list[tuple]:
+                    width: float = 612.0, height: float = 792.0) -> list[dict]:
     """Paragraph grouping by vertical gap; header detection by font size.
 
     Each item carries a position bbox as page percentages (x/y from the
@@ -380,7 +515,7 @@ def _lines_to_items(lines: list[dict], page: int,
     estimated advances, y_start from the first line's baseline + ascent
     (≈ font size), y_end from the last line's baseline. PDF user space
     is bottom-up, so y pct = 100·(height − y)/height."""
-    items: list[tuple] = []
+    items: list[dict] = []
     body_size = 12.0
     sizes = sorted(ln["size"] for ln in lines)
     if sizes:
@@ -399,8 +534,9 @@ def _lines_to_items(lines: list[dict], page: int,
                 "x_end": _pct(bbox[1], width),
                 "y_end": _pct(height - bbox[3], height),
             }
-            items.append((typ, "\n".join(para), page,
-                          prev_size or body_size, pos))
+            items.append({"type": typ, "text": "\n".join(para),
+                          "page": page, "size": prev_size or body_size,
+                          "pos": pos, "html": None, "rows": 0, "cols": 0})
             para.clear()
             bbox.clear()
 
@@ -456,16 +592,31 @@ def extract_pdf(pdf_bytes: bytes) -> PdfResult:
                     if s:
                         streams.append(s)
             runs = extract_runs(b"\n".join(streams))
-            page_items: list[tuple] = []
-            cols = _split_columns(runs, width)
+            # Tables are detected on the GLOBAL line clustering, before
+            # the column split — a table's aligned cells at equal y MUST
+            # cluster into one multi-run line, which is exactly what the
+            # column splitter would tear apart.
+            blocks, rest_lines = _detect_tables(_cluster_lines(runs))
+            rest_runs = [r for ln in rest_lines for r in ln["runs"]]
+            page_items: list[dict] = []
+            cols = _split_columns(rest_runs, width)
             res.max_columns = max(res.max_columns, len(cols))
             for col_runs in cols:
                 page_items.extend(
                     _lines_to_items(_cluster_lines(col_runs), pno,
                                     width, height))
+            if blocks:
+                page_items.extend(
+                    _table_item(b, pno, width, height) for b in blocks)
+                # Tables re-enter the flow by vertical position. Stable
+                # sort: a multi-column page with tables reads in y order
+                # (documented approximation); table-free pages keep the
+                # exact left-column-first order, untouched.
+                page_items.sort(key=lambda it: it["pos"]["y_start"])
+                page_items = merge_adjacent_pdf_tables(page_items)
             res.items.extend(page_items)
             res.page_texts.append(
-                "\n\n".join(t for _, t, _, _, _ in page_items if t))
+                "\n\n".join(it["text"] for it in page_items if it["text"]))
         res.text = "\n\n".join(t for t in res.page_texts if t)
         if res.items:
             # Doc-level text-extent margins as page percentages
@@ -473,7 +624,7 @@ def extract_pdf(pdf_bytes: bytes) -> PdfResult:
             # distance from each page edge to the union of item bboxes.
             # Positions are already per-page percentages, so the union is
             # comparable across pages with differing mediaboxes.
-            ps = [it[4] for it in res.items]
+            ps = [it["pos"] for it in res.items]
             res.margins = {
                 "margin_top_percent": round(min(p["y_start"] for p in ps), 2),
                 "margin_bottom_percent": round(

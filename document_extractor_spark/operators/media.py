@@ -93,11 +93,17 @@ def pdf_metadata_probe(df: DataFrame, url_col: str = "url",
         T.StructField("is_pdf", T.BooleanType()),
         T.StructField("title", T.StringType()),
         T.StructField("author", T.StringType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("creator", T.StringType()),
         T.StructField("producer", T.StringType()),
+        T.StructField("creation_date", T.StringType()),
+        T.StructField("modification_date", T.StringType()),
         T.StructField("total_pages", T.IntegerType()),
         T.StructField("page_width", T.DoubleType()),
         T.StructField("page_height", T.DoubleType()),
     ])
+    _meta_cols = ("title", "author", "subject", "creator", "producer",
+                  "creation_date", "modification_date")
 
     def probe(it):
         for pdf in it:
@@ -105,18 +111,17 @@ def pdf_metadata_probe(df: DataFrame, url_col: str = "url",
             for u, payload in zip(pdf[url_col], pdf[html_col]):
                 if payload is not None and is_pdf(bytes(payload)):
                     m = pdf_metadata(bytes(payload))
-                    recs.append({
-                        "url": u, "is_pdf": True, "title": m["title"],
-                        "author": m["author"], "producer": m["producer"],
-                        "total_pages": m["total_pages"],
-                        "page_width": m["page_width"],
-                        "page_height": m["page_height"],
-                    })
+                    rec = {"url": u, "is_pdf": True,
+                           "total_pages": m["total_pages"],
+                           "page_width": m["page_width"],
+                           "page_height": m["page_height"]}
+                    rec.update({k: m[k] for k in _meta_cols})
+                    recs.append(rec)
                 else:
-                    recs.append({"url": u, "is_pdf": False, "title": None,
-                                 "author": None, "producer": None,
-                                 "total_pages": None, "page_width": None,
-                                 "page_height": None})
+                    rec = {"url": u, "is_pdf": False, "total_pages": None,
+                           "page_width": None, "page_height": None}
+                    rec.update({k: None for k in _meta_cols})
+                    recs.append(rec)
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     return df.select(url_col, html_col).mapInPandas(probe, schema)

@@ -129,9 +129,23 @@ def pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("binary")
     def _pdf_bytes(did, body):
+        # /Info values are pure functions of doc_id so the metadata
+        # probe has a closed-form oracle (S1 full coverage:
+        # pdf_to_png_converter.py:198-236 field set).
         return pd.Series([
-            build_pdf([[(72, 720, 18, [f"Document {d}"]),
-                        (72, 680, 12, [a[:40], a[40:80]])]])
+            build_pdf(
+                [[(72, 720, 18, [f"Document {d}"]),
+                  (72, 680, 12, [a[:40], a[40:80]])]],
+                info={
+                    "Title": f"Document {d}",
+                    "Author": f"Author {int(d) % 7}",
+                    "Subject": f"Subject {int(d) % 3}",
+                    "Creator": "docgen",
+                    "Producer": "document-extractor-spark",
+                    "CreationDate": f"D:2026010{int(d) % 9 + 1}120000Z",
+                    "ModDate": f"D:2026020{int(d) % 9 + 1}120000Z",
+                },
+            )
             for d, a in zip(did, body)
         ])
 

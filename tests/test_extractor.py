@@ -220,6 +220,78 @@ def test_pdf_multipage_order():
     assert res.text.index("page one") < res.text.index("page two")
 
 
+def _table_page(y_rows, cells_fn, size=10):
+    return [(x, y, size, [cells_fn(r, c)])
+            for r, y in enumerate(y_rows)
+            for c, x in enumerate((72, 200, 330))]
+
+
+def test_pdf_table_detection():
+    """Column-aligned line grids become table items with html + counts;
+    surrounding single-run lines stay paragraphs."""
+    page = [(72, 740, 12, ["intro paragraph line"])] + \
+        _table_page([700, 688, 676], lambda r, c: f"r{r}c{c}")
+    res = extract_pdf(build_pdf([page]))
+    tables = [it for it in res.items if it["type"] == "table"]
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["rows"] == 3 and t["cols"] == 3
+    assert "<table><tbody><tr><td>r0c0</td>" in t["html"]
+    assert t["text"].splitlines()[0] == "r0c0 | r0c1 | r0c2"
+    assert [it["type"] for it in res.items] == ["paragraph", "table"]
+
+
+def test_pdf_adjacent_tables_merge_iff_gap_under_5pct():
+    """R3, the real pct rule (content_structure_fixer.py:120-177): two
+    stacked tables merge iff the vertical gap is under 5% of page
+    height (39.6 pt at 792)."""
+    def pdf_with_gap(y2_top):
+        page = (_table_page([700, 688], lambda r, c: f"a{r}{c}")
+                + _table_page([y2_top, y2_top - 12],
+                              lambda r, c: f"b{r}{c}"))
+        return extract_pdf(build_pdf([page]))
+
+    near = pdf_with_gap(650)      # gap ≈3.5% of page height → merge
+    tables = [it for it in near.items if it["type"] == "table"]
+    assert len(tables) == 1
+    assert tables[0]["rows"] == 4
+    assert tables[0]["html"].count("<tbody>") == 1
+    assert "a10" in tables[0]["text"] and "b00" in tables[0]["text"]
+    assert tables[0]["pos"]["y_end"] > 13.0   # extended to 2nd table
+
+    far = pdf_with_gap(600)       # gap ≈9.9% → two tables survive
+    tables = [it for it in far.items if it["type"] == "table"]
+    assert len(tables) == 2
+    assert [t["rows"] for t in tables] == [2, 2]
+
+
+def test_pdf_table_items_through_extract_payload():
+    """Table items surface through the unified dispatch with html,
+    row/column counts, positions, and a table span."""
+    from document_extractor_spark.extractor.core import extract_payload
+
+    page = _table_page([700, 688], lambda r, c: f"v{r}{c}")
+    rec = extract_payload(build_pdf([page]), "u", include_items=True)
+    assert rec["parse_error"] is None
+    its = [i for i in rec["content_items"] if i["type"] == "table"]
+    assert len(its) == 1 and its[0]["row_count"] == 2
+    assert its[0]["column_count"] == 3
+    assert its[0]["position"]["y_start"] < its[0]["position"]["y_end"]
+    assert any(s["type"] == "table" for s in rec["spans"])
+
+
+def test_pdf_two_columns_not_a_table():
+    """A wide-gap 2-run layout stays a 2-column page (the documented
+    2-column-table ambiguity resolves in favor of page columns)."""
+    raw = build_pdf([[
+        (72, 720, 12, ["L1", "L2", "L3"]),
+        (340, 720, 12, ["R1", "R2", "R3"]),
+    ]])
+    res = extract_pdf(raw)
+    assert not [it for it in res.items if it["type"] == "table"]
+    assert res.max_columns == 2
+
+
 def test_pdf_escapes_and_hex():
     raw = build_pdf([[(72, 720, 12, ["paren (x) and \\ slash"])]])
     res = extract_pdf(raw)
