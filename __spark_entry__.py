@@ -404,6 +404,51 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "redacted", "n_email", "n_ssn", "n_ip", "n_phone")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: extract → Gopher quality filter
+    → exact dedup (planted clones) → 13-gram benchmark decontamination
+    → PII redaction (planted PII) → deterministic mix sampling. Each
+    stage is individually oracle-verified; this query verifies the
+    COMPOSITION — stage order, column threading, and the survivor sets
+    each stage hands the next — against one closed-form SQL chain."""
+    from document_extractor_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+    from document_extractor_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    ex = extract_pages(pages).select(
+        doc_id_from_url("url"), F.col("extracted_text").alias("text"))
+    clones = ex.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    aug = ex.unionByName(clones)
+    # Content-agnostic Gopher rules only: the synthetic corpus is not
+    # English prose, so the has_english stop-word rule (and with it the
+    # full passes_gopher conjunction) would empty the pipeline — a
+    # vacuous composition verifies nothing. The word-count / word-length
+    # / symbol-ratio rules pass 282 of 500 docs: a real filter stage.
+    flags = gopher_quality_flags(aug)
+    ok = aug.join(
+        flags.filter("ok_word_count AND ok_mean_word_len AND "
+                     "ok_symbol_ratio").select("doc_id"),
+        "doc_id")
+    ded = drop_exact_duplicates(ok)
+    bench = ex.filter(F.col("doc_id") < 10).select("text")
+    clean = decontaminate(ded, bench)
+    planted = F.concat(
+        F.col("text"), F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.net call 415-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    red = redact_pii(clean.select("doc_id", planted.alias("text")))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    out = sample_mix(red.join(src, "doc_id"), _MIX_WEIGHTS)
+    return out.select("doc_id", "source", "redacted", "n_email", "n_phone")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup parity: the planted-clone corpus
     (``_augmented_exact``: doc i duplicated as i+100000 for i<50) runs
@@ -980,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept": q_dedup_kept,
         "stream_dedup": q_stream_dedup,
         "decontam_kept": q_decontam_kept,
+        "curation_pipeline": q_curation_pipeline,
         "sample_mix": q_sample_mix,
         "pii_redaction": q_pii_redaction,
         "customers_without_orders": q_customers_without_orders,
@@ -1399,7 +1445,9 @@ def oracle_sql() -> dict[str, str]:
         "decontam_kept": r"""
             WITH toks AS (
               SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+                     regexp_split_to_array(
+                       lower(trim(regexp_replace(lower(text),
+                         '[^\p{L}\p{N}\s]+', '', 'g'))), '\s+') AS tk
               FROM documents),
             sh AS (
               SELECT doc_id, list_distinct(list_transform(
@@ -1482,6 +1530,87 @@ def oracle_sql() -> dict[str, str]:
             FROM ok
         """,
     }
+    # curation_pipeline: the full extract → gopher → dedup → decontam →
+    # redact → mix chain, each stage the SQL twin of its operator.
+    d["curation_pipeline"] = f"""
+        WITH ex AS (
+          SELECT doc_id,
+                 'Document ' || doc_id || chr(10) || chr(10) || text AS text
+          FROM documents),
+        aug AS (
+          SELECT doc_id, text FROM ex
+          UNION ALL
+          SELECT doc_id + 100000, text FROM ex WHERE doc_id < 50),
+        gstats AS (
+          SELECT doc_id,
+            len({_TOKS}) AS n_words,
+            length(regexp_replace(text, '\\s+', '', 'g'))
+              / nullif(len({_TOKS})::DOUBLE, 0.0) AS mwl,
+            coalesce(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+              / nullif(len({_TOKS})::DOUBLE, 0.0), 0.0) AS symr
+          FROM aug),
+        g AS (
+          SELECT doc_id FROM gstats
+          WHERE n_words BETWEEN 50 AND 100000
+            AND mwl BETWEEN 3.0 AND 10.0 AND symr <= 0.1),
+        ok AS (SELECT a.doc_id, a.text FROM aug a JOIN g USING (doc_id)),
+        ded AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5({_NORM})
+                                      ORDER BY doc_id) AS rn
+            FROM ok) WHERE rn = 1),
+        ntoks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(
+            lower(text), '[^\\p{{L}}\\p{{N}}\\s]+', '', 'g'))), '\\s+') AS tk
+          FROM ded),
+        btoks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(
+            lower(text), '[^\\p{{L}}\\p{{N}}\\s]+', '', 'g'))), '\\s+') AS tk
+          FROM ex WHERE doc_id < 10),
+        dsh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(tk) - 12, 1) + 1),
+            i -> array_to_string(tk[i:i+12], ' ')))) AS gm
+          FROM ntoks),
+        bsh AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+            range(1, greatest(len(tk) - 12, 1) + 1),
+            i -> array_to_string(tk[i:i+12], ' ')))) AS gm
+          FROM btoks),
+        bad AS (SELECT DISTINCT s.doc_id FROM dsh s JOIN bsh b USING (gm)),
+        clean AS (
+          SELECT doc_id, text FROM ded
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        p AS (
+          SELECT doc_id,
+                 text || ' reach user' || doc_id
+                      || '@example.net call 415-555-01'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t0
+          FROM clean),
+        s1 AS (SELECT doc_id, t0,
+                 len(regexp_extract_all(t0, '{_PII[0][1]}')) AS n_email,
+                 regexp_replace(t0, '{_PII[0][1]}', '{_PII[0][2]}', 'g')
+                   AS t1
+               FROM p),
+        s2 AS (SELECT doc_id, n_email,
+                 regexp_replace(t1, '{_PII[1][1]}', '{_PII[1][2]}', 'g')
+                   AS t2
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email,
+                 regexp_replace(t2, '{_PII[2][1]}', '{_PII[2][2]}', 'g')
+                   AS t3
+               FROM s2),
+        s4 AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(t3, '{_PII[3][1]}')) AS n_phone,
+                 regexp_replace(t3, '{_PII[3][1]}', '{_PII[3][2]}', 'g')
+                   AS redacted
+               FROM s3)
+        SELECT s4.doc_id, dd.source, s4.redacted, s4.n_email, s4.n_phone
+        FROM s4 JOIN documents dd ON s4.doc_id = dd.doc_id
+        WHERE substr(md5('mix1' || CAST(s4.doc_id AS VARCHAR)), 1, 8)
+              < CASE dd.source {_MIX_CASE} ELSE '0' END
+    """
     # pdf_metadata: every /Info field is a pure function of doc_id
     # (planted by pdf_pages_from_documents); the length filter mirrors
     # the source's ascii-body floor, same as pdf_positions.

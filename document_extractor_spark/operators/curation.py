@@ -26,11 +26,24 @@ from ..functions.text import shingles_df
 # ---------------------------------------------------------------------------
 
 
+# GPT-3-style normalization before gram matching (Brown et al. 2020,
+# Appendix C): lowercase AND discard punctuation — a benchmark sentence
+# differing only by punctuation must still match. Stays in the Java∩RE2
+# subset so the DuckDB oracle runs the identical pattern.
+DECONTAM_NORM_PATTERN = r"[^\p{L}\p{N}\s]+"
+
+
+def _decontam_norm(c) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.lower(col), DECONTAM_NORM_PATTERN, "")
+
+
 def contaminated_ids(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                      id_col: str = "doc_id", text_col: str = "text",
                      bench_text_col: str = "text") -> DataFrame:
-    """Ids of documents sharing ANY lowercased n-word gram with the
-    benchmark corpus (the standard 13-gram decontamination rule).
+    """Ids of documents sharing ANY normalized n-word gram with the
+    benchmark corpus (the standard 13-gram decontamination rule;
+    normalization = lowercase + strip punctuation, GPT-3 Appendix C).
 
     Plan: benchmark grams → distinct (small side, broadcast); corpus
     grams → narrow ``explode`` per doc; inner join on the gram; distinct
@@ -42,12 +55,12 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     # gram (the winnowing trap — measured minutes on a 100k-token doc).
     # The filter on the GENERATED attribute cannot push down.
     bg = (
-        shingles_df(benchmark, bench_text_col, n)
+        shingles_df(benchmark, _decontam_norm(bench_text_col), n)
         .select(F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull()).distinct()
     )
     dg = (
-        shingles_df(docs, text_col, n)
+        shingles_df(docs, _decontam_norm(text_col), n)
         .select(F.col(id_col), F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull())
     )

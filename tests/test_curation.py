@@ -37,6 +37,22 @@ def test_decontaminate_drops_benchmark_overlap(spark):
     assert_no_python(decontaminate(docs, bench))
 
 
+def test_decontaminate_punctuation_normalized(spark):
+    """GPT-3-style normalization: a contaminated doc whose benchmark
+    sentence differs only by punctuation and case must still drop —
+    punctuation is discarded before 13-gram matching."""
+    perturbed = ("The quick, brown fox -- jumps over the lazy dog; while "
+                 "seven wizards brew strong potions (at midnight) Exactly!")
+    docs = _docs(spark, [
+        (1, "clean text with its own distinct vocabulary nothing shared "
+            "with any benchmark sentence here at all now"),
+        (2, "some prefix " + perturbed + " trailing words"),
+    ])
+    bench = spark.createDataFrame([(BENCH_SENT,)], "text string")
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench).collect())
+    assert kept == [1]
+
+
 def test_decontaminate_no_false_positive_below_n(spark):
     """Sharing only a 12-token run with the benchmark is NOT
     contamination under the 13-gram rule."""
