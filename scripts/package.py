@@ -6,6 +6,11 @@ pandas/pyarrow/numpy), so cluster deployment is exactly the north-rule
 shape: ``spark-submit --py-files dist/document_extractor_spark.zip
 scripts/extract_job.py …`` — every executor unpacks the zip onto its
 PYTHONPATH.
+
+The artifact is NOT versioned (dist/ is gitignored): a committed zip
+inevitably drifts from the source tree between fixes. submit_extract.sh
+rebuilds it from source on every invocation, so what ships is always
+what the tree contains.
 """
 
 from __future__ import annotations
