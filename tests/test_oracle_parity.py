@@ -72,12 +72,11 @@ def test_oracle_parity(name, spark, duck):
     assert s_set == d_set, f"{name}: first mismatches {mism[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark):
-    sdf = QUERIES[name](spark, SF_DIR)
-    n = sdf.count()
-    assert n >= 0
-    assert sdf.columns
+def test_all_queries_oracle_backed():
+    """r4 invariant: NO rows-only queries remain — every contract query
+    has a DuckDB oracle (the formerly-approximate six gained
+    planted-fixture closed forms)."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
