@@ -219,7 +219,8 @@ HEADLINE_QUERIES = [
     "repetition_stats", "source_quantiles", "dup_clusters", "ivf_topk",
     "winnowing", "drop_near_dups", "drop_dup_paragraphs",
     "pdf_positions", "stream_dedup", "decontam_kept", "sample_mix",
-    "pii_redaction", "host_profile",
+    "pii_redaction", "host_profile", "pdf_metadata", "curation_pipeline",
+    "embedding_near_dups", "lang_id",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

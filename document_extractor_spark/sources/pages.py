@@ -155,19 +155,35 @@ def table_partition_values(spark: SparkSession, source: str) -> list:
     """``warc_day`` partition values of a catalog table — the catalog
     analogue of ``list_partitions``' directory listing, and the same
     metadata scale (one value per partition, collected on the driver for
-    resume PLANNING only; row data never moves). Prefers the Iceberg
-    ``<table>.partitions`` metadata table (pure metadata read); falls
-    back to a DISTINCT over the partition column, which Spark answers
-    from partition values without touching payload columns."""
+    resume PLANNING only; row data never moves). Three tiers, all tried
+    metadata-first: the Iceberg ``<table>.partitions`` metadata table,
+    then Hive-style ``SHOW PARTITIONS`` (also pure catalog metadata),
+    then — last resort, non-Iceberg non-partitioned catalogs only — a
+    DISTINCT over the partition column (a column scan at 100 TB; the
+    two metadata tiers exist so it never runs on a real deployment)."""
     source = strip_table_prefix(source)
     try:
         rows = spark.sql(
             f"SELECT partition.warc_day AS warc_day "
             f"FROM {source}.partitions"
         ).collect()
+        return sorted(r["warc_day"] for r in rows
+                      if r["warc_day"] is not None)
     except Exception:
-        rows = (
-            spark.read.table(source)
-            .select("warc_day").distinct().collect()
-        )
+        pass
+    try:
+        rows = spark.sql(f"SHOW PARTITIONS {source}").collect()
+        vals = []
+        for r in rows:
+            for part in r[0].split("/"):
+                k, _, v = part.partition("=")
+                if k == "warc_day" and v:
+                    vals.append(v)
+        return sorted(vals)
+    except Exception:
+        pass
+    rows = (
+        spark.read.table(source)
+        .select("warc_day").distinct().collect()
+    )
     return sorted(r["warc_day"] for r in rows if r["warc_day"] is not None)

@@ -1,0 +1,204 @@
+"""WARC ingest source — Common Crawl's native archive format → pages rows.
+
+The north star names a "Common-Crawl-style" corpus; Common Crawl ships
+WARC (ISO 28500): concatenated records, each a ``WARC/1.0`` header block
+(``WARC-Type``, ``WARC-Target-URI``, ``WARC-Date``, ``Content-Length``)
+plus a body — for ``response`` records an HTTP response (status line +
+headers + payload). Crawl WARCs are gzipped PER RECORD (each record its
+own gzip member), exactly so archives can be split at member boundaries.
+
+Spark shape: ``binaryFile`` scan → ``mapInPandas`` running a streaming
+record parser. The parser iterates records without materializing the
+archive (one record in memory at a time — Content-Length-framed, no
+regex over the whole file), so executor memory is bounded by the largest
+RECORD, not the WARC. Parallelism is per-file (Common Crawl segments are
+~1 GB × 64k files per crawl — far more files than executors); on a real
+cluster the same reader runs over ``s3a://commoncrawl/...`` paths
+unchanged. Downstream is the ordinary narrow extract plan.
+
+Pure-stdlib parsing (zlib multi-member inflate); no warcio dependency.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pages import PAGES_SCHEMA
+
+_CRLF2 = b"\r\n\r\n"
+_MAX_HEADER = 64 * 1024          # sanity cap on a header block
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _inflate_members(data: bytes):
+    """Yield decompressed gzip members of a per-record-gzipped WARC.
+    zlib with wbits=47 stops at each member boundary; ``unused_data``
+    carries the next member — linear, one member in memory at a time."""
+    view = memoryview(data)
+    while len(view) >= 2 and bytes(view[:2]) == _GZIP_MAGIC:
+        d = zlib.decompressobj(47)
+        chunk = d.decompress(bytes(view))
+        chunk += d.flush()
+        yield chunk
+        if not d.unused_data:
+            return
+        view = memoryview(d.unused_data)
+
+
+def _parse_header_block(block: bytes) -> dict:
+    headers = {}
+    for line in block.split(b"\r\n")[1:]:          # [0] = WARC/1.0
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1", "replace")
+    return headers
+
+
+def _iter_warc_records(stream: io.BufferedIOBase):
+    """Yield (warc_headers, body_bytes) from a plain (uncompressed)
+    WARC byte stream — Content-Length framing, never regex/split over
+    the whole archive."""
+    while True:
+        # skip inter-record blank lines
+        line = stream.readline()
+        while line in (b"\r\n", b"\n"):
+            line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            return                                  # desynced → stop, no raise
+        header = bytearray(line)
+        while True:
+            line = stream.readline()
+            if not line or line in (b"\r\n", b"\n"):
+                break
+            header += line
+            if len(header) > _MAX_HEADER:
+                return
+        h = _parse_header_block(bytes(header))
+        try:
+            length = int(h.get("content-length", "0"))
+        except ValueError:
+            return
+        body = stream.read(length)
+        yield h, body
+
+
+def _http_payload(body: bytes) -> bytes:
+    """Strip the HTTP response envelope of a ``response`` record body."""
+    idx = body.find(_CRLF2)
+    if body[:5] == b"HTTP/" and 0 <= idx < _MAX_HEADER:
+        return body[idx + len(_CRLF2):]
+    return body
+
+
+def _warc_ts(h: dict):
+    raw = h.get("warc-date")
+    if not raw:
+        return None
+    try:
+        return datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ") \
+            .replace(tzinfo=timezone.utc)
+    except ValueError:
+        return None
+
+
+def iter_warc_pages(data: bytes):
+    """(url, warc_ts, payload) for every ``response`` record of one WARC
+    file's bytes — transparently handles per-record-gzip and plain."""
+    if data[:2] == _GZIP_MAGIC:
+        records = (
+            rec
+            for member in _inflate_members(data)
+            for rec in _iter_warc_records(io.BytesIO(member))
+        )
+    else:
+        records = _iter_warc_records(io.BytesIO(data))
+    for h, body in records:
+        if h.get("warc-type") != "response":
+            continue
+        url = h.get("warc-target-uri")
+        if not url:
+            continue
+        yield url, _warc_ts(h), _http_payload(body)
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → the standard pages frame (url, warc_ts, html, text,
+    lang) + ``warc_day`` derived from each record's WARC-Date, ready for
+    ``extract_pages`` / the Iceberg-style writer.
+
+    ``binaryFile`` gives one row per archive; the parser streams records
+    inside the Arrow batch. Column pruning still applies upstream of the
+    UDF (only ``content`` is read), and downstream stays the narrow
+    zero-shuffle extract plan."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(PAGES_SCHEMA.fields)
+        + [T.StructField("warc_day", T.StringType())]
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for data in pdf["content"]:
+                for url, ts, payload in iter_warc_pages(bytes(data)):
+                    rows.append({
+                        "url": url, "warc_ts": ts, "html": payload,
+                        "text": None, "lang": None,
+                        "warc_day": ts.strftime("%Y-%m-%d") if ts else None,
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse, out_schema)
+    )
+
+
+def build_warc(records, per_record_gzip: bool = True) -> bytes:
+    """Test/fixture writer: (url, iso_ts, payload_bytes) → WARC bytes in
+    the Common Crawl shape (response records wrapped in an HTTP/1.1 200
+    envelope, one gzip member per record when ``per_record_gzip``)."""
+    out = bytearray()
+    for url, iso_ts, payload in records:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload)
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + iso_ts.encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            b"\r\n"
+        )
+        rec = hdr + http + b"\r\n\r\n"
+        if per_record_gzip:
+            gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += gz.compress(rec) + gz.flush()
+        else:
+            out += rec
+    return bytes(out)
+
+
+def warc_to_pages_table(spark: SparkSession, warc_path: str,
+                        out_path: str) -> None:
+    """Ingest WARC archives into the Iceberg-style pages layout — the
+    front door from a raw crawl to everything else in this engine."""
+    df = read_warc_pages(spark, warc_path)
+    (df.filter(F.col("warc_day").isNotNull())
+       .write.mode("overwrite").partitionBy("warc_day").parquet(out_path))

@@ -24,6 +24,7 @@ from document_extractor_spark.sources.generator import (
 )
 from document_extractor_spark.sources.pages import (
     PAGES_SCHEMA,
+    list_partitions,
     read_pages,
     with_warc_day,
 )
@@ -293,3 +294,75 @@ def test_is_catalog_table_routing():
         assert not is_catalog_table(rel)   # existing relative dir = path
     finally:
         os.chdir(cwd)
+
+
+# ---------------------------------------------------------------------------
+# WARC ingest source (Common Crawl's native format)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_unit():
+    """Pure parser: per-record-gzip and plain WARCs round-trip; hostile
+    bytes (truncated, garbage, non-response records) yield no rows and
+    no exception."""
+    from document_extractor_spark.sources.warc import (
+        build_warc,
+        iter_warc_pages,
+    )
+
+    recs = [
+        ("https://a.example/x", "2026-03-04T12:00:00Z",
+         b"<html><p>hello warc</p></html>"),
+        ("https://b.example/y", "2026-03-05T08:30:00Z", b"%PDF-1.4 stub"),
+    ]
+    for gz in (True, False):
+        got = list(iter_warc_pages(build_warc(recs, per_record_gzip=gz)))
+        assert [g[0] for g in got] == [r[0] for r in recs]
+        assert got[0][2] == recs[0][2]
+        assert got[1][1].strftime("%Y-%m-%d") == "2026-03-05"
+    assert list(iter_warc_pages(b"")) == []
+    assert list(iter_warc_pages(b"garbage not a warc")) == []
+    assert list(iter_warc_pages(build_warc(recs)[:40])) == []
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: u\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    assert list(iter_warc_pages(req)) == []
+
+
+def test_warc_ingest_to_extract_end_to_end(spark, tmp_path):
+    """WARC archives → pages frame → Iceberg-style layout → the standard
+    extract job: the full Common-Crawl front door."""
+    from document_extractor_spark.sources.warc import (
+        build_warc,
+        read_warc_pages,
+        warc_to_pages_table,
+    )
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    day1 = [(f"https://w.example/d1/{i}", "2026-03-04T12:00:00Z",
+             f"<html><body><main><p>warc doc one {i} with unique "
+             f"content</p></main></body></html>".encode())
+            for i in range(5)]
+    day2 = [(f"https://w.example/d2/{i}", "2026-03-05T09:00:00Z",
+             f"<html><body><main><p>warc doc two {i}</p></main>"
+             f"</body></html>".encode())
+            for i in range(3)]
+    (warc_dir / "seg-00001.warc.gz").write_bytes(build_warc(day1))
+    (warc_dir / "seg-00002.warc.gz").write_bytes(
+        build_warc(day2, per_record_gzip=False))
+
+    pages = read_warc_pages(spark, str(warc_dir))
+    rows = {r.url: r for r in pages.collect()}
+    assert len(rows) == 8
+    assert rows["https://w.example/d1/0"].warc_day == "2026-03-04"
+    assert b"warc doc one 0" in bytes(rows["https://w.example/d1/0"].html)
+
+    table = str(tmp_path / "pages_from_warc")
+    warc_to_pages_table(spark, str(warc_dir), table)
+    assert sorted(list_partitions(table)) == ["2026-03-04", "2026-03-05"]
+    out = str(tmp_path / "extracted_from_warc")
+    s = run_extract_job(spark, table, out, num_partitions=4)
+    assert s["docs"] == 8 and s["parse_failures"] == 0
+    texts = {r.url: r.extracted_text
+             for r in read_extracted(spark, out).collect()}
+    assert texts["https://w.example/d2/2"] == "warc doc two 2"
