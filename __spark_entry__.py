@@ -404,6 +404,31 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "redacted", "n_email", "n_ssn", "n_ip", "n_phone")
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning rules over planted line fixtures: every
+    rule (terminal punctuation, ≥3 words, javascript lines, the
+    5-sentence floor, lorem-ipsum and curly-brace page drops) is
+    exercised by construction, and the identical planted expression +
+    filter chain runs in DuckDB — a full closed-form oracle."""
+    from document_extractor_spark.operators.textstats import (
+        c4_quality_filter,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = F.expr("repeat('This is a complete planted sentence. ', "
+                  "CAST(doc_id % 6 + 2 AS INT))")
+    planted = F.concat(
+        base,
+        F.lit("\nshort line.\nno terminal punctuation line"
+              "\nplease enable javascript today."),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nlorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\ncurly code { weird }.")).otherwise(F.lit("")),
+    )
+    return c4_quality_filter(d.select("doc_id", planted.alias("text")))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: extract → Gopher quality filter
     → exact dedup (planted clones) → 13-gram benchmark decontamination
@@ -1042,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_chrome_layout": q_page_chrome_layout,
         "pdf_positions": q_pdf_positions,
         "pdf_metadata": q_pdf_metadata,
+        "c4_filter": q_c4_filter,
     }
 
 
@@ -1489,6 +1515,44 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(t3, '{_PII[3][1]}', '{_PII[3][2]}', 'g') AS redacted
                    FROM s3)
             SELECT doc_id, redacted, n_email, n_ssn, n_ip, n_phone FROM s4
+        """,
+        # C4 line/page cleaning over the planted line fixtures: the
+        # identical planted expression + filter chain, stated in SQL.
+        "c4_filter": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                repeat('This is a complete planted sentence. ',
+                       CAST(doc_id % 6 + 2 AS INT))
+                || chr(10) || 'short line.'
+                || chr(10) || 'no terminal punctuation line'
+                || chr(10) || 'please enable javascript today.'
+                || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                     ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10) || 'curly code { weird }.'
+                     ELSE '' END AS text
+              FROM documents),
+            kept AS (
+              SELECT doc_id, text,
+                list_filter(
+                  list_transform(string_split(text, chr(10)), x -> trim(x)),
+                  ln -> regexp_matches(ln, '[.!?"]$')
+                    AND len(list_filter(regexp_split_to_array(ln, '\s+'),
+                                        t -> t <> '')) >= 3
+                    AND NOT contains(lower(ln), 'javascript')) AS k
+              FROM planted),
+            c AS (SELECT doc_id, text, k,
+                         array_to_string(k, chr(10)) AS clean_text
+                  FROM kept)
+            SELECT doc_id, clean_text,
+                   CAST(len(k) AS INT) AS n_lines_kept,
+                   CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT)
+                     AS n_sentences,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS keep
+            FROM c
         """,
         # Streaming ingest dedup, stated at group level (survivor
         # identity is first-seen order — nondeterministic by design):

@@ -220,7 +220,7 @@ HEADLINE_QUERIES = [
     "winnowing", "drop_near_dups", "drop_dup_paragraphs",
     "pdf_positions", "stream_dedup", "decontam_kept", "sample_mix",
     "pii_redaction", "host_profile", "pdf_metadata", "curation_pipeline",
-    "embedding_near_dups", "lang_id",
+    "embedding_near_dups", "lang_id", "c4_filter",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

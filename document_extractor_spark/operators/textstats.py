@@ -143,6 +143,57 @@ def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# C4 cleaning rules (Raffel et al. 2020, §2.2 — the public web-corpus
+# line/page filter that complements the doc-level Gopher rules): retain
+# only lines ending in terminal punctuation with ≥3 words and no
+# "javascript"; drop pages with <5 sentences, any "lorem ipsum", or a
+# curly brace. (The C4 badwords list is external content and out of
+# scope; its hook is the same line predicate.)
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_quality_filter(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_sentences: int = 5) -> DataFrame:
+    """Per-doc C4 cleaning: cleaned text (kept lines), line/sentence
+    counts, and the page-level ``keep`` verdict. Pure Catalyst — every
+    stage is a STAGED array projection (the filtered-lines array
+    materializes once; referencing it from three output columns must
+    not re-run the filter chain per column — the HOF re-evaluation
+    trap), with an exact DuckDB oracle twin. NULL text behaves as the
+    empty page (keep=false) so the verdict column is never NULL."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = (
+        df.withColumn(
+            "_c4_lines",
+            F.transform(F.split(c, r"\n"), lambda x: F.trim(x)))
+        .withColumn(
+            "_c4_kept",
+            F.filter(
+                F.col("_c4_lines"),
+                lambda ln: ln.rlike(_C4_TERMINAL_RE)
+                & (F.size(F.filter(F.split(ln, r"\s+"),
+                                   lambda t: t != "")) >= 3)
+                & ~F.contains(F.lower(ln), F.lit("javascript")),
+            ))
+        .withColumn("_c4_clean", F.array_join(F.col("_c4_kept"), "\n"))
+        .withColumn("_c4_nsent",
+                    F.regexp_count(F.col("_c4_clean"), F.lit(r"[.!?]")))
+    )
+    keep = (
+        (F.col("_c4_nsent") >= min_sentences)
+        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
+        & ~F.contains(c, F.lit("{"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_c4_clean").alias("clean_text"),
+        F.size(F.col("_c4_kept")).cast("int").alias("n_lines_kept"),
+        F.col("_c4_nsent").cast("int").alias("n_sentences"),
+        keep.alias("keep"),
+    )
+
+
 def host_stats(df, url_col: str = "url", bytes_col: str = None,
                error_col: str = None):
     """Per-host crawl-health profile — the BATCH twin of the streaming

@@ -242,3 +242,50 @@ def test_sample_mix_table_clamps_bad_weights(spark):
                                "doc_id bigint, source string, text string")
     wdf = spark.createDataFrame([("srcN", -0.5)], "source string, weight double")
     assert sample_mix_table(df, wdf).count() == 0
+
+
+def test_c4_quality_filter_line_and_page_rules(spark):
+    """Every C4 rule on a hand-built page: short / no-terminal /
+    javascript lines drop; the page verdict needs >=5 sentences, no
+    lorem ipsum, no curly brace."""
+    from document_extractor_spark.operators.textstats import (
+        c4_quality_filter,
+    )
+
+    good = "This is a perfectly ordinary sentence about nothing much."
+    rows = [
+        # 5 good sentences -> kept page
+        (1, "\n".join([good] * 5)),
+        # line rules: only the good line survives; page fails the
+        # 5-sentence floor
+        (2, good + "\nshort one.\nno terminal punct here\n"
+            "please enable javascript now."),
+        # lorem ipsum nukes the page even with enough sentences
+        (3, "\n".join([good] * 5) + "\nlorem ipsum dolor sit amet."),
+        # curly brace nukes the page
+        (4, "\n".join([good] * 5) + "\nweird { code } block."),
+        # empty and NULL text: well-defined dropped pages, never NULL
+        (5, ""),
+        (6, None),
+    ]
+    out = {r["doc_id"]: r for r in
+           c4_quality_filter(_docs(spark, rows)).collect()}
+    assert out[1]["keep"] and out[1]["n_lines_kept"] == 5
+    assert out[1]["n_sentences"] == 5
+    assert not out[2]["keep"]
+    assert out[2]["n_lines_kept"] == 1
+    assert out[2]["clean_text"] == good
+    assert not out[3]["keep"] and not out[4]["keep"]
+    assert not out[5]["keep"] and out[5]["clean_text"] == ""
+    assert out[6]["keep"] is False and out[6]["n_lines_kept"] == 0
+
+
+def test_c4_quality_filter_plan_staged_and_jvm(spark):
+    """The filtered-lines array is a staged projection (HOF
+    re-evaluation trap) and the whole chain stays JVM-side."""
+    from document_extractor_spark.operators.textstats import (
+        c4_quality_filter,
+    )
+
+    df = c4_quality_filter(_docs(spark, [(1, "A b c.\nshort.")]))
+    assert_no_python(df)
