@@ -429,6 +429,63 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_quality_filter(d.select("doc_id", planted.alias("text")))
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL triage over planted URLs: one doc_id-mod
+    branch per drop rule (scheme, length, binary extension, query spam,
+    blocked domain) plus the kept default, so every reason code is
+    exercised and the verdict is a closed form of doc_id."""
+    from document_extractor_spark.operators.curation import url_filter
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 13
+    url = (
+        F.when(m == 0, F.concat(F.lit("ftp://files.example.com/f/"), did))
+        .when(m == 1, F.concat(F.lit("https://a.example.com/"),
+                               F.expr("repeat('x', 3000)")))
+        .when(m == 2, F.concat(F.lit("https://img.example.com/p/"), did,
+                               F.lit(".JPG")))
+        .when(m == 3, F.concat(F.lit("https://t.example.com/q?"),
+                               F.expr("repeat('a=1&', 9)"), F.lit("z=2")))
+        .when(m == 4, F.concat(F.lit("https://spam.badsite"),
+                               (F.col("doc_id") % 3).cast("string"),
+                               F.lit(".com/page/"), did))
+        .otherwise(F.concat(F.lit("https://h"),
+                            (F.col("doc_id") % 37).cast("string"),
+                            F.lit(".example.org/d/"), did))
+    )
+    bl = spark.createDataFrame(
+        [("badsite0.com",), ("badsite1.com",), ("badsite2.com",)],
+        "domain string")
+    return url_filter(d.select("doc_id", url.alias("url")), bl).select(
+        "doc_id", "url", "host", "url_keep", "url_reason")
+
+
+def q_drop_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line strip over planted lines: two
+    boilerplate lines (corpus-wide and every-4th-doc — both far over
+    the doc-frequency cap) drop from every document, the short 'ok.'
+    line survives the cap by the min-length floor, and the two unique
+    lines always survive — the output text is a closed form of
+    doc_id."""
+    from document_extractor_spark.operators.dedup import (
+        drop_boilerplate_lines,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Unique opening line number "), did, F.lit(" alpha."),
+        F.lit("\nSubscribe to our newsletter today."),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nShare this article with friends."))
+        .otherwise(F.lit("")),
+        F.lit("\nok."),
+        F.lit("\nClosing remark "), did, F.lit(" omega."),
+    )
+    return drop_boilerplate_lines(d.select("doc_id", text.alias("text")))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: extract → Gopher quality filter
     → exact dedup (planted clones) → 13-gram benchmark decontamination
@@ -1068,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_positions": q_pdf_positions,
         "pdf_metadata": q_pdf_metadata,
         "c4_filter": q_c4_filter,
+        "url_filter": q_url_filter,
+        "drop_boilerplate": q_drop_boilerplate,
     }
 
 
@@ -1553,6 +1612,49 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(text), 'lorem ipsum')
                     AND NOT contains(text, '{')) AS keep
             FROM c
+        """,
+        # URL triage over planted URLs: verdicts are a closed form of
+        # doc_id (each mod-13 branch exercises one drop rule).
+        "url_filter": """
+            WITH u AS (SELECT doc_id, doc_id % 13 AS m FROM documents)
+            SELECT doc_id,
+              CASE m
+                WHEN 0 THEN 'ftp://files.example.com/f/' || doc_id
+                WHEN 1 THEN 'https://a.example.com/' || repeat('x', 3000)
+                WHEN 2 THEN 'https://img.example.com/p/' || doc_id || '.JPG'
+                WHEN 3 THEN 'https://t.example.com/q?' || repeat('a=1&', 9)
+                            || 'z=2'
+                WHEN 4 THEN 'https://spam.badsite' || (doc_id % 3)
+                            || '.com/page/' || doc_id
+                ELSE 'https://h' || (doc_id % 37) || '.example.org/d/'
+                     || doc_id END AS url,
+              CASE m
+                WHEN 0 THEN 'files.example.com'
+                WHEN 1 THEN 'a.example.com'
+                WHEN 2 THEN 'img.example.com'
+                WHEN 3 THEN 't.example.com'
+                WHEN 4 THEN 'spam.badsite' || (doc_id % 3) || '.com'
+                ELSE 'h' || (doc_id % 37) || '.example.org' END AS host,
+              (m > 4) AS url_keep,
+              CASE m
+                WHEN 0 THEN 'bad_scheme'
+                WHEN 1 THEN 'too_long'
+                WHEN 2 THEN 'binary_extension'
+                WHEN 3 THEN 'query_spam'
+                WHEN 4 THEN 'blocked_domain'
+                ELSE NULL END AS url_reason
+            FROM u
+        """,
+        # Boilerplate line strip: both planted boilerplate lines exceed
+        # the doc-frequency cap and vanish everywhere; 'ok.' survives
+        # on the min-length floor; unique lines survive — closed form.
+        "drop_boilerplate": """
+            SELECT doc_id,
+                   'Unique opening line number ' || doc_id || ' alpha.'
+                   || chr(10) || 'ok.'
+                   || chr(10) || 'Closing remark ' || doc_id || ' omega.'
+                     AS text
+            FROM documents
         """,
         # Streaming ingest dedup, stated at group level (survivor
         # identity is first-seen order — nondeterministic by design):

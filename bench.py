@@ -220,7 +220,8 @@ HEADLINE_QUERIES = [
     "winnowing", "drop_near_dups", "drop_dup_paragraphs",
     "pdf_positions", "stream_dedup", "decontam_kept", "sample_mix",
     "pii_redaction", "host_profile", "pdf_metadata", "curation_pipeline",
-    "embedding_near_dups", "lang_id", "c4_filter",
+    "embedding_near_dups", "lang_id", "c4_filter", "url_filter",
+    "drop_boilerplate",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

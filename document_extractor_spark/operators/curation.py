@@ -214,3 +214,79 @@ def sample_mix_table(docs: DataFrame, weights: DataFrame,
         .filter(h < F.col("_mix_thr"))
         .drop("_mix_src", "_mix_thr")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL triage (RefinedWeb/CCNet-style pre-fetch filtering)
+# ---------------------------------------------------------------------------
+
+
+# Payload extensions that mark a non-HTML fetch (media/binary/asset):
+# the curation pipelines drop these before any text processing. Kept
+# in the Java∩RE2 regex subset; query strings after the path are
+# tolerated. Anchored to the PATH component, not the full URL.
+URL_BINARY_EXT_PATTERN = (
+    r"(?i)\.(?:jpe?g|png|gif|webp|svg|ico|css|js|woff2?|ttf|pdf|zip|gz|"
+    r"tar|rar|7z|exe|dmg|iso|mp3|mp4|m4a|avi|mov|wmv|flv|webm)$"
+)
+
+
+def url_filter(docs: DataFrame, blocklist: DataFrame = None,
+               url_col: str = "url", max_url_len: int = 2048,
+               max_query_params: int = 8) -> DataFrame:
+    """RefinedWeb/CCNet-style URL triage: annotate every row with the
+    parsed ``host`` plus a ``url_keep`` verdict and the first-match
+    ``url_reason`` (``bad_scheme`` | ``too_long`` | ``binary_extension``
+    | ``query_spam`` | ``blocked_domain`` | NULL when kept). Callers
+    drop with ``.filter("url_keep")`` — the annotation form keeps the
+    reason histogram observable (a curation run reports WHY it dropped
+    34% of a crawl).
+
+    ``blocklist`` is an optional (domain) DataFrame of registered
+    domains; matching is on the host's last two labels (a documented
+    simplification of the public-suffix eTLD+1 rule — a production run
+    would join a PSL-derived suffix table through the same seam).
+
+    Scale shape: everything except the blocklist probe is a narrow
+    JVM projection (``parse_url`` + bounded regexes — no Python, no
+    shuffle). The blocklist join is an equi-join on the registered
+    domain; curated blocklists are MBs (1e5-1e6 domains), so the hint
+    is left to AQE rather than forced broadcast (same reasoning as
+    ``decontaminate``'s unbounded-side rule)."""
+    c = F.col(url_col)
+    # try_parse_url, NOT parse_url: Spark 4 parse_url RAISES on a
+    # malformed URL — on a real crawl that is a task failure from one
+    # hostile row; the try_ variant yields NULL and the scheme rule
+    # below classifies the row as dropped.
+    host = F.try_parse_url(c, F.lit("HOST"))
+    path = F.try_parse_url(c, F.lit("PATH"))
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+    annotated = docs.withColumn("host", host).withColumn(
+        "_reg_domain", reg_domain)
+
+    if blocklist is not None:
+        b = blocklist.select(
+            F.lower(F.col(blocklist.columns[0])).alias("_reg_domain"),
+            F.lit(True).alias("_blocked"))
+        annotated = annotated.join(b, on="_reg_domain", how="left")
+    else:
+        annotated = annotated.withColumn(
+            "_blocked", F.lit(None).cast("boolean"))
+
+    reason = (
+        F.when(~c.rlike(r"(?i)^https?://"), F.lit("bad_scheme"))
+        .when(F.length(c) > max_url_len, F.lit("too_long"))
+        .when(F.coalesce(path, F.lit("")).rlike(URL_BINARY_EXT_PATTERN),
+              F.lit("binary_extension"))
+        .when(F.size(F.split(F.coalesce(query, F.lit("")), r"&"))
+              > max_query_params, F.lit("query_spam"))
+        .when(F.col("_blocked"), F.lit("blocked_domain"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        annotated.withColumn("url_reason", reason)
+        .withColumn("url_keep", F.col("url_reason").isNull())
+        .drop("_reg_domain", "_blocked")
+    )

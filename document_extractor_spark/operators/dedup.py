@@ -418,3 +418,60 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col),
                 F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_doc_count: int = 5,
+                           min_len: int = 10) -> DataFrame:
+    """CCNet-style boilerplate strip: a (trimmed) line whose hash
+    appears in MORE THAN ``max_doc_count`` distinct documents is
+    removed from EVERY document — unlike ``drop_duplicate_paragraphs``
+    even the first occurrence drops, because high document frequency
+    marks site chrome (nav menus, cookie banners, copyright footers),
+    not content. Lines shorter than ``min_len`` trimmed chars pass
+    through untouched (short fragments collide by accident, and
+    removing them would splice sentences).
+
+    Scale shape: two corpus passes, not three — (1) the frequency
+    table is built from a narrow (md5, doc_id) projection (DISTINCT
+    then count, never line text), and (2) ONE pass over the lines
+    left-joins the BAD hash set with the min-length pass-through in
+    the same filter (the bad side is the boilerplate minority, so AQE
+    typically broadcasts it and the corpus is never shuffled on text —
+    not forced, same unbounded-side rule as ``decontaminate``); (3)
+    one final shuffle on the doc id reassembles. Skewed hash keys ARE
+    the boilerplate being removed — AQE skew-join handles the hot
+    partitions. Every input doc survives (a doc that was pure
+    boilerplate keeps empty text)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "ln"),
+    ).withColumn("_trim_len", F.length(F.trim("ln"))).withColumn(
+        "h", F.md5(F.trim("ln")))
+    bad = (
+        lines.filter(F.col("_trim_len") >= min_len)
+        .select("h", id_col).distinct()
+        .groupBy("h").count()
+        .filter(F.col("count") > max_doc_count)
+        .select("h", F.lit(True).alias("_bp"))
+    )
+    kept = (
+        lines.join(bad, on="h", how="left")
+        .filter((F.col("_trim_len") < min_len) | F.col("_bp").isNull())
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(F.col(id_col),
+                F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

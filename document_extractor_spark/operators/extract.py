@@ -185,9 +185,12 @@ def _extract_map(it: Iterator[pd.DataFrame],
 
 
 def host_col(url: Column = None) -> Column:
-    """URL host via the built-in parse_url (JVM-side, codegen'd)."""
+    """URL host via the built-in try_parse_url (JVM-side, codegen'd).
+    The try_ variant: Spark 4 parse_url RAISES on malformed URLs — one
+    hostile crawl row must not fail a task; a NULL host groups the junk
+    under one key instead."""
     u = url if url is not None else F.col("url")
-    return F.parse_url(u, F.lit("HOST"))
+    return F.try_parse_url(u, F.lit("HOST"))
 
 
 def salted_repartition(df: DataFrame, num_partitions: int,

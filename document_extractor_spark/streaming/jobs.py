@@ -118,7 +118,9 @@ def stream_host_stats(extracted_stream: DataFrame) -> DataFrame:
         )
 
     with_host = extracted_stream.withColumn(
-        "host", F.parse_url("url", F.lit("HOST"))
+        # try_ variant: parse_url raises on malformed URLs — a hostile
+        # row would kill the streaming query, not just one task
+        "host", F.try_parse_url("url", F.lit("HOST"))
     )
     return with_host.groupBy("host").applyInPandasWithState(
         update,

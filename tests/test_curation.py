@@ -289,3 +289,47 @@ def test_c4_quality_filter_plan_staged_and_jvm(spark):
 
     df = c4_quality_filter(_docs(spark, [(1, "A b c.\nshort.")]))
     assert_no_python(df)
+
+
+def test_url_filter_reasons_and_blocklist(spark):
+    """Each drop rule fires on its own planted URL; deep subdomains of
+    a blocked registered domain are caught; clean URLs keep with a
+    NULL reason."""
+    from document_extractor_spark.operators.curation import url_filter
+
+    rows = [
+        (1, "ftp://files.example.com/a"),
+        (2, "https://a.example.com/" + "x" * 3000),
+        (3, "https://img.example.com/pic.PNG?w=100"),
+        (4, "https://t.example.com/q?" + "&".join(f"k{i}=1" for i in range(12))),
+        (5, "https://deep.sub.badsite.com/page"),
+        (6, "https://good.example.org/article.html"),
+        (7, "not a url at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    bl = spark.createDataFrame([("badsite.com",)], "domain string")
+    out = {r["doc_id"]: r for r in url_filter(df, bl).collect()}
+    assert out[1]["url_reason"] == "bad_scheme"
+    assert out[2]["url_reason"] == "too_long"
+    # extension rule anchors to the PATH, tolerating the query string
+    assert out[3]["url_reason"] == "binary_extension"
+    assert out[4]["url_reason"] == "query_spam"
+    assert out[5]["url_reason"] == "blocked_domain"
+    assert out[6]["url_keep"] and out[6]["url_reason"] is None
+    assert out[6]["host"] == "good.example.org"
+    assert out[7]["url_reason"] == "bad_scheme" and not out[7]["url_keep"]
+
+
+def test_url_filter_no_blocklist_stays_narrow(spark):
+    """Without a blocklist the plan is a pure narrow projection (no
+    join, no Python) and blocked_domain never fires."""
+    from document_extractor_spark.operators.curation import url_filter
+    from document_extractor_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(1, "https://spam.badsite0.com/x")], "doc_id bigint, url string")
+    out = url_filter(df)
+    assert out.collect()[0]["url_keep"]
+    plan = physical_plan(out)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert_no_python(out)

@@ -359,3 +359,48 @@ def test_ivf_index_tolerates_zero_vector(spark):
     got = [r.vec_id for r in ivf_topk(indexed, centers, q, k=5,
                                       nprobe=4).collect()]
     assert 0 in got
+
+
+def test_drop_boilerplate_lines_doc_frequency_rule(spark):
+    """A line over the doc-frequency cap drops from EVERY doc (first
+    occurrence included); a line at the cap survives; short common
+    lines survive on the min-length floor; a pure-boilerplate doc
+    stays present with empty text."""
+    from document_extractor_spark.operators.dedup import (
+        drop_boilerplate_lines,
+    )
+
+    chrome = "Subscribe to our newsletter today."
+    atcap = "Exactly at the frequency cap."
+    rows = [(i, f"Body line {i} content here.\n{chrome}\n"
+                f"{atcap if i < 5 else 'Tail ' + str(i) + ' line here.'}"
+                "\nok.")
+            for i in range(6)]
+    rows.append((99, chrome))  # pure boilerplate doc (7th occurrence)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in drop_boilerplate_lines(df, max_doc_count=5).collect()}
+    assert len(out) == 7  # every input doc present
+    assert out[99] == ""  # pure-boilerplate doc keeps empty text
+    for i in range(6):
+        assert chrome not in out[i]
+        assert f"Body line {i} content here." in out[i]
+        assert out[i].endswith("ok.")  # short line under the floor
+    assert atcap in out[0]  # 5 docs == cap -> not boilerplate
+
+
+def test_drop_boilerplate_lines_preserves_order(spark):
+    from document_extractor_spark.operators.dedup import (
+        drop_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "First unique statement here.\nSecond unique statement "
+             "here.\nThird unique statement here.")],
+        "doc_id bigint, text string")
+    out = drop_boilerplate_lines(df).collect()[0]["text"]
+    assert out.splitlines() == [
+        "First unique statement here.",
+        "Second unique statement here.",
+        "Third unique statement here.",
+    ]
