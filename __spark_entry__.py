@@ -486,6 +486,37 @@ def q_drop_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_lines(d.select("doc_id", text.alias("text")))
 
 
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-snapshot ingestion dedup over planted batches: the known
+    index holds fingerprints of docs < 100; the incoming batch
+    re-ingests every doc PLUS in-batch clones (id+100000) of docs
+    100-109. Known docs drop by the index anti-join, clones drop by
+    the in-batch min-id rule — exactly docs ≥ 100 survive (closed form;
+    the generator corpus has no natural exact dups)."""
+    from document_extractor_spark.functions.text import fingerprint
+    from document_extractor_spark.operators.dedup import (
+        drop_known_duplicates,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    known = d.filter(F.col("doc_id") < 100).select(
+        fingerprint("text").alias("fingerprint"))
+    clones = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)) \
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return drop_known_duplicates(d.unionByName(clones), known)
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle: shard assignment and
+    in-shard position are pure md5 functions of (seed, doc_id), so the
+    oracle computes the identical hash arithmetic."""
+    from document_extractor_spark.operators.curation import shuffle_shards
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return shuffle_shards(d, n_shards=64).select(
+        "doc_id", "shard", "shard_pos")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: extract → Gopher quality filter
     → exact dedup (planted clones) → 13-gram benchmark decontamination
@@ -1127,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "url_filter": q_url_filter,
         "drop_boilerplate": q_drop_boilerplate,
+        "snapshot_dedup": q_snapshot_dedup,
+        "shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -1655,6 +1688,28 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || 'Closing remark ' || doc_id || ' omega.'
                      AS text
             FROM documents
+        """,
+        # Snapshot-ingestion dedup: known index covers docs < 100 and
+        # the in-batch clones duplicate docs 100-109 → survivors are
+        # exactly the docs ≥ 100 (no natural dups in the corpus).
+        "snapshot_dedup": """
+            SELECT doc_id, text FROM documents WHERE doc_id >= 100
+        """,
+        # Deterministic export shuffle: identical md5 arithmetic.
+        "shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id, md5('shuf1' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents),
+            s AS (
+              SELECT doc_id, hh,
+                     CAST(('0x' || substr(hh, 1, 8))::UBIGINT % 64 AS INT)
+                       AS shard
+              FROM h)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY hh, doc_id) - 1 AS INT)
+                     AS shard_pos
+            FROM s
         """,
         # Streaming ingest dedup, stated at group level (survivor
         # identity is first-seen order — nondeterministic by design):

@@ -221,7 +221,7 @@ HEADLINE_QUERIES = [
     "pdf_positions", "stream_dedup", "decontam_kept", "sample_mix",
     "pii_redaction", "host_profile", "pdf_metadata", "curation_pipeline",
     "embedding_near_dups", "lang_id", "c4_filter", "url_filter",
-    "drop_boilerplate",
+    "drop_boilerplate", "snapshot_dedup", "shuffle_shards",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

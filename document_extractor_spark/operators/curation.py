@@ -290,3 +290,40 @@ def url_filter(docs: DataFrame, blocklist: DataFrame = None,
         .withColumn("url_keep", F.col("url_reason").isNull())
         .drop("_reg_domain", "_blocked")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-export shuffle
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
+                   key_col: str = "doc_id",
+                   seed: str = "shuf1") -> DataFrame:
+    """Deterministic global shuffle for training export — the last mile
+    of a curation pipeline: training wants the corpus in random order,
+    split into a fixed number of shard files, and REPRODUCIBLY so
+    (re-running the export after a retry or a repartition must emit
+    byte-identical shards). ``orderBy(rand())`` fails that bar (rand is
+    partition-seeded); this is a pure function of (seed, key): shard =
+    first-8-hex-digits of md5(seed‖key) mod ``n_shards``, in-shard
+    order = the full hash (key tiebreak). Adds ``shard`` and
+    ``shard_pos`` (0-based position within the shard).
+
+    Scale shape: one shuffle, on the shard id — uniform by md5
+    construction, so every shard is the same size (corpus/n_shards)
+    and no reducer is hot. Downstream ``.write.partitionBy('shard')``
+    emits one reproducibly-ordered file set per shard."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("_shuf_h", key_col)
+    return (
+        docs.withColumn("_shuf_h", h)
+        .withColumn("shard", shard)
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("int"))
+        .drop("_shuf_h")
+    )

@@ -475,3 +475,33 @@ def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col),
                 F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def drop_known_duplicates(new_docs: DataFrame, known: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          fingerprint_col: str = "fingerprint") -> DataFrame:
+    """Rolling-snapshot ingestion dedup: drop every new document whose
+    content fingerprint (md5 of normalized text) already exists in a
+    prior corpus index, then dedup WITHIN the batch (min-id survivor)
+    so one ingest cannot introduce twins. This is the production shape
+    for monthly crawl ingestion — each snapshot dedups against the
+    accumulated fingerprint index of all previous snapshots, then
+    appends its own fingerprints to that index (build them with
+    ``functions.text.fingerprint``).
+
+    Scale shape: the historical corpus never moves — only its narrow
+    16-byte-key index participates. The anti-join partitions both
+    sides on the fingerprint (at 10^12 known docs the index is far
+    beyond broadcast; md5 keys are uniform, so the shuffle is
+    skew-free by construction; pre-bucketing the index table by
+    fingerprint removes even its shuffle, leaving only the new batch
+    to move). The in-batch pass is the ``drop_exact_duplicates``
+    semi-join on the same key."""
+    keyed = new_docs.withColumn("_fp", content_hash(text_col))
+    idx = known.select(F.col(fingerprint_col).alias("_fp"))
+    fresh = keyed.join(idx, on="_fp", how="left_anti")
+    survivors = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(survivors, on=["_fp", id_col], how="left_semi")
+        .drop("_fp")
+    )

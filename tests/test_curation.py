@@ -333,3 +333,38 @@ def test_url_filter_no_blocklist_stays_narrow(spark):
     plan = physical_plan(out)
     assert "Join" not in plan and "Exchange" not in plan
     assert_no_python(out)
+
+
+def test_shuffle_shards_deterministic_under_repartition(spark):
+    """The export shuffle is a pure function of (seed, key): the same
+    frame repartitioned arbitrarily yields byte-identical (shard,
+    shard_pos) assignments — the property orderBy(rand()) lacks."""
+    from document_extractor_spark.operators.curation import shuffle_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shards(df, n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shards(df.repartition(7), n_shards=8).collect()}
+    assert a == b
+    assert_no_python(shuffle_shards(df, n_shards=8))
+
+
+def test_shuffle_shards_contiguous_and_balanced(spark):
+    """Shards cover [0, n); in-shard positions are a contiguous
+    0..k-1 run; md5 uniformity keeps shard sizes within a loose band;
+    a different seed produces a different permutation."""
+    from document_extractor_spark.operators.curation import shuffle_shards
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    rows = shuffle_shards(df, n_shards=8).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+        assert 150 <= len(positions) <= 350      # ~250 expected
+    other = shuffle_shards(df, n_shards=8, seed="shuf2").collect()
+    assert {r["doc_id"]: r["shard"] for r in rows} != \
+        {r["doc_id"]: r["shard"] for r in other}

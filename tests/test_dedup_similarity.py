@@ -404,3 +404,44 @@ def test_drop_boilerplate_lines_preserves_order(spark):
         "Second unique statement here.",
         "Third unique statement here.",
     ]
+
+
+def test_drop_known_duplicates_index_and_batch_rules(spark):
+    """Docs whose normalized text is already in the known index drop
+    (even under case/whitespace perturbation — the fingerprint is over
+    normalized text); in-batch twins keep the min id; fresh docs
+    survive."""
+    from document_extractor_spark.functions.text import fingerprint
+    from document_extractor_spark.operators.dedup import (
+        drop_known_duplicates,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "An already ingested document body."),],
+        "doc_id bigint, text string")
+    known = prior.select(fingerprint("text").alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [(10, "an ALREADY   ingested document body."),  # known, perturbed
+         (11, "A brand new document body here."),
+         (12, "A brand new document body here."),       # in-batch twin
+         (13, "Another fresh unique document.")],
+        "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in
+                  drop_known_duplicates(batch, known).collect())
+    assert kept == [11, 13]
+
+
+def test_drop_known_duplicates_empty_index(spark):
+    """An empty index reduces the operator to in-batch exact dedup."""
+    from document_extractor_spark.operators.dedup import (
+        drop_known_duplicates,
+    )
+
+    known = spark.createDataFrame([], "fingerprint string")
+    batch = spark.createDataFrame(
+        [(1, "same text content here"), (2, "same text content here"),
+         (3, "different text content")],
+        "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in
+                  drop_known_duplicates(batch, known).collect())
+    assert kept == [1, 3]
