@@ -367,6 +367,38 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
 
 
+def q_dedup_best_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: each planted clone pair shares text
+    but differs in the provenance score pmod(doc_id, 7) — the survivor
+    maximizes the score (and 100000 % 7 == 5 makes the two scores
+    always distinct), so the kept id is a closed form of doc_id."""
+    from document_extractor_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+
+    aug = _augmented_exact(spark, sf_dir).withColumn(
+        "prov", F.pmod(F.col("doc_id"), F.lit(7)))
+    return drop_exact_duplicates(aug, keep_by="prov").select("doc_id")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing placement over the deterministic
+    shard order: token counts, shard assignment, and the running
+    offset are all pure functions the oracle restates in SQL."""
+    from document_extractor_spark.functions.text import token_count
+    from document_extractor_spark.operators.curation import (
+        pack_sequences,
+        shuffle_shards,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens"))
+    sharded = shuffle_shards(d, n_shards=8)
+    return pack_sequences(sharded, ctx_len=512).select(
+        "doc_id", "shard", "tok_offset", "seq_first", "seq_last",
+        "crosses_boundary")
+
+
 def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram rule): docs 0-9 ARE the
     benchmark, so they (and anything sharing a 13-gram with them) must
@@ -1160,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_boilerplate": q_drop_boilerplate,
         "snapshot_dedup": q_snapshot_dedup,
         "shuffle_shards": q_shuffle_shards,
+        "dedup_best_kept": q_dedup_best_kept,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1688,6 +1722,43 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || 'Closing remark ' || doc_id || ' omega.'
                      AS text
             FROM documents
+        """,
+        # Quality-aware dedup survivors: clone pairs share text, the
+        # pmod-7 provenance scores always differ (100000 % 7 == 5), so
+        # the max-score survivor is a closed form of doc_id.
+        "dedup_best_kept": """
+            SELECT CASE WHEN doc_id % 7 > (doc_id + 100000) % 7
+                        THEN doc_id ELSE doc_id + 100000 END AS doc_id
+            FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id FROM documents WHERE doc_id >= 50
+        """,
+        # Sequence-packing placement: identical md5 shard arithmetic +
+        # per-shard running token sum, restated as a window.
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                     md5('shuf1' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens, hh,
+                     CAST(('0x' || substr(hh, 1, 8))::UBIGINT % 8 AS INT)
+                       AS shard
+              FROM t),
+            o AS (
+              SELECT doc_id, n_tokens, shard,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY hh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_offset
+              FROM s)
+            SELECT doc_id, shard, tok_offset,
+                   CAST(floor(tok_offset / 512) AS BIGINT) AS seq_first,
+                   CAST(floor((tok_offset + greatest(n_tokens, 1) - 1)
+                              / 512) AS BIGINT) AS seq_last,
+                   (floor((tok_offset + greatest(n_tokens, 1) - 1) / 512)
+                    <> floor(tok_offset / 512)) AS crosses_boundary
+            FROM o
         """,
         # Snapshot-ingestion dedup: known index covers docs < 100 and
         # the in-batch clones duplicate docs 100-109 → survivors are

@@ -327,3 +327,37 @@ def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("int"))
         .drop("_shuf_h")
     )
+
+
+def pack_sequences(docs: DataFrame, ctx_len: int = 2048,
+                   tokens_col: str = "n_tokens",
+                   shard_col: str = "shard",
+                   pos_col: str = "shard_pos") -> DataFrame:
+    """GPT-style sequence-packing plan: documents are concatenated in
+    the deterministic shard order (see ``shuffle_shards``) and chopped
+    into fixed ``ctx_len``-token training sequences. Emits per-doc
+    placement: ``tok_offset`` (first token's offset in the shard's
+    concatenated stream), ``seq_first``/``seq_last`` (the sequence
+    indices the doc lands in), and ``crosses_boundary``. A zero-token
+    doc occupies a point: seq_last == seq_first.
+
+    Scale shape: packing is PER SHARD — the running-sum window
+    partitions on the shard id, so no global single-partition window
+    exists (the classic cumulative-sum scale-killer); each shard is an
+    independent stream, which is how training loaders consume shard
+    files anyway. One shuffle, on the shard id, uniform by the md5
+    shard construction."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(shard_col).orderBy(pos_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offset = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    n = F.col(tokens_col)
+    seq_first = F.floor(offset / ctx_len)
+    seq_last = F.floor((offset + F.greatest(n, F.lit(1)) - 1) / ctx_len)
+    return (
+        docs.withColumn("tok_offset", offset.cast("bigint"))
+        .withColumn("seq_first", seq_first.cast("bigint"))
+        .withColumn("seq_last", seq_last.cast("bigint"))
+        .withColumn("crosses_boundary", seq_last != seq_first)
+    )

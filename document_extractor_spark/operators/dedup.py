@@ -45,14 +45,31 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          keep_by: str = None) -> DataFrame:
     """Keep one row per content hash — window-free formulation: broadcast
     the survivors? No — survivors table can be huge; semi-join on
-    (hash, id) instead, which AQE turns into a shuffled hash join."""
-    survivors = exact_duplicates(df, id_col, text_col).select(
-        F.col("content_hash"), F.col("keep_id").alias(id_col)
-    )
+    (hash, id) instead, which AQE turns into a shuffled hash join.
+
+    ``keep_by``: optional column name — the survivor is the row
+    MAXIMIZING it (min id breaks ties) instead of plain min id. This is
+    quality-aware canonical selection: exact clones usually differ in
+    provenance (fetch date, source tier, extraction quality score), and
+    a production pipeline keeps the best copy, not the smallest id.
+    Same plan either way — ``max_by`` is one more map-side partial
+    aggregate on the same single shuffle."""
     keyed = df.withColumn("content_hash", content_hash(text_col))
+    if keep_by is None:
+        survivors = exact_duplicates(df, id_col, text_col).select(
+            F.col("content_hash"), F.col("keep_id").alias(id_col)
+        )
+    else:
+        survivors = keyed.groupBy("content_hash").agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(keep_by), (-F.col(id_col)).alias("_nid")),
+            ).alias(id_col)
+        )
     return keyed.join(survivors, ["content_hash", id_col], "left_semi") \
         .drop("content_hash")
 

@@ -368,3 +368,30 @@ def test_shuffle_shards_contiguous_and_balanced(spark):
     other = shuffle_shards(df, n_shards=8, seed="shuf2").collect()
     assert {r["doc_id"]: r["shard"] for r in rows} != \
         {r["doc_id"]: r["shard"] for r in other}
+
+
+def test_pack_sequences_placement_arithmetic(spark):
+    """Hand-checked packing: per-shard running offsets, sequence
+    indices, boundary crossing, and the zero-token point doc."""
+    from document_extractor_spark.operators.curation import pack_sequences
+
+    rows = [  # (doc_id, shard, shard_pos, n_tokens)
+        (1, 0, 0, 100), (2, 0, 1, 30), (3, 0, 2, 0), (4, 0, 3, 2),
+        (5, 1, 0, 130),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, shard int, shard_pos int, n_tokens bigint")
+    out = {r["doc_id"]: r for r in pack_sequences(df, ctx_len=64).collect()}
+    assert (out[1]["tok_offset"], out[1]["seq_first"], out[1]["seq_last"],
+            out[1]["crosses_boundary"]) == (0, 0, 1, True)
+    assert (out[2]["tok_offset"], out[2]["seq_first"], out[2]["seq_last"],
+            out[2]["crosses_boundary"]) == (100, 1, 2, True)
+    # zero-token doc occupies a point at its offset
+    assert (out[3]["tok_offset"], out[3]["seq_first"], out[3]["seq_last"],
+            out[3]["crosses_boundary"]) == (130, 2, 2, False)
+    assert (out[4]["tok_offset"], out[4]["seq_first"],
+            out[4]["crosses_boundary"]) == (130, 2, False)
+    # shards pack independently
+    assert (out[5]["tok_offset"], out[5]["seq_first"], out[5]["seq_last"],
+            out[5]["crosses_boundary"]) == (0, 0, 2, True)
+    assert_no_python(pack_sequences(df, ctx_len=64))

@@ -445,3 +445,19 @@ def test_drop_known_duplicates_empty_index(spark):
     kept = sorted(r["doc_id"] for r in
                   drop_known_duplicates(batch, known).collect())
     assert kept == [1, 3]
+
+
+def test_drop_exact_duplicates_keep_by_quality(spark):
+    """keep_by survivor selection: the clone with the highest score
+    wins regardless of id; min id breaks score ties; default min-id
+    behavior is unchanged."""
+    df = spark.createDataFrame(
+        [(1, "same body", 0.2), (2, "same body", 0.9),
+         (3, "same body", 0.9), (4, "other body", 0.1)],
+        "doc_id bigint, text string, q double")
+    best = sorted(r["doc_id"] for r in
+                  drop_exact_duplicates(df, keep_by="q").collect())
+    assert best == [2, 4]   # 2 beats 3 on the id tiebreak, beats 1 on q
+    default = sorted(r["doc_id"] for r in
+                     drop_exact_duplicates(df).collect())
+    assert default == [1, 4]
