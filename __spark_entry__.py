@@ -399,6 +399,33 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crosses_boundary")
 
 
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph outlink extraction: link-bearing pages carry 11
+    anchors each (8 relative chrome links + 3 cross-host references),
+    every field — href, anchor text, resolved URL, destination host —
+    a closed form of doc_id the oracle restates directly."""
+    from document_extractor_spark.operators.links import extract_outlinks
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    links = extract_outlinks(pages_with_links(spark, sf_dir))
+    return links.select(doc_id_from_url("url"), "link_index", "href",
+                        "anchor", "resolved", "dst_host")
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: aggregate the outlink rows to
+    (src_host, dst_host, n_links) edges — 8 self-edges per page plus
+    the 3 arithmetic cross-host edges."""
+    from document_extractor_spark.operators.links import (
+        extract_outlinks,
+        host_link_graph,
+    )
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    return host_link_graph(
+        extract_outlinks(pages_with_links(spark, sf_dir)))
+
+
 def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram rule): docs 0-9 ARE the
     benchmark, so they (and anything sharing a 13-gram with them) must
@@ -1194,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "dedup_best_kept": q_dedup_best_kept,
         "pack_sequences": q_pack_sequences,
+        "outlinks": q_outlinks,
+        "link_graph": q_link_graph,
     }
 
 
@@ -1759,6 +1788,58 @@ def oracle_sql() -> dict[str, str]:
                    (floor((tok_offset + greatest(n_tokens, 1) - 1) / 512)
                     <> floor(tok_offset / 512)) AS crosses_boundary
             FROM o
+        """,
+        # Web-graph outlinks: 11 planted anchors per page in document
+        # order — 5 chrome links, 3 arithmetic cross-host refs, 3 more
+        # chrome links — each field a closed form of (doc_id, index).
+        "outlinks": """
+            WITH d AS (SELECT doc_id, doc_id % 37 AS m FROM documents),
+            li AS (SELECT unnest(generate_series(1, 11)) AS link_index),
+            x AS (
+              SELECT d.doc_id, d.m, li.link_index,
+                CASE li.link_index
+                  WHEN 1 THEN '/' WHEN 2 THEN '/about' WHEN 3 THEN '/a'
+                  WHEN 4 THEN '/b' WHEN 5 THEN '/c' WHEN 9 THEN '/x'
+                  WHEN 10 THEN '/y' WHEN 11 THEN '/t'
+                  ELSE 'https://h' ||
+                       ((d.doc_id + 5 * (li.link_index - 5)) % 37) ||
+                       '.example.org/d/' || d.doc_id || '-' ||
+                       (li.link_index - 5)
+                END AS href,
+                CASE li.link_index
+                  WHEN 1 THEN 'Home' WHEN 2 THEN 'About'
+                  WHEN 3 THEN 'Cat A' WHEN 4 THEN 'Cat B'
+                  WHEN 5 THEN 'Cat C' WHEN 9 THEN 'one'
+                  WHEN 10 THEN 'two' WHEN 11 THEN 'Terms'
+                  ELSE 'Ref ' || (li.link_index - 5) || ' for document '
+                       || d.doc_id
+                END AS anchor
+              FROM d, li)
+            SELECT doc_id, link_index, href, anchor,
+              CASE WHEN href LIKE '/%'
+                   THEN 'https://h' || m || '.example.org' || href
+                   ELSE href END AS resolved,
+              CASE WHEN href LIKE '/%' THEN 'h' || m || '.example.org'
+                   ELSE 'h' || ((doc_id + 5 * (link_index - 5)) % 37)
+                        || '.example.org'
+              END AS dst_host
+            FROM x
+        """,
+        # Host link graph: 8 self-edges per page + the 3 cross-host
+        # edges, grouped to (src_host, dst_host, n_links).
+        "link_graph": """
+            WITH d AS (SELECT doc_id, doc_id % 37 AS m FROM documents),
+            e AS (
+              SELECT 'h' || m || '.example.org' AS src_host,
+                     'h' || m || '.example.org' AS dst_host, 8 AS n
+              FROM d
+              UNION ALL
+              SELECT 'h' || m || '.example.org',
+                     'h' || ((doc_id + 5 * k) % 37) || '.example.org', 1
+              FROM d, (SELECT unnest([1, 2, 3]) AS k) ks
+            )
+            SELECT src_host, dst_host, CAST(sum(n) AS BIGINT) AS n_links
+            FROM e GROUP BY 1, 2
         """,
         # Snapshot-ingestion dedup: known index covers docs < 100 and
         # the in-batch clones duplicate docs 100-109 → survivors are

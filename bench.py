@@ -222,7 +222,7 @@ HEADLINE_QUERIES = [
     "pii_redaction", "host_profile", "pdf_metadata", "curation_pipeline",
     "embedding_near_dups", "lang_id", "c4_filter", "url_filter",
     "drop_boilerplate", "snapshot_dedup", "shuffle_shards",
-    "dedup_best_kept", "pack_sequences",
+    "dedup_best_kept", "pack_sequences", "outlinks", "link_graph",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -32,7 +32,9 @@ def explode_images(df: DataFrame, url_col: str = "url",
                    html_col: str = "html") -> DataFrame:
     """pages(url, html BINARY) → one row per embedded ``<img>``:
     ``(url, image_index 1-based, src, alt)``. Pure Catalyst."""
-    html_str = F.decode(F.col(html_col), "UTF-8")
+    # cast, not decode(.., 'UTF-8'): Spark 4 decode RAISES on malformed
+    # bytes — binary garbage in the html column must not fail the task
+    html_str = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html_str, F.lit(_IMG_TAG), F.lit(0))
     return (
         df.select(F.col(url_col), F.posexplode(tags).alias("pos", "tag"))

@@ -115,6 +115,40 @@ def pages_with_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Link-graph variant: pages live on the h{doc_id%37}.example.org hosts
+# (the host_profile fixture's host scheme) and embed, besides the 8
+# relative chrome anchors, 3 cross-host references whose targets are
+# pure doc_id arithmetic — so outlink extraction, URL resolution, and
+# the host-level edge list all have closed-form oracles.
+def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 37
+    refs = F.concat(
+        *[
+            F.concat(
+                F.lit("<a href='https://h"),
+                ((F.col("doc_id") + 5 * k) % 37).cast("string"),
+                F.lit(".example.org/d/"), did, F.lit(f"-{k}'>Ref {k} "
+                "for document "), did, F.lit("</a>"),
+            )
+            for k in (1, 2, 3)
+        ]
+    )
+    html = F.concat(
+        F.lit(_PREFIX), did, F.lit(_MID), _escaped("text"), F.lit("</p>"),
+        refs, F.lit(_SUFFIX.replace("</p></main>", "</main>", 1)),
+    )
+    return docs.select(
+        F.concat(F.lit("https://h"), m.cast("string"),
+                 F.lit(".example.org/d/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
 # PDF variant for the position/margin operators: each document becomes a
 # deterministic one-page PDF with a FIXED layout — an 18 pt title at
 # (72, 720) and a two-line 12 pt body at (72, 680) holding the first two

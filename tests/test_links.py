@@ -1,0 +1,140 @@
+"""Outlink extraction + host link graph (operators/links.py)."""
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.links import (
+    extract_outlinks,
+    host_link_graph,
+)
+from document_extractor_spark.plans import assert_no_python
+
+
+def _page(url, body):
+    return (url, bytearray(body.encode("utf-8")))
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_outlinks_resolution_rules(spark):
+    html = (
+        "<body>"
+        "<a href='https://other.example.com/p'>abs</a>"
+        "<a href='//cdn.example.net/x'>proto-rel</a>"
+        "<a href='/root/path'>rooted</a>"
+        "<a href='rel/page.html'>bare</a>"
+        "<a href='mailto:a@b.example'>mail</a>"
+        "</body>"
+    )
+    df = _pages(spark, [_page("https://src.example.org/dir/doc", html)])
+    rows = {r["link_index"]: r for r in extract_outlinks(df).collect()}
+    assert len(rows) == 5
+    assert rows[1]["resolved"] == "https://other.example.com/p"
+    assert rows[1]["dst_host"] == "other.example.com"
+    assert rows[2]["resolved"] == "https://cdn.example.net/x"
+    assert rows[2]["dst_host"] == "cdn.example.net"
+    assert rows[3]["resolved"] == "https://src.example.org/root/path"
+    # documented simplification: bare-relative resolves against the root
+    assert rows[4]["resolved"] == "https://src.example.org/rel/page.html"
+    # mailto keeps its scheme and has no authority
+    assert rows[5]["resolved"] == "mailto:a@b.example"
+    assert rows[5]["dst_host"] is None
+    assert rows[1]["anchor"] == "abs"
+    assert_no_python(extract_outlinks(df))
+
+
+def test_extract_outlinks_skips_unparseable_anchors(spark):
+    html = (
+        "<a href='/ok'>fine</a>"
+        "<a href='/nested'><b>bold</b></a>"   # nested markup: skipped
+        "<a name='no-href'>plain</a>"          # no href: empty string
+        "<p>not a link</p>"
+    )
+    df = _pages(spark, [_page("https://h.example.org/d", html)])
+    rows = extract_outlinks(df).collect()
+    hrefs = {r["href"] for r in rows}
+    assert "/ok" in hrefs and "/nested" not in hrefs
+    # the href-less anchor surfaces with NULL resolution, never a bogus URL
+    empty = [r for r in rows if r["href"] == ""]
+    assert len(empty) == 1
+    assert empty[0]["resolved"] is None and empty[0]["dst_host"] is None
+
+
+def test_extract_outlinks_null_and_empty_html(spark):
+    df = _pages(spark, [("https://h.example.org/1", None),
+                        _page("https://h.example.org/2", ""),
+                        _page("https://h.example.org/3", "<a href='/z'>z</a>")])
+    rows = extract_outlinks(df).collect()
+    assert [r["url"] for r in rows] == ["https://h.example.org/3"]
+
+
+def test_extract_outlinks_hostile_payloads(spark):
+    """Binary garbage, megabyte hrefs, and unparseable base URLs must
+    never fail the task (Spark 4 decode raises on malformed UTF-8 —
+    the operator casts instead)."""
+    hostile = spark.createDataFrame(
+        [("https://x.example.org/q",
+          bytearray(b"\xff\xfe\x00garbage\x80<a href='/ok'>t</a>")),
+         ("https://x.example.org/r",
+          bytearray(b"<a href='" + b"9" * 5000 + b"'>big</a>")),
+         ("notaurl", bytearray(b"<a href='rel/path'>rel</a>"))],
+        "url string, html binary")
+    rows = extract_outlinks(hostile).collect()
+    by_url = {r["url"]: r for r in rows}
+    # the valid anchor inside the garbage page still extracts
+    assert by_url["https://x.example.org/q"]["href"] == "/ok"
+    assert by_url["https://x.example.org/q"]["dst_host"] == "x.example.org"
+    # >2048-char href exceeds the bounded quantifier: tag skipped, no row
+    assert "https://x.example.org/r" not in by_url
+    # base URL with no authority: relative href resolves to NULL-host
+    assert by_url["notaurl"]["dst_host"] is None
+    # the graph drops NULL-dst rows rather than failing
+    g = host_link_graph(extract_outlinks(hostile)).collect()
+    assert {(r["src_host"], r["dst_host"]) for r in g} == {
+        ("x.example.org", "x.example.org")}
+
+
+def test_explode_images_hostile_payload(spark):
+    """Same decode trap in the image exploder (operators/media.py)."""
+    from document_extractor_spark.operators.media import explode_images
+
+    df = spark.createDataFrame(
+        [("u", bytearray(b"\x80\xffjunk<img src='/i.png'/>"))],
+        "url string, html binary")
+    rows = explode_images(df).collect()
+    assert len(rows) == 1 and rows[0]["src"] == "/i.png"
+
+
+def test_host_link_graph_counts(spark):
+    html_a = "<a href='/local'>l</a><a href='https://b.example.org/'>b</a>"
+    html_b = "<a href='https://b.example.org/self'>s</a>"
+    df = _pages(spark, [
+        _page("https://a.example.org/1", html_a),
+        _page("https://a.example.org/2", html_a),
+        _page("https://b.example.org/1", html_b),
+    ])
+    g = {(r["src_host"], r["dst_host"]): r["n_links"]
+         for r in host_link_graph(extract_outlinks(df)).collect()}
+    assert g == {
+        ("a.example.org", "a.example.org"): 2,
+        ("a.example.org", "b.example.org"): 2,
+        ("b.example.org", "b.example.org"): 1,
+    }
+
+
+def test_outlinks_fixture_shape(spark, sf_dir):
+    """The contract fixture: 11 links per page, cross-host targets by
+    doc_id arithmetic."""
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    links = extract_outlinks(pages_with_links(spark, sf_dir).limit(3))
+    rows = links.collect()
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r["url"], []).append(r)
+    for url, rs in per_url.items():
+        assert len(rs) == 11
+        cross = [r for r in rs if r["href"].startswith("https://")]
+        assert len(cross) == 3
+        assert all(r["dst_host"].endswith(".example.org") for r in rs)
