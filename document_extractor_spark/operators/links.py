@@ -18,7 +18,11 @@ Deliberate simplifications, mirrored exactly in the DuckDB oracle:
 - anchors with nested markup are skipped (``[^<]`` body — boilerplate
   chrome links, the bulk of the web graph's edges, are plain text);
 - relative hrefs resolve against the site root, not the base path
-  (host-granularity graphs only need the authority).
+  (host-granularity graphs only need the authority);
+- anchors quoted inside ``<script>``/``<style>`` bodies are NOT
+  excluded (a raw-regex scan cannot bound a script-body strip without
+  reintroducing the O(n^2) backtracking straggler); at host
+  granularity the resulting rare spurious edge is tolerable noise.
 """
 
 from __future__ import annotations
