@@ -253,12 +253,15 @@ def url_filter(docs: DataFrame, blocklist: DataFrame = None,
     domain; curated blocklists are MBs (1e5-1e6 domains), so the hint
     is left to AQE rather than forced broadcast (same reasoning as
     ``decontaminate``'s unbounded-side rule)."""
+    from .extract import host_col
+
     c = F.col(url_col)
-    # try_parse_url, NOT parse_url: Spark 4 parse_url RAISES on a
-    # malformed URL — on a real crawl that is a task failure from one
-    # hostile row; the try_ variant yields NULL and the scheme rule
-    # below classifies the row as dropped.
-    host = F.try_parse_url(c, F.lit("HOST"))
+    # host_col = try_parse_url + lowercase: Spark 4 parse_url RAISES on
+    # a malformed URL (one hostile row must not fail a task; try_ yields
+    # NULL and the scheme rule classifies the row as dropped), and the
+    # host must be lowercased HERE or a mixed-case 'Ads.BadSite.com'
+    # bypasses the lowercased blocklist join below.
+    host = host_col(c)
     path = F.try_parse_url(c, F.lit("PATH"))
     query = F.try_parse_url(c, F.lit("QUERY"))
     reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)

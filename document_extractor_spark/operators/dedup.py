@@ -51,12 +51,12 @@ def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     the survivors? No — survivors table can be huge; semi-join on
     (hash, id) instead, which AQE turns into a shuffled hash join.
 
-    ``keep_by``: optional column name — the survivor is the row
+    ``keep_by``: optional NUMERIC column name — the survivor is the row
     MAXIMIZING it (min id breaks ties) instead of plain min id. This is
     quality-aware canonical selection: exact clones usually differ in
     provenance (fetch date, source tier, extraction quality score), and
     a production pipeline keeps the best copy, not the smallest id.
-    Same plan either way — ``max_by`` is one more map-side partial
+    Same plan either way — ``min_by`` is one more map-side partial
     aggregate on the same single shuffle."""
     keyed = df.withColumn("content_hash", content_hash(text_col))
     if keep_by is None:
@@ -64,10 +64,15 @@ def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id",
             F.col("content_hash"), F.col("keep_id").alias(id_col)
         )
     else:
+        # min of (-score, id): max score, then MIN id — negating the
+        # score, never the id. Ids are arbitrary orderable types (urls,
+        # uuids); -F.col(id) on a string id throws under ANSI mode and
+        # silently NULLs (arbitrary survivor) without it. The score is
+        # numeric by contract, so its negation is always well-typed.
         survivors = keyed.groupBy("content_hash").agg(
-            F.max_by(
+            F.min_by(
                 F.col(id_col),
-                F.struct(F.col(keep_by), (-F.col(id_col)).alias("_nid")),
+                F.struct((-F.col(keep_by)).alias("_ns"), F.col(id_col)),
             ).alias(id_col)
         )
     return keyed.join(survivors, ["content_hash", id_col], "left_semi") \

@@ -185,12 +185,16 @@ def _extract_map(it: Iterator[pd.DataFrame],
 
 
 def host_col(url: Column = None) -> Column:
-    """URL host via the built-in try_parse_url (JVM-side, codegen'd).
-    The try_ variant: Spark 4 parse_url RAISES on malformed URLs — one
-    hostile crawl row must not fail a task; a NULL host groups the junk
-    under one key instead."""
+    """Canonical URL host: built-in try_parse_url (JVM-side, codegen'd),
+    lowercased. The try_ variant: Spark 4 parse_url RAISES on malformed
+    URLs — one hostile crawl row must not fail a task; a NULL host groups
+    the junk under one key instead. Lowercased because the authority is
+    case-insensitive (RFC 3986 §6.2.2.1) — without it 'Example.com' and
+    'example.com' split host stats, link-graph nodes, and, worst,
+    mixed-case hosts BYPASS the lowercased blocklist join in
+    ``url_filter``. Every host-keyed operator must parse through here."""
     u = url if url is not None else F.col("url")
-    return F.try_parse_url(u, F.lit("HOST"))
+    return F.lower(F.try_parse_url(u, F.lit("HOST")))
 
 
 def salted_repartition(df: DataFrame, num_partitions: int,

@@ -30,11 +30,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .extract import host_col
+
 # Bounded quantifiers throughout — unbounded classes are the measured
 # O(n^2) Java-regex straggler on hostile megabyte runs; this subset is
-# Java∩RE2 so the DuckDB oracle runs the identical pattern.
-A_TAG = r"<a\s[^>]{0,512}>[^<]{0,2048}</a>"
-HREF = r"""href=['"]([^'"]{1,2048})['"]"""
+# Java∩RE2 so the DuckDB oracle runs the identical pattern. (?i):
+# legacy pages carry <A HREF=...> — tag and attribute names are
+# case-insensitive. HREF is anchored into the ATTRIBUTE section
+# ([^>] cannot cross the tag-open '>'), with a required whitespace
+# separator before 'href' so body text quoting href=... or attributes
+# like data-href cannot fabricate an edge.
+A_TAG = r"(?i)<a\s[^>]{0,512}>[^<]{0,2048}</a>"
+HREF = r"""(?i)^<a\s(?:[^>]{0,511}\s)?href=['"]([^'"]{1,2048})['"]"""
 _SCHEME = r"^[a-zA-Z][a-zA-Z0-9+.-]{0,15}:"
 
 
@@ -54,8 +61,7 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
         F.regexp_extract_all(html_str, F.lit(A_TAG), F.lit(0)).alias("_tags"),
     )
     base_scheme = F.try_parse_url(F.col(url_col), F.lit("PROTOCOL"))
-    base_host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
-    root = F.concat(base_scheme, F.lit("://"), base_host)
+    root = F.concat(base_scheme, F.lit("://"), host_col(F.col(url_col)))
     href = F.regexp_extract("tag", HREF, 1)
     resolved = (
         F.when(href == "", F.lit(None).cast("string"))
@@ -70,10 +76,11 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
             url_col,
             (F.col("pos") + 1).alias("link_index"),
             href.alias("href"),
-            F.regexp_extract("tag", r">([^<]{0,2048})</a>", 1).alias("anchor"),
+            F.regexp_extract("tag", r"(?i)>([^<]{0,2048})</a>", 1)
+            .alias("anchor"),
             resolved.alias("resolved"),
         )
-        .withColumn("dst_host", F.try_parse_url("resolved", F.lit("HOST")))
+        .withColumn("dst_host", host_col(F.col("resolved")))
     )
 
 
@@ -82,7 +89,7 @@ def host_link_graph(links: DataFrame, url_col: str = "url") -> DataFrame:
     n_links)``. One shuffle on the (host, host) key — host cardinality,
     not page cardinality; map-side partial aggregation bounds Zipfian
     host skew the same way ``host_stats`` does."""
-    src = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    src = host_col(F.col(url_col))
     return (
         links.where(F.col("dst_host").isNotNull())
         .groupBy(src.alias("src_host"), F.col("dst_host"))

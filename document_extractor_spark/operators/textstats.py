@@ -205,9 +205,12 @@ def host_stats(df, url_col: str = "url", bytes_col: str = None,
     partition, not one row per document."""
     from pyspark.sql import functions as F
 
-    # try_ variant: parse_url raises on malformed URLs (hostile rows
-    # must never fail a task; NULL-host junk groups under one key)
-    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    # host_col = try_parse_url + lowercase: parse_url raises on
+    # malformed URLs (hostile rows must never fail a task; NULL-host
+    # junk groups under one key), and case-variant hosts must not split
+    from .extract import host_col
+
+    host = host_col(F.col(url_col))
     aggs = [F.count(F.lit(1)).alias("docs")]
     if error_col:
         aggs.append(F.count(F.col(error_col)).alias("parse_failures"))

@@ -177,9 +177,16 @@ def table_partition_values(spark: SparkSession, source: str) -> list:
         for r in rows:
             for part in r[0].split("/"):
                 k, _, v = part.partition("=")
-                if k == "warc_day" and v:
+                # the Hive null-partition sentinel is not a real value
+                if k == "warc_day" and v and \
+                        v != "__HIVE_DEFAULT_PARTITION__":
                     vals.append(v)
-        return sorted(vals)
+        # A table partitioned by some OTHER column answers SHOW
+        # PARTITIONS with zero warc_day= keys — that means "this tier
+        # cannot see warc_day", not "there are no partitions"; fall
+        # through to the DISTINCT tier instead of planning zero work.
+        if vals:
+            return sorted(vals)
     except Exception:
         pass
     rows = (

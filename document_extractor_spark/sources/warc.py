@@ -35,19 +35,30 @@ _MAX_HEADER = 64 * 1024          # sanity cap on a header block
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
+_INFLATE_CHUNK = 1 << 20         # feed the inflater 1 MiB at a time
+
+
 def _inflate_members(data: bytes):
     """Yield decompressed gzip members of a per-record-gzipped WARC.
-    zlib with wbits=47 stops at each member boundary; ``unused_data``
-    carries the next member — linear, one member in memory at a time."""
+    zlib with wbits=47 stops at each member boundary. The inflater is
+    fed bounded slices from a moving offset — feeding it the whole
+    remaining buffer per member would copy O(archive) bytes per RECORD
+    (quadratic: a 1 GB segment with 50k records would memcpy ~25 TB);
+    this way every byte is copied once, and memory holds one member
+    plus one slice."""
     view = memoryview(data)
-    while len(view) >= 2 and bytes(view[:2]) == _GZIP_MAGIC:
+    pos, n = 0, len(data)
+    while n - pos >= 2 and bytes(view[pos:pos + 2]) == _GZIP_MAGIC:
         d = zlib.decompressobj(47)
-        chunk = d.decompress(bytes(view))
-        chunk += d.flush()
-        yield chunk
-        if not d.unused_data:
-            return
-        view = memoryview(d.unused_data)
+        out = bytearray()
+        while not d.eof and pos < n:
+            fed = bytes(view[pos:pos + _INFLATE_CHUNK])
+            pos += len(fed)
+            out += d.decompress(fed)
+        out += d.flush()
+        # bytes past the member boundary belong to the next member
+        pos -= len(d.unused_data)
+        yield bytes(out)
 
 
 def _parse_header_block(block: bytes) -> dict:
@@ -90,12 +101,63 @@ def _iter_warc_records(stream: io.BufferedIOBase):
         yield h, body
 
 
+def _dechunk(payload: bytes) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` body: hex-size line,
+    CRLF, that many bytes, CRLF, repeated until a 0-size chunk. Crawl
+    captures store the wire bytes, so chunk framing survives into the
+    WARC. Best-effort: on malformed framing, return what was assembled
+    so far (truncated beats chunk-size lines interleaved in the html)."""
+    out = bytearray()
+    pos, n = 0, len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        token = payload[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(token, 16)
+        except ValueError:
+            return payload if not out else bytes(out)
+        if size == 0:
+            break
+        start = eol + 2
+        out += payload[start:start + size]
+        pos = start + size + 2                     # skip trailing CRLF
+    return bytes(out)
+
+
 def _http_payload(body: bytes) -> bytes:
-    """Strip the HTTP response envelope of a ``response`` record body."""
+    """Strip the HTTP response envelope of a ``response`` record body,
+    undoing the two wire encodings real Common Crawl captures carry:
+    ``Transfer-Encoding: chunked`` (hex-framed) and ``Content-Encoding:
+    gzip/deflate`` (compressed payload bytes). Without these, chunked
+    records yield html interleaved with hex size lines and compressed
+    records yield binary garbage. Best-effort throughout — a malformed
+    encoding degrades to the raw bytes, never raises."""
     idx = body.find(_CRLF2)
-    if body[:5] == b"HTTP/" and 0 <= idx < _MAX_HEADER:
-        return body[idx + len(_CRLF2):]
-    return body
+    if body[:5] != b"HTTP/" or not (0 <= idx < _MAX_HEADER):
+        return body
+    head = body[:idx].lower()
+    payload = body[idx + len(_CRLF2):]
+    headers = {}
+    for line in head.split(b"\r\n")[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip()] = v.strip()
+    if b"chunked" in headers.get(b"transfer-encoding", b""):
+        payload = _dechunk(payload)
+    enc = headers.get(b"content-encoding", b"")
+    try:
+        if enc in (b"gzip", b"x-gzip"):
+            payload = zlib.decompress(payload, 47)
+        elif enc == b"deflate":
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:                     # raw-deflate servers
+                payload = zlib.decompress(payload, -15)
+    except zlib.error:
+        pass                                       # keep raw bytes
+    return payload
 
 
 def _warc_ts(h: dict):
@@ -146,9 +208,17 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
         + [T.StructField("warc_day", T.StringType())]
     )
 
+    cols = [f.name for f in out_schema.fields]
+    max_rows, max_bytes = 1024, 64 << 20
+
     def parse(batches):
+        # Yield in bounded slices: one segment decompresses to several
+        # GB of payloads, so accumulating every record of the archive
+        # into a single DataFrame before yielding would hold the whole
+        # decompressed crawl segment in executor memory — the bound
+        # must stay "largest record", not "largest WARC".
+        rows, nbytes = [], 0
         for pdf in batches:
-            rows = []
             for data in pdf["content"]:
                 for url, ts, payload in iter_warc_pages(bytes(data)):
                     rows.append({
@@ -156,8 +226,12 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                         "text": None, "lang": None,
                         "warc_day": ts.strftime("%Y-%m-%d") if ts else None,
                     })
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in out_schema.fields])
+                    nbytes += len(payload)
+                    if len(rows) >= max_rows or nbytes >= max_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.read.format("binaryFile")

@@ -15,8 +15,7 @@ All testable synchronously against parquet sources with a memory sink
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -117,10 +116,13 @@ def stream_host_stats(extracted_stream: DataFrame) -> DataFrame:
               "bytes_in": bts}]
         )
 
+    from ..operators.extract import host_col
+
     with_host = extracted_stream.withColumn(
-        # try_ variant: parse_url raises on malformed URLs — a hostile
-        # row would kill the streaming query, not just one task
-        "host", F.try_parse_url("url", F.lit("HOST"))
+        # host_col = try_parse_url + lowercase: parse_url raises on
+        # malformed URLs — a hostile row would kill the streaming query,
+        # not just one task — and case-variant hosts must share a key
+        "host", host_col()
     )
     return with_host.groupBy("host").applyInPandasWithState(
         update,
@@ -201,7 +203,13 @@ def run_stream_dedup_foreach_batch(spark: SparkSession, input_path: str,
     q.awaitTermination()
     # Zero input batches → no sink directory was ever written; an empty
     # stream is a valid run (fresh checkpoint over an already-drained
-    # source) and must yield an empty frame, not PATH_NOT_FOUND.
-    if not os.path.isdir(out_path.replace("file://", "")):
-        return spark.createDataFrame([], "url string")
-    return spark.read.parquet(out_path).drop("batch")
+    # source) and must yield an empty frame, not PATH_NOT_FOUND. Probe
+    # by READING, not os.path.isdir: the sink can be s3a://... on a
+    # deployment — a driver-local isdir is always false there and would
+    # silently discard every survivor the stream just wrote.
+    try:
+        return spark.read.parquet(out_path).drop("batch")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], "url string")
+        raise

@@ -395,3 +395,19 @@ def test_pack_sequences_placement_arithmetic(spark):
     assert (out[5]["tok_offset"], out[5]["seq_first"], out[5]["seq_last"],
             out[5]["crosses_boundary"]) == (0, 0, 2, True)
     assert_no_python(pack_sequences(df, ctx_len=64))
+
+def test_url_filter_mixed_case_host_blocked(spark):
+    """RFC 3986 hosts are case-insensitive: a mixed-case authority must
+    not bypass the (lowercased) domain blocklist, and the emitted host
+    column is canonical lowercase."""
+    from document_extractor_spark.operators.curation import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://Ads.BadSite.com/x"),
+         (2, "https://GOOD.Example.org/y")],
+        "doc_id bigint, url string")
+    bl = spark.createDataFrame([("badsite.com",)], "domain string")
+    out = {r["doc_id"]: r for r in url_filter(df, bl).collect()}
+    assert out[1]["url_reason"] == "blocked_domain"
+    assert out[1]["host"] == "ads.badsite.com"
+    assert out[2]["url_keep"] and out[2]["host"] == "good.example.org"

@@ -461,3 +461,17 @@ def test_drop_exact_duplicates_keep_by_quality(spark):
     default = sorted(r["doc_id"] for r in
                      drop_exact_duplicates(df).collect())
     assert default == [1, 4]
+
+def test_drop_exact_duplicates_keep_by_string_ids(spark):
+    """keep_by must work when the id column is a STRING (urls): the
+    tiebreak negates the numeric score, never the id — a negated string
+    id throws under ANSI mode and silently NULLs without it."""
+    df = spark.createDataFrame(
+        [("https://a.example/1", "same body", 0.2),
+         ("https://a.example/2", "same body", 0.9),
+         ("https://a.example/3", "same body", 0.9),
+         ("https://b.example/9", "other body", 0.1)],
+        "url string, text string, q double")
+    kept = sorted(r["url"] for r in drop_exact_duplicates(
+        df, id_col="url", keep_by="q").collect())
+    assert kept == ["https://a.example/2", "https://b.example/9"]

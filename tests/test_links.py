@@ -138,3 +138,44 @@ def test_outlinks_fixture_shape(spark, sf_dir):
         cross = [r for r in rs if r["href"].startswith("https://")]
         assert len(cross) == 3
         assert all(r["dst_host"].endswith(".example.org") for r in rs)
+
+def test_extract_outlinks_case_insensitive_tags(spark):
+    """Legacy-HTML anchors (<A HREF=...>) must not vanish from the
+    graph: tag and attribute names are case-insensitive."""
+    html = ("<A HREF='https://up.example.com/p'>UP</A>"
+            "<a HREF=\"/mixed\">m</a>")
+    df = _pages(spark, [_page("https://src.example.org/d", html)])
+    rows = {r["link_index"]: r for r in extract_outlinks(df).collect()}
+    assert len(rows) == 2
+    assert rows[1]["resolved"] == "https://up.example.com/p"
+    assert rows[1]["anchor"] == "UP"
+    assert rows[2]["resolved"] == "https://src.example.org/mixed"
+
+
+def test_extract_outlinks_href_only_from_attributes(spark):
+    """href quoted in the anchor BODY or hiding inside another
+    attribute name (data-href) must not fabricate an edge."""
+    html = (
+        "<a name='x'>set href=\"http://evil.test/\" in config</a>"
+        "<a data-href='http://also.evil.test/'>text</a>"
+        "<a class='c' href='/real'>ok</a>"
+    )
+    df = _pages(spark, [_page("https://h.example.org/d", html)])
+    rows = extract_outlinks(df).collect()
+    assert {r["href"] for r in rows} == {"", "/real"}
+    assert {r["dst_host"] for r in rows if r["dst_host"]} == \
+        {"h.example.org"}
+
+
+def test_hosts_are_lowercased_everywhere(spark):
+    """Host identity is case-insensitive (RFC 3986): mixed-case page
+    and target authorities collapse to one lowercase graph node."""
+    html = "<a href='https://CDN.Example.NET/x'>c</a><a href='/l'>l</a>"
+    df = _pages(spark, [_page("https://WWW.Example.ORG/d", html)])
+    rows = {r["link_index"]: r for r in extract_outlinks(df).collect()}
+    assert rows[1]["dst_host"] == "cdn.example.net"
+    assert rows[2]["dst_host"] == "www.example.org"
+    g = {(r["src_host"], r["dst_host"])
+         for r in host_link_graph(extract_outlinks(df)).collect()}
+    assert g == {("www.example.org", "cdn.example.net"),
+                 ("www.example.org", "www.example.org")}

@@ -366,3 +366,111 @@ def test_warc_ingest_to_extract_end_to_end(spark, tmp_path):
     texts = {r.url: r.extracted_text
              for r in read_extracted(spark, out).collect()}
     assert texts["https://w.example/d2/2"] == "warc doc two 2"
+
+def test_warc_http_wire_encodings_unit():
+    """Real crawl records carry Transfer-Encoding: chunked and
+    Content-Encoding: gzip/deflate — the payload must come out as the
+    original html bytes, and malformed encodings degrade to raw bytes
+    instead of raising."""
+    import zlib
+
+    from document_extractor_spark.sources.warc import _http_payload
+
+    body = b"<html><body>hello wire</body></html>"
+
+    def envelope(payload, *headers):
+        head = b"HTTP/1.1 200 OK\r\n" + b"\r\n".join(headers)
+        return head + b"\r\n\r\n" + payload
+
+    chunked = b"10\r\n" + body[:16] + b"\r\n" + \
+        format(len(body) - 16, "x").encode() + b"\r\n" + body[16:] + \
+        b"\r\n0\r\n\r\n"
+    assert _http_payload(envelope(
+        chunked, b"Transfer-Encoding: chunked")) == body
+
+    gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gzipped = gz.compress(body) + gz.flush()
+    assert _http_payload(envelope(
+        gzipped, b"Content-Encoding: gzip")) == body
+
+    assert _http_payload(envelope(
+        zlib.compress(body), b"Content-Encoding: deflate")) == body
+    # raw-deflate servers omit the zlib header
+    raw = zlib.compressobj(6, zlib.DEFLATED, -15)
+    assert _http_payload(envelope(
+        raw.compress(body) + raw.flush(),
+        b"Content-Encoding: deflate")) == body
+
+    # chunked THEN compressed (wire order: content-coding under
+    # transfer-coding)
+    chunked_gz = b"%x\r\n%s\r\n0\r\n\r\n" % (len(gzipped), gzipped)
+    assert _http_payload(envelope(
+        chunked_gz, b"Transfer-Encoding: chunked",
+        b"Content-Encoding: gzip")) == body
+
+    # malformed framing / compression: raw bytes back, never a raise
+    assert _http_payload(envelope(
+        b"ZZZ\r\nnot chunked", b"Transfer-Encoding: chunked")) == \
+        b"ZZZ\r\nnot chunked"
+    assert _http_payload(envelope(
+        b"\x1f\x8bbroken", b"Content-Encoding: gzip")) == b"\x1f\x8bbroken"
+
+
+def test_warc_inflate_members_chunked_feed():
+    """Members larger than the 1 MiB inflater feed slice must
+    round-trip intact, and the offset must rewind exactly to each
+    member boundary (the linear-feed rewrite)."""
+    import zlib
+
+    from document_extractor_spark.sources.warc import _inflate_members
+
+    payloads = [b"A" * (3 << 20), b"B" * 10, b"C" * (1 << 20)]
+    archive = b""
+    for p in payloads:
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        archive += c.compress(p) + c.flush()
+    assert list(_inflate_members(archive)) == payloads
+
+
+def test_warc_reader_bounded_batches(spark, tmp_path):
+    """>1024 records in one archive: the mapInPandas parser must emit
+    every record across its bounded-slice yields (flush-the-tail
+    path included)."""
+    from document_extractor_spark.sources.warc import (
+        build_warc,
+        read_warc_pages,
+    )
+
+    n = 1100
+    recs = [(f"https://h{i % 7}.example.org/d/{i}",
+             "2026-03-01T00:00:00Z",
+             f"<html><body>doc {i}</body></html>".encode())
+            for i in range(n)]
+    (tmp_path / "big.warc.gz").write_bytes(build_warc(recs))
+    df = read_warc_pages(spark, str(tmp_path))
+    assert df.count() == n
+    got = {r["url"] for r in df.select("url").collect()}
+    assert len(got) == n
+
+def test_table_partition_values_other_partition_column(spark, tmp_path):
+    """A catalog table partitioned by some OTHER column still resolves
+    warc_day values: SHOW PARTITIONS succeeding with zero warc_day=
+    keys means "this tier can't see warc_day", and planning must fall
+    through to the DISTINCT tier instead of scheduling zero work."""
+    from document_extractor_spark.sources.pages import (
+        table_partition_values,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS pages_dtpart")
+    df = spark.createDataFrame(
+        [("u1", "2026-03-01", "a"), ("u2", "2026-03-02", "a"),
+         ("u3", "2026-03-02", "b")],
+        "url string, warc_day string, dt string")
+    (df.write.mode("overwrite").partitionBy("dt")
+       .option("path", str(tmp_path / "pages_dtpart_data"))
+       .saveAsTable("pages_dtpart"))
+    try:
+        assert table_partition_values(spark, "pages_dtpart") == \
+            ["2026-03-01", "2026-03-02"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_dtpart")
