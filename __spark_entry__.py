@@ -426,6 +426,28 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_outlinks(pages_with_links(spark, sf_dir)))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority over the fixture link graph. The planted graph is
+    circulant and doubly stochastic (every page carries 8 self-links +
+    3 cross refs, so per-source transition probabilities are identical
+    across hosts), which makes uniform 1/37 an exact fixed point of the
+    damped iteration — the oracle states it in closed form. Convergence
+    to a NON-uniform stationary vector is pytest-verified against a
+    dense numpy reference (test_pagerank_matches_numpy_asymmetric).
+    Rounded to 9 decimals so float summation order cannot flip the
+    hash."""
+    from document_extractor_spark.operators.links import (
+        extract_outlinks,
+        host_link_graph,
+        pagerank,
+    )
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    g = host_link_graph(extract_outlinks(pages_with_links(spark, sf_dir)))
+    pr = pagerank(g, damping=0.85, iterations=3)
+    return pr.select("host", F.round("pagerank", 9).alias("pagerank"))
+
+
 def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram rule): docs 0-9 ARE the
     benchmark, so they (and anything sharing a 13-gram with them) must
@@ -1223,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "outlinks": q_outlinks,
         "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1840,6 +1863,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, CAST(sum(n) AS BIGINT) AS n_links
             FROM e GROUP BY 1, 2
+        """,
+        # PageRank on the fixture graph: circulant + doubly stochastic
+        # (identical per-source transition probabilities), so the
+        # damped stationary vector is exactly uniform 1/37 — closed
+        # form. Non-uniform convergence is numpy-verified in pytest.
+        "pagerank": """
+            SELECT DISTINCT 'h' || (doc_id % 37) || '.example.org'
+                     AS host,
+                   ROUND(1.0::DOUBLE / 37, 9) AS pagerank
+            FROM documents
         """,
         # Snapshot-ingestion dedup: known index covers docs < 100 and
         # the in-batch clones duplicate docs 100-109 → survivors are

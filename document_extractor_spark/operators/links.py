@@ -84,6 +84,80 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
     )
 
 
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             iterations: int = 10, src_col: str = "src_host",
+             dst_col: str = "dst_host",
+             weight_col: str = "n_links") -> DataFrame:
+    """Weighted PageRank over a host-level edge list — host authority is
+    a standard web-corpus quality/ranking feature (the graph twin of the
+    Gopher-style per-document scores). Returns ``(host, pagerank)`` for
+    every vertex; ranks sum to 1.
+
+    Power iteration, the scale-correct DataFrame shape: the transition
+    table (edge weight / source out-weight) is computed ONCE and
+    persisted pre-partitioned on the source key, so each round costs one
+    co-partitioned join (only the rank table — host cardinality, not
+    page cardinality — reshuffles) plus one map-side-combined groupBy on
+    the destination. ``localCheckpoint`` per round truncates the lineage
+    (the iterative-plan re-execution trap, same as
+    ``duplicate_clusters``). Dangling mass (vertices with no outlinks)
+    is redistributed uniformly each round via a 1-row aggregate
+    collected on the driver — metadata-scale, like the convergence
+    counters in ``duplicate_clusters``.
+    """
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    verts = (
+        edges.select(src.alias("host"))
+        .unionByName(edges.select(dst.alias("host")))
+        .where(F.col("host").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("pagerank", F.lit(0.0))
+    out_w = edges.groupBy(src.alias("host")).agg(F.sum(w).alias("_out"))
+    trans = (
+        edges.join(out_w, edges[src_col] == out_w.host)
+        .select(
+            src.alias("_src"), dst.alias("_dst"),
+            (w.cast("double") / F.col("_out")).alias("_p"),
+        )
+        .repartition("_src")
+        .persist()
+    )
+    dangling = verts.join(out_w, "host", "left_anti").persist()
+    ranks = verts.withColumn("pr", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    try:
+        for _ in range(iterations):
+            d_mass = (
+                dangling.join(ranks, "host")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            contribs = (
+                ranks.join(trans, ranks.host == trans._src)
+                .groupBy(F.col("_dst").alias("host"))
+                .agg(F.sum(F.col("pr") * F.col("_p")).alias("_in"))
+            )
+            ranks = (
+                verts.join(contribs, "host", "left")
+                .select(
+                    "host",
+                    (F.lit(base) + damping * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.lit(d_mass / n)
+                    )).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        trans.unpersist()
+        dangling.unpersist()
+    return ranks.select("host", F.col("pr").alias("pagerank"))
+
+
 def host_link_graph(links: DataFrame, url_col: str = "url") -> DataFrame:
     """Outlink rows → host-level edge list ``(src_host, dst_host,
     n_links)``. One shuffle on the (host, host) key — host cardinality,

@@ -179,3 +179,61 @@ def test_hosts_are_lowercased_everywhere(spark):
          for r in host_link_graph(extract_outlinks(df)).collect()}
     assert g == {("www.example.org", "cdn.example.net"),
                  ("www.example.org", "www.example.org")}
+
+def _numpy_pagerank(edges, damping, iters):
+    """Reference power iteration (dense numpy) with uniform dangling
+    redistribution — the oracle for the asymmetric-graph test."""
+    import numpy as np
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    ix = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d, w in edges:
+        M[ix[d], ix[s]] += w
+    out = M.sum(axis=0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dmass = pr[out == 0].sum()
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib = M[:, nz] @ (pr[nz] / out[nz])
+        pr = (1 - damping) / n + damping * (contrib + dmass / n)
+    return {h: pr[ix[h]] for h in nodes}
+
+
+def test_pagerank_matches_numpy_asymmetric(spark):
+    """Asymmetric weighted graph with a dangling node: the DataFrame
+    power iteration must match a dense numpy reference to 1e-12."""
+    from document_extractor_spark.operators.links import pagerank
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+             ("c", "a", 1), ("b", "d", 5)]   # d dangles
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links bigint")
+    got = {r["host"]: r["pagerank"]
+           for r in pagerank(df, damping=0.85, iterations=12).collect()}
+    want = _numpy_pagerank(edges, 0.85, 12)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12, (h, got[h], want[h])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_fixture_graph(spark, sf_dir):
+    """The contract fixture's host graph is a circulant doubly
+    stochastic chain (every page emits 8 self-links + 3 cross refs, so
+    per-source transition probabilities are identical) — PageRank is
+    exactly uniform 1/37 regardless of damping or rounds."""
+    from document_extractor_spark.operators.links import (
+        extract_outlinks,
+        host_link_graph,
+        pagerank,
+    )
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    g = host_link_graph(extract_outlinks(pages_with_links(spark, sf_dir)))
+    rows = pagerank(g, iterations=3).collect()
+    assert len(rows) == 37
+    for r in rows:
+        assert abs(r["pagerank"] - 1.0 / 37) < 1e-12
