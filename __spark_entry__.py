@@ -448,6 +448,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("host", F.round("pagerank", 9).alias("pagerank"))
 
 
+def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-text stats per destination host over the fixture
+    link graph. Every link's anchor is closed-form (8 chrome anchors per
+    page + 'Ref k for document i' cross refs), so the oracle restates
+    the identical extraction+aggregation in SQL."""
+    from document_extractor_spark.operators.links import (
+        extract_outlinks,
+        incoming_anchor_profile,
+    )
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    return incoming_anchor_profile(
+        extract_outlinks(pages_with_links(spark, sf_dir)))
+
+
 def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram rule): docs 0-9 ARE the
     benchmark, so they (and anything sharing a 13-gram with them) must
@@ -1246,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
+        "anchor_profile": q_anchor_profile,
     }
 
 
@@ -1863,6 +1879,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, CAST(sum(n) AS BIGINT) AS n_links
             FROM e GROUP BY 1, 2
+        """,
+        # Incoming anchor-text profile: the same closed-form link table
+        # as the outlinks oracle, aggregated per destination host.
+        # top_anchor = most frequent, ties lexicographically smallest
+        # (binary collation in both engines).
+        "anchor_profile": """
+            WITH d AS (SELECT doc_id, doc_id % 37 AS m FROM documents),
+            li AS (SELECT unnest(generate_series(1, 11)) AS link_index),
+            o AS (
+              SELECT CASE WHEN li.link_index IN (6, 7, 8)
+                       THEN 'h' || ((d.doc_id + 5 * (li.link_index - 5))
+                                    % 37) || '.example.org'
+                       ELSE 'h' || d.m || '.example.org'
+                     END AS dst_host,
+                     CASE li.link_index
+                       WHEN 1 THEN 'Home' WHEN 2 THEN 'About'
+                       WHEN 3 THEN 'Cat A' WHEN 4 THEN 'Cat B'
+                       WHEN 5 THEN 'Cat C' WHEN 9 THEN 'one'
+                       WHEN 10 THEN 'two' WHEN 11 THEN 'Terms'
+                       ELSE 'Ref ' || (li.link_index - 5)
+                            || ' for document ' || d.doc_id
+                     END AS anchor
+              FROM d, li),
+            pa AS (SELECT dst_host, anchor, count(*) AS n
+                   FROM o GROUP BY 1, 2)
+            SELECT dst_host,
+                   CAST(sum(n) AS BIGINT) AS n_inlinks,
+                   CAST(count(*) AS BIGINT) AS n_anchor_texts,
+                   (list(anchor ORDER BY n DESC, anchor))[1] AS top_anchor
+            FROM pa GROUP BY dst_host
         """,
         # PageRank on the fixture graph: circulant + doubly stochastic
         # (identical per-source transition probabilities), so the

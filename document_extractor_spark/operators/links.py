@@ -158,6 +158,38 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks.select("host", F.col("pr").alias("pagerank"))
 
 
+def incoming_anchor_profile(links: DataFrame) -> DataFrame:
+    """Outlink rows → per-destination-host incoming anchor-text stats:
+    ``(dst_host, n_inlinks, n_anchor_texts, top_anchor)``. Incoming
+    anchor text is a classic relevance/quality signal (what the REST of
+    the web calls a page — search engines index it alongside the page's
+    own text), the inbound twin of ``host_link_graph``.
+
+    Two map-side-combined shuffles, both on host-scale keys: first
+    (dst_host, anchor) — the anchor dimension spreads a hot host's rows
+    across reducers, bounding Zipfian host skew — then dst_host alone
+    over the already-collapsed per-anchor counts. ``top_anchor`` is the
+    most frequent anchor, ties broken lexicographically-smallest, via a
+    single ``min(struct(-n, anchor))`` (no window, no second pass).
+    Empty anchors (image links, styled spans) are counted in
+    ``n_inlinks`` like any other value; callers wanting text-only
+    profiles filter upstream.
+    """
+    per = (
+        links.where(F.col("dst_host").isNotNull())
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    top = F.min(
+        F.struct((-F.col("_n")).alias("_neg"), F.col("anchor").alias("_a"))
+    )
+    return per.groupBy("dst_host").agg(
+        F.sum("_n").alias("n_inlinks"),
+        F.count(F.lit(1)).alias("n_anchor_texts"),
+        top.getField("_a").alias("top_anchor"),
+    )
+
+
 def host_link_graph(links: DataFrame, url_col: str = "url") -> DataFrame:
     """Outlink rows → host-level edge list ``(src_host, dst_host,
     n_links)``. One shuffle on the (host, host) key — host cardinality,

@@ -237,3 +237,59 @@ def test_pagerank_uniform_on_fixture_graph(spark, sf_dir):
     assert len(rows) == 37
     for r in rows:
         assert abs(r["pagerank"] - 1.0 / 37) < 1e-12
+
+
+def test_incoming_anchor_profile_counts_and_tiebreak(spark):
+    """top_anchor = most frequent; frequency ties break to the
+    lexicographically smallest anchor; empty anchors and null dst_hosts
+    follow the documented semantics (counted / dropped)."""
+    from document_extractor_spark.operators.links import (
+        incoming_anchor_profile,
+    )
+
+    rows = [
+        # host a: 'zz' x2 beats 'aa' x1
+        ("u1", "a", "zz"), ("u2", "a", "zz"), ("u3", "a", "aa"),
+        # host b: 'bb' and 'ab' tie at 1 → 'ab' wins lexicographically
+        ("u4", "b", "bb"), ("u5", "b", "ab"),
+        # host c: empty anchor only — counted, and IS the top anchor
+        ("u6", "c", ""),
+        # unresolvable link: dropped entirely
+        ("u7", None, "xx"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, dst_host string, anchor string")
+    got = {r["dst_host"]: (r["n_inlinks"], r["n_anchor_texts"],
+                           r["top_anchor"])
+           for r in incoming_anchor_profile(df).collect()}
+    assert got == {"a": (3, 2, "zz"), "b": (2, 2, "ab"), "c": (1, 1, "")}
+
+
+def test_incoming_anchor_profile_on_fixture(spark, sf_dir):
+    """Fixture closed form: every host's chrome anchors each appear
+    n_docs(host) times and always beat the singleton 'Ref …' anchors;
+    'About' is the lexicographic winner of the 8-way chrome tie."""
+    from document_extractor_spark.operators.links import (
+        extract_outlinks,
+        incoming_anchor_profile,
+    )
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    from collections import Counter
+
+    links = extract_outlinks(pages_with_links(spark, sf_dir))
+    prof = {r["dst_host"]: r
+            for r in incoming_anchor_profile(links).collect()}
+    doc_ids = [int(r["url"].rsplit("/", 1)[1])
+               for r in links.select("url").distinct().collect()]
+    per_host = Counter(i % 37 for i in doc_ids)
+    assert len(prof) == 37
+    assert sum(r["n_inlinks"] for r in prof.values()) == 11 * len(doc_ids)
+    for j in range(37):
+        r = prof[f"h{j}.example.org"]
+        cross = sum(per_host[(j - 5 * k) % 37] for k in (1, 2, 3))
+        # 8 chrome anchors from each of the host's own pages + one
+        # globally-unique 'Ref …' anchor per cross inlink
+        assert r["n_inlinks"] == 8 * per_host[j] + cross
+        assert r["n_anchor_texts"] == 8 + cross
+        assert r["top_anchor"] == "About"
