@@ -106,6 +106,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     counters in ``duplicate_clusters``.
     """
     src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    # Unresolvable links (null src/dst) are excluded from the graph
+    # entirely — keeping them in the out-weights would leak their share
+    # of each source's rank mass to a NULL sink and break sum(pr) == 1.
+    edges = edges.where(src.isNotNull() & dst.isNotNull())
     verts = (
         edges.select(src.alias("host"))
         .unionByName(edges.select(dst.alias("host")))
@@ -127,15 +131,21 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         .persist()
     )
     dangling = verts.join(out_w, "host", "left_anti").persist()
+    # Graphs where every vertex has outlinks (most host graphs) skip
+    # the per-round dangling-mass job entirely — it would collect a
+    # constant 0.0 while serializing ahead of the real contribs job.
+    has_dangling = bool(dangling.head(1))
     ranks = verts.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     try:
         for _ in range(iterations):
-            d_mass = (
-                dangling.join(ranks, "host")
-                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-                .collect()[0][0]
-            )
+            d_mass = 0.0
+            if has_dangling:
+                d_mass = (
+                    dangling.join(ranks, "host")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                    .collect()[0][0]
+                )
             contribs = (
                 ranks.join(trans, ranks.host == trans._src)
                 .groupBy(F.col("_dst").alias("host"))

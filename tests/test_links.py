@@ -195,7 +195,6 @@ def _numpy_pagerank(edges, damping, iters):
     pr = np.full(n, 1.0 / n)
     for _ in range(iters):
         dmass = pr[out == 0].sum()
-        contrib = np.zeros(n)
         nz = out > 0
         contrib = M[:, nz] @ (pr[nz] / out[nz])
         pr = (1 - damping) / n + damping * (contrib + dmass / n)
@@ -293,3 +292,21 @@ def test_incoming_anchor_profile_on_fixture(spark, sf_dir):
         assert r["n_inlinks"] == 8 * per_host[j] + cross
         assert r["n_anchor_texts"] == 8 + cross
         assert r["top_anchor"] == "About"
+
+
+def test_pagerank_drops_null_host_edges(spark):
+    """Unresolvable links (null src/dst) must not leak rank mass: the
+    result equals PageRank of the non-null subgraph and sums to 1."""
+    from document_extractor_spark.operators.links import pagerank
+
+    clean = [("a", "b", 1), ("b", "a", 1), ("b", "c", 2), ("c", "a", 1)]
+    noisy = clean + [("a", None, 5), (None, "c", 5)]
+    df = spark.createDataFrame(
+        noisy, "src_host string, dst_host string, n_links bigint")
+    got = {r["host"]: r["pagerank"]
+           for r in pagerank(df, iterations=8).collect()}
+    want = _numpy_pagerank(clean, 0.85, 8)
+    assert set(got) == {"a", "b", "c"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12
