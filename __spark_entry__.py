@@ -463,6 +463,46 @@ def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_outlinks(pages_with_links(spark, sf_dir)))
 
 
+def q_asof_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: stamp each crawled doc with the host-policy snapshot
+    in force at crawl time. Left = docs at crawl_ts = doc_id % 250 on
+    their h{doc_id%37} hosts; right = 5 snapshots per host at ts
+    {10,60,110,160,210} with closed-form tier and a deliberately-NULL
+    note on the third snapshot (exercises the struct-carry rule: a NULL
+    field in the matched snapshot must surface as NULL, never an older
+    snapshot's value). Docs crawled before ts 10 match nothing (NULL
+    tier). The oracle is DuckDB's NATIVE ASOF LEFT JOIN."""
+    from document_extractor_spark.operators.asof import asof_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.col("doc_id") % 37
+    left = docs.select(
+        F.concat(F.lit("h"), m.cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        (F.col("doc_id") % 250).alias("crawl_ts"),
+        F.col("doc_id"),
+    )
+    snaps = (
+        spark.range(37)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".example.org")).alias("host"),
+            F.col("id").alias("_j"),
+            F.explode(F.array(*[F.lit(s) for s in range(5)])).alias("_s"),
+        )
+        .select(
+            "host",
+            (F.lit(10) + F.col("_s") * 50).alias("snap_ts"),
+            ((F.col("_j") + F.col("_s")) % 5).alias("tier"),
+            F.when(F.col("_s") != 2,
+                   F.concat(F.lit("p"), F.col("_s").cast("string"))
+                   ).alias("note"),
+        )
+    )
+    return asof_join(left, snaps, on="host",
+                     left_ts="crawl_ts", right_ts="snap_ts")
+
+
 def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram rule): docs 0-9 ARE the
     benchmark, so they (and anything sharing a 13-gram with them) must
@@ -1262,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "anchor_profile": q_anchor_profile,
+        "asof_policy": q_asof_policy,
     }
 
 
@@ -1879,6 +1920,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, CAST(sum(n) AS BIGINT) AS n_links
             FROM e GROUP BY 1, 2
+        """,
+        # As-of join vs DuckDB's NATIVE ASOF LEFT JOIN over identically
+        # synthesized sides (backward-inclusive: crawl_ts >= snap_ts).
+        "asof_policy": """
+            WITH l AS (
+              SELECT 'h' || (doc_id % 37) || '.example.org' AS host,
+                     doc_id % 250 AS crawl_ts, doc_id
+              FROM documents),
+            r AS (
+              SELECT 'h' || j || '.example.org' AS host,
+                     10 + s * 50 AS snap_ts,
+                     (j + s) % 5 AS tier,
+                     CASE WHEN s <> 2 THEN 'p' || s END AS note
+              FROM (SELECT unnest(generate_series(0, 36)) AS j) js,
+                   (SELECT unnest(generate_series(0, 4)) AS s) ss)
+            SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
+            FROM l ASOF LEFT JOIN r
+              ON l.host = r.host AND l.crawl_ts >= r.snap_ts
         """,
         # Incoming anchor-text profile: the same closed-form link table
         # as the outlinks oracle, aggregated per destination host.
