@@ -503,6 +503,28 @@ def q_asof_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
                      left_ts="crawl_ts", right_ts="snap_ts")
 
 
+def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: tag each doc with every (overlapping) crawl-campaign
+    window containing its crawl_ts. 10 windows [c*25, c*25+40) over
+    crawl_ts = doc_id % 250, so docs match 1-2 campaigns each and the
+    overlap regions exercise multi-match. Oracle is the plain SQL
+    inequality join; the Spark side is the grid-bucket equi-join."""
+    from document_extractor_spark.operators.ranges import range_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = docs.select(
+        F.col("doc_id"), (F.col("doc_id") % 250).alias("crawl_ts"))
+    right = spark.range(10).select(
+        F.col("id").alias("campaign_id"),
+        (F.col("id") * 25).alias("lo"),
+        (F.col("id") * 25 + 40).alias("hi"),
+    )
+    return range_join(left, right, left_point="crawl_ts",
+                      right_lo="lo", right_hi="hi",
+                      bucket_width=25).select(
+        "doc_id", "crawl_ts", "campaign_id")
+
+
 def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram rule): docs 0-9 ARE the
     benchmark, so they (and anything sharing a 13-gram with them) must
@@ -1303,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "anchor_profile": q_anchor_profile,
         "asof_policy": q_asof_policy,
+        "range_campaigns": q_range_campaigns,
     }
 
 
@@ -1938,6 +1961,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # Range join vs the plain SQL inequality join (half-open
+        # [lo, hi) campaign windows over crawl_ts = doc_id % 250).
+        "range_campaigns": """
+            WITH l AS (SELECT doc_id, doc_id % 250 AS crawl_ts
+                       FROM documents),
+            r AS (SELECT c AS campaign_id, c * 25 AS lo, c * 25 + 40 AS hi
+                  FROM (SELECT unnest(generate_series(0, 9)) AS c) cs)
+            SELECT l.doc_id, l.crawl_ts, r.campaign_id
+            FROM l JOIN r ON l.crawl_ts >= r.lo AND l.crawl_ts < r.hi
         """,
         # Incoming anchor-text profile: the same closed-form link table
         # as the outlinks oracle, aggregated per destination host.

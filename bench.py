@@ -223,7 +223,7 @@ HEADLINE_QUERIES = [
     "embedding_near_dups", "lang_id", "c4_filter", "url_filter",
     "drop_boilerplate", "snapshot_dedup", "shuffle_shards",
     "dedup_best_kept", "pack_sequences", "outlinks", "link_graph",
-    "pagerank", "anchor_profile", "asof_policy",
+    "pagerank", "anchor_profile", "asof_policy", "range_campaigns",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N
