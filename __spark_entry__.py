@@ -503,6 +503,35 @@ def q_asof_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
                      left_ts="crawl_ts", right_ts="snap_ts")
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass produces the
+    (day, event_type) leaf aggregates plus the per-day and grand-total
+    tiers (the continuous-aggregate shape TimescaleDB/Druid serve
+    dashboards from), disambiguated by grouping_id. At scale this is
+    one shuffle with map-side partial aggregation; the coarser tiers
+    reuse the leaf partials rather than rescanning. Money-style sums
+    are emitted as integer cents so the cross-engine hash is exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = (
+        ev.select(F.to_date("ts").alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100, 0).cast("bigint")
+            .alias("value_cents"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+    # rolled-up tiers coalesce to 'ALL' (gid already disambiguates);
+    # NULL grouping keys would make the driver's sorted-rowset compare
+    # heterogeneous
+    return agg.select(
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        "n_events", "value_cents", "gid",
+    )
+
+
 def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: tag each doc with every (overlapping) crawl-campaign
     window containing its crawl_ts. 10 windows [c*25, c*25+40) over
@@ -1326,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": q_anchor_profile,
         "asof_policy": q_asof_policy,
         "range_campaigns": q_range_campaigns,
+        "event_rollup": q_event_rollup,
     }
 
 
@@ -1961,6 +1991,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # Multi-resolution rollup: identical ROLLUP lattice + GROUPING
+        # bitmask; sums as integer cents for an exact hash.
+        "event_rollup": """
+            WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value
+                       FROM events)
+            SELECT COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+                   COALESCE(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT)
+                     AS value_cents,
+                   CAST(GROUPING(day, event_type) AS INT) AS gid
+            FROM e GROUP BY ROLLUP(day, event_type)
         """,
         # Range join vs the plain SQL inequality join (half-open
         # [lo, hi) campaign windows over crawl_ts = doc_id % 250).
