@@ -510,7 +510,11 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards from), disambiguated by grouping_id. At scale this is
     one shuffle with map-side partial aggregation; the coarser tiers
     reuse the leaf partials rather than rescanning. Money-style sums
-    are emitted as integer cents so the cross-engine hash is exact."""
+    are emitted as integer cents so the cross-engine hash is exact.
+    Session-timezone safety: the parquet ts column has no timezone, so
+    Spark 4 reads it as TIMESTAMP_NTZ (inferTimestampNTZ defaults on)
+    and to_date() is wall-clock truncation — verified identical to
+    DuckDB's CAST(ts AS DATE) under an America/New_York session."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     agg = (
         ev.select(F.to_date("ts").alias("day"), "event_type", "value")

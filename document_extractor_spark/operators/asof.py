@@ -45,6 +45,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if clash:
         raise ValueError(f"right payload columns collide with left: "
                          f"{sorted(clash)}")
+    # SQL join semantics, matching the DuckDB ASOF oracle: a right row
+    # with a NULL key or NULL timestamp matches nothing (the window
+    # would otherwise sort NULL _ts FIRST and carry a malformed
+    # snapshot into every row before the first real one, and
+    # partitionBy would happily group NULL keys together); a NULL-key
+    # LEFT row still comes back, payload NULL-filled, because its
+    # partition simply contains no right rows.
+    right = right.where(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     l_cols = [c for c in left.columns if c not in (on, left_ts)]
     tagged_l = left.select(
         F.col(on),

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 def range_join(left: DataFrame, right: DataFrame, left_point: str,
                right_lo: str, right_hi: str, bucket_width: int,
-               key: str | None = None) -> DataFrame:
+               key: str | None = None,
+               max_cells_per_interval: int = 4096) -> DataFrame:
     """Inner interval join: rows ``(left ⨝ right)`` for every right
     interval with ``lo <= point < hi`` (half-open; empty intervals
     match nothing) and, when ``key`` is given, equal key values.
@@ -47,15 +48,29 @@ def range_join(left: DataFrame, right: DataFrame, left_point: str,
     if clash:
         raise ValueError(f"column names collide across sides: "
                          f"{sorted(clash)}")
+    reserved = {"_cell", "_cells"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"reserved column names in use: {sorted(reserved)}")
     lo, hi, pt = F.col(right_lo), F.col(right_hi), F.col(left_point)
     w = F.lit(bucket_width)
     # staged cell array (see module docstring for why withColumn +
     # explode_outer, not an inline explode)
+    # a single open-ended/mis-encoded interval (hi ~ 2^62) would ask
+    # sequence() for billions of cells and kill the job — fail loudly
+    # with the offending span instead (assert_true raises per-row)
+    span_guard = F.assert_true(
+        (lo >= hi) | ((hi - F.lit(1)) / w - lo / w
+                      < F.lit(max_cells_per_interval)),
+        F.concat(F.lit("range_join: interval exceeds "
+                       f"{max_cells_per_interval} cells of width "
+                       f"{bucket_width}: ["),
+                 lo, F.lit(", "), hi, F.lit(")")),
+    )
     r_cells = (
         right.withColumn(
             "_cells",
             F.when(
-                lo < hi,
+                span_guard.isNull() & (lo < hi),
                 F.sequence(F.floor(lo / w),
                            F.floor((hi - F.lit(1)) / w))),
         )

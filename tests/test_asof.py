@@ -95,3 +95,19 @@ def test_asof_join_matches_duckdb_native(spark):
     """).fetchall())
     assert len(got) == 200
     assert got == want
+
+
+def test_asof_join_null_key_and_null_ts_right_rows_match_nothing(spark):
+    """SQL semantics, matching the DuckDB oracle: NULL-key or NULL-ts
+    snapshot rows never match; a NULL-key LEFT row still returns,
+    payload NULL-filled."""
+    left = spark.createDataFrame(
+        [("a", 5, 1), (None, 7, 2)],
+        "host string, crawl_ts bigint, doc_id bigint")
+    right = spark.createDataFrame(
+        [("a", None, 9, "nullts"), (None, 1, 8, "nullkey")],
+        "host string, snap_ts bigint, tier bigint, note string")
+    out = asof_join(left, right, on="host",
+                    left_ts="crawl_ts", right_ts="snap_ts")
+    got = {r["doc_id"]: (r["tier"], r["note"]) for r in out.collect()}
+    assert got == {1: (None, None), 2: (None, None)}

@@ -2,6 +2,7 @@
 equi-join, half-open intervals, bucket-width invariance."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from document_extractor_spark.operators.ranges import range_join
 from document_extractor_spark.plans import assert_no_python
@@ -92,3 +93,26 @@ def test_range_join_matches_duckdb(spark):
         "SELECT l.doc_id, r.rid FROM l JOIN r ON l.host = r.host"
         " AND l.ts >= r.lo AND l.ts < r.hi").fetchall())
     assert got == want
+
+
+def test_range_join_reserved_names_rejected(spark):
+    left, right = _sides(spark)
+    with pytest.raises(ValueError, match="_cell"):
+        range_join(left.withColumn("_cell", left.ts), right,
+                   "ts", "lo", "hi", bucket_width=10)
+
+
+def test_range_join_giant_interval_fails_loudly(spark):
+    """A mis-encoded open-ended interval must raise a bounded-cells
+    error, not ask sequence() for billions of array elements."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    left, right = _sides(spark)
+    bad = right.union(
+        right.limit(1).select("lo", "hi", "tag")
+        .withColumn("hi", F.lit(2 ** 40).cast("bigint"))
+        .select("lo", "hi", "tag"))
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="exceeds"):
+        range_join(left, bad, "ts", "lo", "hi", bucket_width=1).collect()
