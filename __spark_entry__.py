@@ -536,6 +536,19 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch: distinct users per event type at
+    k=64. KMV is exactly mergeable (k-smallest is a semilattice), so
+    the distributed sketch is a pure function of the input set and the
+    oracle recomputes the identical k minimum md5 hashes from the exact
+    distinct set — hash-equal across engines, estimator and all."""
+    from document_extractor_spark.operators.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, key_col="event_type", value_col="user_id",
+                        k=64)
+
+
 def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: tag each doc with every (overlapping) crawl-campaign
     window containing its crawl_ts. 10 windows [c*25, c*25+40) over
@@ -1360,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_policy": q_asof_policy,
         "range_campaigns": q_range_campaigns,
         "event_rollup": q_event_rollup,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1995,6 +2009,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # KMV sketch: the oracle recomputes the k smallest md5 hashes
+        # of the exact distinct set — identical to the merged
+        # distributed sketch because k-smallest is a semilattice.
+        # 281474976710656 = 16^12 (the 48-bit hash-prefix fraction).
+        "kmv_distinct": """
+            WITH d AS (SELECT DISTINCT event_type AS key,
+                              md5(CAST(user_id AS VARCHAR)) AS h
+                       FROM events WHERE user_id IS NOT NULL),
+            r AS (SELECT key, h,
+                         row_number() OVER (PARTITION BY key
+                                            ORDER BY h) AS rn,
+                         count(*) OVER (PARTITION BY key) AS nd
+                  FROM d),
+            s AS (SELECT key, nd, h AS kth FROM r
+                  WHERE rn = least(nd, 64))
+            SELECT key,
+                   CAST(least(nd, 64) AS INT) AS n_kept,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                        ELSE floor(63 /
+                          (('0x' || substr(kth, 1, 12))::UBIGINT::DOUBLE
+                           / 281474976710656.0))
+                        END AS BIGINT) AS est_distinct
+            FROM s
         """,
         # Multi-resolution rollup: identical ROLLUP lattice + GROUPING
         # bitmask; sums as integer cents for an exact hash.
