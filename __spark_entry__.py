@@ -536,6 +536,45 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix robots policy over the fixture hosts. Hosts 0-29
+    carry three rules — ('/d', allow iff host%3!=0), ('/d/1', allow),
+    ('/nope', deny, never matches) — so docs whose id starts with '1'
+    are allowed by the more specific rule even on denied hosts; hosts
+    30-36 have no rules and default to allowed with NULL prefix."""
+    from document_extractor_spark.operators.robots import (
+        apply_robots_policy,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = (F.col("doc_id") % 37).cast("string")
+    pages = docs.select(
+        F.concat(F.lit("https://h"), m, F.lit(".example.org/d/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    js = spark.range(30).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.col("id").alias("j"))
+    rules = (
+        js.select("host", F.lit("/d").alias("path_prefix"),
+                  (F.col("j") % 3 != 0).alias("allow"))
+        .unionByName(js.select(
+            "host", F.lit("/d/1").alias("path_prefix"),
+            F.lit(True).alias("allow")))
+        .unionByName(js.select(
+            "host", F.lit("/nope").alias("path_prefix"),
+            F.lit(False).alias("allow")))
+    )
+    out = apply_robots_policy(pages, rules)
+    # NULL prefixes (ruleless hosts) → '' sentinel: the driver's
+    # sorted-rowset compare needs homogeneous sort keys
+    return out.select(
+        "url",
+        F.coalesce("matched_prefix", F.lit("")).alias("matched_prefix"),
+        "allowed",
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch: distinct users per event type at
     k=64. KMV is exactly mergeable (k-smallest is a semilattice), so
@@ -1374,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_campaigns": q_range_campaigns,
         "event_rollup": q_event_rollup,
         "kmv_distinct": q_kmv_distinct,
+        "robots_policy": q_robots_policy,
     }
 
 
@@ -2009,6 +2049,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # Robots longest-prefix policy: most specific rule wins, ties
+        # prefer allow, unmatched/ruleless default to allowed.
+        "robots_policy": """
+            WITH l AS (
+              SELECT doc_id, doc_id % 37 AS j,
+                     'https://h' || (doc_id % 37) || '.example.org/d/'
+                       || doc_id AS url,
+                     '/d/' || doc_id AS path
+              FROM documents),
+            js AS (SELECT unnest(generate_series(0, 29)) AS j),
+            r AS (
+              SELECT j, '/d' AS pfx, (j % 3 <> 0) AS allow FROM js
+              UNION ALL SELECT j, '/d/1', true FROM js
+              UNION ALL SELECT j, '/nope', false FROM js),
+            m AS (
+              SELECT l.url, r.pfx, r.allow,
+                     row_number() OVER (
+                       PARTITION BY l.doc_id
+                       ORDER BY length(r.pfx) DESC NULLS LAST,
+                                CAST(r.allow AS INT) DESC) AS rn
+              FROM l LEFT JOIN r
+                ON l.j = r.j AND l.path LIKE r.pfx || '%')
+            SELECT url, COALESCE(pfx, '') AS matched_prefix,
+                   COALESCE(allow, true) AS allowed
+            FROM m WHERE rn = 1
         """,
         # KMV sketch: the oracle recomputes the k smallest md5 hashes
         # of the exact distinct set — identical to the merged

@@ -1,0 +1,65 @@
+"""Robots longest-prefix policy (operators/robots.py) — RFC 9309
+matching: most specific wins, ties prefer allow, no match allows."""
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.robots import apply_robots_policy
+from document_extractor_spark.plans import assert_no_python
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, path_prefix string, allow boolean")
+
+
+def test_robots_longest_prefix_and_defaults(spark):
+    pages = spark.createDataFrame(
+        [("https://a.example.org/private/x", 1),
+         ("https://a.example.org/private/open/y", 2),
+         ("https://a.example.org/public", 3),
+         ("https://a.example.org/", 4),
+         ("https://norules.example.org/z", 5),
+         ("notaurl", 6)],
+        "url string, doc_id bigint")
+    rules = _rules(spark, [
+        ("a.example.org", "/private", False),
+        ("a.example.org", "/private/open", True),
+        ("a.example.org", "/", True),
+    ])
+    got = {r["doc_id"]: (r["matched_prefix"], r["allowed"])
+           for r in apply_robots_policy(pages, rules).collect()}
+    assert got == {
+        1: ("/private", False),          # most specific deny
+        2: ("/private/open", True),      # deeper allow overrides
+        3: ("/", True),
+        4: ("/", True),                  # empty path normalizes to /
+        5: (None, True),                 # host with no rules
+        6: (None, True),                 # unparseable URL
+    }
+
+
+def test_robots_tie_prefers_allow(spark):
+    """RFC 9309: equally specific conflicting rules → least strict."""
+    pages = spark.createDataFrame(
+        [("https://t.example.org/dir/f", 1)], "url string, doc_id bigint")
+    rules = _rules(spark, [
+        ("t.example.org", "/dir", False),
+        ("t.example.org", "/dir", True),
+    ])
+    [r] = apply_robots_policy(pages, rules).collect()
+    assert (r["matched_prefix"], r["allowed"]) == ("/dir", True)
+
+
+def test_robots_mixed_case_host_matches(spark):
+    pages = spark.createDataFrame(
+        [("https://WWW.Example.ORG/secret", 1)], "url string, doc_id bigint")
+    rules = _rules(spark, [("www.example.org", "/secret", False)])
+    [r] = apply_robots_policy(pages, rules).collect()
+    assert r["allowed"] is False
+
+
+def test_robots_stays_jvm_side(spark):
+    pages = spark.createDataFrame(
+        [("https://a.example.org/p", 1)], "url string, doc_id bigint")
+    rules = _rules(spark, [("a.example.org", "/", True)])
+    assert_no_python(apply_robots_policy(pages, rules))
