@@ -5,16 +5,20 @@ strict rule applies, i.e. allow; a URL matching no rule is allowed).
 The crawl-pipeline use: re-filter an already-fetched corpus against
 current robots/policy snapshots before training export.
 
-Scale shape: one left equi-join on host with the prefix match in the
-join condition — rules tables are small per host (tens of prefixes),
-so the join fans out each page row by its host's MATCHING rule count
-only, with AQE free to broadcast the whole rule side — then one
-per-URL argmax. The argmax is ``max_by`` over a (specificity, allow)
-struct, not a window: map-side partial aggregation collapses each
-URL's candidate rules before the shuffle. Pages whose host has no
-rules, whose rules all miss, or whose URL has no parseable host keep
-exactly one NULL-rule row through the left join and come back
-allowed-by-default."""
+Scale shape: the verdict is computed over a (url, host, path)
+PROJECTION of the pages — never the payload — via one left equi-join
+on host with the prefix match in the join condition (rules tables are
+small per host, AQE can broadcast the whole side), then a per-URL
+argmax and a join back onto the full pages frame. The argmax is
+``max_by`` over a (specificity, allow) struct, not a window: map-side
+partial aggregation collapses each URL's candidate rules before the
+shuffle. Projecting first keeps arbitrary page schemas safe (map-typed
+columns, columns named like rule columns) and keeps the rule fan-out
+off the payload. Pages whose host has no rules, whose rules all miss,
+or whose URL has no parseable host keep exactly one NULL-rule row
+through the left join and come back allowed-by-default. Rule hosts are
+lowercased to match ``host_col``'s canonicalization (RFC 3986 — the
+same two-sided rule as the url_filter blocklist join)."""
 
 from __future__ import annotations
 
@@ -27,39 +31,47 @@ from .extract import host_col
 def apply_robots_policy(pages: DataFrame, rules: DataFrame,
                         url_col: str = "url") -> DataFrame:
     """``pages`` (unique per ``url_col``) + ``rules(host, path_prefix,
-    allow)`` → pages with ``(matched_prefix, allowed)``. Longest
-    matching prefix per URL decides; ties prefer allow; no match →
-    allowed with NULL ``matched_prefix``."""
+    allow)`` → pages with ``(matched_prefix, allowed)`` appended.
+    Longest matching prefix per URL decides; ties prefer allow; no
+    match → allowed with NULL ``matched_prefix``."""
+    clash = {"matched_prefix", "allowed"} & set(pages.columns)
+    if clash:
+        raise ValueError(f"pages already has output columns: "
+                         f"{sorted(clash)}")
     raw_path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
-    tagged = (
-        pages.withColumn("_host", host_col(F.col(url_col)))
-        .withColumn(
-            "_path",
-            F.when(raw_path.isNull() | (raw_path == ""), F.lit("/"))
-            .otherwise(raw_path))
+    tagged = pages.select(
+        F.col(url_col).alias("_url"),
+        host_col(F.col(url_col)).alias("_host"),
+        F.when(raw_path.isNull() | (raw_path == ""), F.lit("/"))
+        .otherwise(raw_path).alias("_path"),
     )
-    r = rules.select(F.col("host").alias("_rhost"),
-                     "path_prefix", "allow")
+    r = rules.select(F.lower(F.col("host")).alias("_rhost"),
+                     F.col("path_prefix").alias("_pfx"),
+                     F.col("allow").alias("_allow"))
     cand = tagged.join(
         r,
         on=(F.col("_host") == F.col("_rhost"))
-        & F.col("_path").startswith(F.col("path_prefix")),
+        & F.col("_path").startswith(F.col("_pfx")),
         how="left",
     )
     # most specific wins; tie → allow (RFC 9309 least-strict rule)
     best = F.max_by(
-        F.struct(F.col("path_prefix").alias("p"),
-                 F.col("allow").alias("a")),
-        F.struct(F.length("path_prefix").alias("l"),
-                 F.col("allow").cast("int").alias("a")),
+        F.struct(F.col("_pfx").alias("p"), F.col("_allow").alias("a")),
+        F.struct(F.length("_pfx").alias("l"),
+                 F.col("_allow").cast("int").alias("a")),
     )
-    group_cols = [c for c in pages.columns]
-    return (
-        cand.groupBy(*group_cols)
+    verdict = (
+        cand.groupBy("_url")
         .agg(best.alias("_best"))
         .select(
-            *group_cols,
+            F.col("_url"),
             F.col("_best.p").alias("matched_prefix"),
             F.coalesce(F.col("_best.a"), F.lit(True)).alias("allowed"),
         )
     )
+    joined = pages.join(
+        verdict, on=pages[url_col] == verdict._url, how="left"
+    ).drop("_url")
+    # a NULL url can't equi-join its own verdict row — still allowed
+    return joined.withColumn(
+        "allowed", F.coalesce("allowed", F.lit(True)))

@@ -63,7 +63,12 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
 
         acc: dict = {}
         for pdf in batches:
-            for key, grp in pdf.groupby("key", sort=False)["h"]:
+            # dropna=False: a NULL key is a group like any other
+            # (matching Spark groupBy / SQL GROUP BY semantics)
+            for key, grp in pdf.groupby("key", sort=False,
+                                        dropna=False)["h"]:
+                if pd.isna(key):
+                    key = None
                 s = acc.setdefault(key, set())
                 s.update(grp)
                 # prune lazily: exact k-smallest is restored at yield

@@ -63,3 +63,29 @@ def test_robots_stays_jvm_side(spark):
         [("https://a.example.org/p", 1)], "url string, doc_id bigint")
     rules = _rules(spark, [("a.example.org", "/", True)])
     assert_no_python(apply_robots_policy(pages, rules))
+
+
+def test_robots_mixed_case_rule_host_matches(spark):
+    """Rule hosts are canonicalized too — a mixed-case DENY rule must
+    not be silently bypassed into default-allow."""
+    pages = spark.createDataFrame(
+        [("https://ads.badsite.com/x", 1)], "url string, doc_id bigint")
+    rules = _rules(spark, [("Ads.BadSite.com", "/", False)])
+    [r] = apply_robots_policy(pages, rules).collect()
+    assert r["allowed"] is False and r["matched_prefix"] == "/"
+
+
+def test_robots_arbitrary_page_schemas(spark):
+    """Pages may carry map-typed columns and columns named like rule
+    columns — the verdict is computed on a projection and joined back."""
+    pages = spark.createDataFrame(
+        [("https://a.example.org/p", {"k": "v"}, False)],
+        "url string, props map<string,string>, allow boolean")
+    rules = _rules(spark, [("a.example.org", "/p", True)])
+    [r] = apply_robots_policy(pages, rules).collect()
+    assert r["allowed"] is True and r["allow"] is False
+    assert r["props"] == {"k": "v"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="allowed"):
+        apply_robots_policy(
+            pages.withColumnRenamed("allow", "allowed"), rules)

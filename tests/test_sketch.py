@@ -48,3 +48,12 @@ def test_kmv_validation_and_plan(spark):
         kmv_distinct(df, "key", "v", k=1)
     # the only Python in the plan is the vectorized partial-sketch pass
     assert_vectorized_python_only(kmv_distinct(df, "key", "v", k=8))
+
+
+def test_kmv_null_key_is_a_group(spark):
+    """NULL keys group together (SQL GROUP BY semantics), not dropped."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3)], "key string, v bigint")
+    got = {r["key"]: r["est_distinct"]
+           for r in kmv_distinct(df, "key", "v", k=8).collect()}
+    assert got == {None: 2, "a": 1}
