@@ -536,6 +536,25 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization, cross-checked against DuckDB's
+    nfc_normalize. The fixture text is ASCII (where NFC is the
+    identity), so a decomposed suffix — 'e' + combining acute (U+0301)
+    + the doc_id — is planted on every row; the engines must agree on
+    the composed bytes, exercising real normalization, not the ASCII
+    fast path."""
+    from document_extractor_spark.operators.textnorm import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" e\u0301"),
+                 F.col("doc_id").cast("string")).alias("text"),
+    )
+    return normalize_text(planted, "text", out_col="norm_text") \
+        .select("doc_id", "norm_text")
+
+
 def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-prefix robots policy over the fixture hosts. Hosts 0-29
     carry three rules — ('/d', allow iff host%3!=0), ('/d/1', allow),
@@ -1414,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "kmv_distinct": q_kmv_distinct,
         "robots_policy": q_robots_policy,
+        "nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -2049,6 +2069,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # NFC normalization: chr(769) is the combining acute; DuckDB's
+        # nfc_normalize must compose it identically to unicodedata.
+        "nfc_normalize": """
+            SELECT doc_id,
+                   nfc_normalize(text || ' e' || chr(769)
+                                 || CAST(doc_id AS VARCHAR)) AS norm_text
+            FROM documents
         """,
         # Robots longest-prefix policy: most specific rule wins, ties
         # prefer allow, unmatched/ruleless default to allowed.

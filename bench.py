@@ -224,7 +224,7 @@ HEADLINE_QUERIES = [
     "drop_boilerplate", "snapshot_dedup", "shuffle_shards",
     "dedup_best_kept", "pack_sequences", "outlinks", "link_graph",
     "pagerank", "anchor_profile", "asof_policy", "range_campaigns",
-    "event_rollup", "kmv_distinct", "robots_policy",
+    "event_rollup", "kmv_distinct", "robots_policy", "nfc_normalize",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -1,0 +1,43 @@
+"""Unicode NFC normalization (operators/textnorm.py). All non-ASCII is
+written as explicit escapes — an editor or VCS normalizing this source
+file must not change what the tests assert."""
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.textnorm import normalize_text
+from document_extractor_spark.plans import assert_vectorized_python_only
+
+DECOMPOSED = "Café du résumé"
+COMPOSED = "Caf\u00e9 du r\u00e9sum\u00e9"
+
+
+def test_nfc_composes_and_passes_through(spark):
+    rows = [(1, DECOMPOSED), (2, "plain ascii"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in normalize_text(df, "text").collect()}
+    assert got[1] == COMPOSED == unicodedata.normalize("NFC", DECOMPOSED)
+    assert "\u0301" not in got[1]
+    assert got[2] == "plain ascii"   # ASCII fast path: identity
+    assert got[3] is None
+    assert got[4] == ""
+
+
+def test_nfc_idempotent_and_dedup_use_case(spark):
+    """The point of the operator: byte-different spellings of the same
+    text hash equal after normalization."""
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café")], "doc_id bigint, text string")
+    out = normalize_text(df, "text", out_col="norm")
+    hashes = [r["h"] for r in
+              out.orderBy("doc_id").select(F.md5("norm").alias("h")).collect()]
+    assert hashes[0] == hashes[1]
+    twice = normalize_text(out, "norm", out_col="norm2")
+    assert twice.where(F.col("norm") != F.col("norm2")).count() == 0
+
+
+def test_nfc_plan_is_arrow_batched(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    assert_vectorized_python_only(normalize_text(df, "text"))
