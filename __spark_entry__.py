@@ -536,6 +536,17 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc: tf desc, then df asc (rarer
+    term wins ties), then term asc — an integer-only total order, so
+    the ranking has an exact SQL twin (ln-based tf-idf would risk
+    last-ulp libm rank flips across engines)."""
+    from document_extractor_spark.operators.textstats import doc_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_top_terms(docs, k=3)
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization, cross-checked against DuckDB's
     nfc_normalize. The fixture text is ASCII (where NFC is the
@@ -1434,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "robots_policy": q_robots_policy,
         "nfc_normalize": q_nfc_normalize,
+        "top_terms": q_top_terms,
     }
 
 
@@ -2069,6 +2081,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # Top-k characteristic terms: identical tokenization (the
+        # token_counts twin) + integer-only (tf DESC, df ASC, term)
+        # ranking — a deterministic total order in both engines.
+        "top_terms": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM t GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            r AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC)
+                       AS rank
+              FROM tf JOIN dfq USING (term))
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
         # NFC normalization: chr(769) is the combining acute; DuckDB's
         # nfc_normalize must compose it identically to unicodedata.

@@ -217,3 +217,42 @@ def host_stats(df, url_col: str = "url", bytes_col: str = None,
     if bytes_col:
         aggs.append(F.sum(F.col(bytes_col)).alias("bytes_in"))
     return df.groupBy(host.alias("host")).agg(*aggs)
+
+
+def doc_top_terms(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document — ranked by term
+    frequency (desc), then corpus document frequency (asc: the rarer,
+    more distinctive term wins the tie), then term (asc). The ordering
+    keys are all integers, so the ranking is a deterministic total
+    order with an exact SQL twin (true tf-idf would order by tf·ln(…),
+    whose last-ulp libm differences across engines can flip ranks).
+
+    Plan: staged token projection (the HOF-inlining rule) →
+    explode_outer → one (doc, term) shuffle for tf → one term-keyed
+    aggregation for df (map-side combined, so a stopword's reducer sees
+    one partial row per map partition) → broadcast-or-shuffle join back
+    (AQE's call; vocabulary size is corpus-dependent) → per-doc window.
+    The window partitions on doc_id — per-document term counts are
+    bounded by document length, so no skewed partition exists."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.lower(F.col(text_col)).alias("_t"))
+        .withColumn("_toks", tokens("_t"))
+        .withColumn("term", F.explode_outer("_toks"))
+        .where(F.col("term").isNotNull())
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
