@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from document_extractor_spark.operators.textnorm import normalize_text
 from document_extractor_spark.plans import assert_vectorized_python_only
 
-DECOMPOSED = "Café du résumé"
+DECOMPOSED = "Cafe\u0301 du re\u0301sume\u0301"
 COMPOSED = "Caf\u00e9 du r\u00e9sum\u00e9"
 
 
@@ -29,7 +29,7 @@ def test_nfc_idempotent_and_dedup_use_case(spark):
     """The point of the operator: byte-different spellings of the same
     text hash equal after normalization."""
     df = spark.createDataFrame(
-        [(1, "café"), (2, "café")], "doc_id bigint, text string")
+        [(1, "caf\u00e9"), (2, "cafe\u0301")], "doc_id bigint, text string")
     out = normalize_text(df, "text", out_col="norm")
     hashes = [r["h"] for r in
               out.orderBy("doc_id").select(F.md5("norm").alias("h")).collect()]
