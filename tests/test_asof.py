@@ -111,3 +111,17 @@ def test_asof_join_null_key_and_null_ts_right_rows_match_nothing(spark):
                     left_ts="crawl_ts", right_ts="snap_ts")
     got = {r["doc_id"]: (r["tier"], r["note"]) for r in out.collect()}
     assert got == {1: (None, None), 2: (None, None)}
+
+
+def test_asof_join_plans_single_window_no_join(spark):
+    """Shape check: the as-of join is union + window carry-forward —
+    no join node (a naive range join here would be a nested loop)."""
+    from document_extractor_spark.plans import physical_plan
+
+    left, right = _sides(spark)
+    plan = physical_plan(asof_join(left, right, on="host",
+                                   left_ts="crawl_ts",
+                                   right_ts="snap_ts"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan.replace("Window", ""), plan

@@ -116,3 +116,16 @@ def test_range_join_giant_interval_fails_loudly(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
                        match="exceeds"):
         range_join(left, bad, "ts", "lo", "hi", bucket_width=1).collect()
+
+
+def test_range_join_plans_hash_join_not_nested_loop(spark):
+    """The operator's whole point: the physical plan must be a hash
+    equi-join on the cell key with the range predicate as a residual,
+    never a BroadcastNestedLoopJoin / CartesianProduct."""
+    from document_extractor_spark.plans import physical_plan
+
+    left, right = _sides(spark)
+    plan = physical_plan(range_join(left, right, "ts", "lo", "hi",
+                                    bucket_width=10))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
