@@ -536,6 +536,28 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over planted messy URLs: mixed-case
+    scheme/host, explicit default port, tracking params, unsorted
+    params, and a fragment — all pure functions of doc_id, so the
+    canonical form is closed-form for the oracle."""
+    from document_extractor_spark.operators.curation import (
+        canonicalize_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://H"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".Example.ORG:443/d/"), did,
+            F.lit("?utm_source=feed&b="), did, F.lit("&a=1#frag"),
+        ).alias("url"),
+    )
+    return canonicalize_urls(messy).select("doc_id", "canonical_url")
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc: tf desc, then df asc (rarer
     term wins ties), then term asc — an integer-only total order, so
@@ -1446,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_policy": q_robots_policy,
         "nfc_normalize": q_nfc_normalize,
         "top_terms": q_top_terms,
+        "canonical_urls": q_canonical_urls,
     }
 
 
@@ -2081,6 +2104,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # URL canonicalization: the messy fixture URL is a pure
+        # function of doc_id, so the canonical form is stated directly.
+        "canonical_urls": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 37) || '.example.org/d/'
+                     || doc_id || '?a=1&b=' || doc_id AS canonical_url
+            FROM documents
         """,
         # Top-k characteristic terms: identical tokenization (the
         # token_counts twin) + integer-only (tf DESC, df ASC, term)

@@ -364,3 +364,56 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 2048,
         .withColumn("seq_last", seq_last.cast("bigint"))
         .withColumn("crosses_boundary", seq_last != seq_first)
     )
+
+
+#: tracking params stripped by canonicalize_urls — the industry-common
+#: set; bounded quantifier keeps the Java regex linear on hostile input
+_TRACKING_RE = r"^(utm_[a-z_]{1,32}|gclid|fbclid|msclkid|mc_eid|ref)="
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      out_col: str = "canonical_url") -> DataFrame:
+    """URL canonicalization — the prerequisite for URL-level dedup and
+    revisit detection: byte-different spellings of the same resource
+    (scheme/host case, default ports, tracking params, param order,
+    fragments) collapse to one canonical form:
+
+    ``lower(scheme)://lower(host)[:nondefault-port]path?sorted-params``
+
+    where tracking params (``utm_*``, gclid, fbclid, ...) and the
+    fragment are dropped, an empty path becomes ``/``, and userinfo is
+    stripped. Unparseable URLs canonicalize to NULL (callers route them
+    to quarantine like ``url_filter`` does). Entirely JVM-side; the
+    param array is STAGED before the higher-order filter/sort (the
+    measured HOF-inlining trap), so the URL is parsed once, not once
+    per param."""
+    u = F.col(url_col)
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    host_port = F.element_at(F.split(auth, "@"), -1)
+    hp = (
+        F.when(proto == "http",
+               F.regexp_replace(host_port, ":80$", ""))
+        .when(proto == "https",
+              F.regexp_replace(host_port, ":443$", ""))
+        .otherwise(host_port)
+    )
+    raw_path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")) \
+            .otherwise(raw_path)
+    staged = (
+        df.withColumn("_q", F.try_parse_url(u, F.lit("QUERY")))
+        .withColumn(
+            "_params",
+            F.array_sort(F.filter(
+                F.split(F.col("_q"), "&"),
+                lambda p: (p != "") & ~p.rlike(_TRACKING_RE))))
+    )
+    qs = (
+        F.when(F.col("_q").isNull() | (F.size("_params") == 0), F.lit(""))
+        .otherwise(F.concat(F.lit("?"),
+                            F.array_join(F.col("_params"), "&")))
+    )
+    return staged.withColumn(
+        out_col, F.concat(proto, F.lit("://"), hp, path, qs)
+    ).drop("_q", "_params")

@@ -411,3 +411,54 @@ def test_url_filter_mixed_case_host_blocked(spark):
     assert out[1]["url_reason"] == "blocked_domain"
     assert out[1]["host"] == "ads.badsite.com"
     assert out[2]["url_keep"] and out[2]["host"] == "good.example.org"
+
+
+def test_canonicalize_urls_rules(spark):
+    """Canonical form: case-folded scheme/host, default ports stripped
+    (scheme-aware), tracking params dropped, params sorted, fragment
+    and userinfo removed, empty path -> '/', garbage -> NULL."""
+    from document_extractor_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from document_extractor_spark.plans import assert_no_python
+
+    rows = [
+        (1, "HTTP://WWW.Ex.COM:80/a?z=2&a=1#frag"),
+        (2, "https://ex.com:443/p?utm_source=x&utm_campaign=y"),
+        (3, "http://ex.com:8080/p"),           # non-default port kept
+        (4, "https://user:pw@ex.com/s"),       # userinfo stripped
+        (5, "https://ex.com"),                 # empty path -> /
+        (6, "not a url at all"),
+        (7, "https://ex.com/p?b=2&a=1&gclid=abc&fbclid=z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = canonicalize_urls(df)
+    got = {r["doc_id"]: r["canonical_url"] for r in out.collect()}
+    assert got[1] == "http://www.ex.com/a?a=1&z=2"
+    assert got[2] == "https://ex.com/p"         # all params stripped
+    assert got[3] == "http://ex.com:8080/p"
+    assert got[4] == "https://ex.com/s"
+    assert got[5] == "https://ex.com/"
+    assert got[6] is None
+    assert got[7] == "https://ex.com/p?a=1&b=2"
+    assert_no_python(out)
+
+
+def test_canonicalize_urls_idempotent_and_dedup(spark):
+    """Byte-different spellings of the same resource collapse; the
+    canonical form is a fixed point."""
+    from document_extractor_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://A.com/x?b=1&a=2"), (2, "https://a.COM:443/x?a=2&b=1#f")],
+        "doc_id bigint, url string")
+    out = canonicalize_urls(df)
+    vals = [r["canonical_url"] for r in out.collect()]
+    assert vals[0] == vals[1]
+    again = canonicalize_urls(
+        out.select(F.col("canonical_url").alias("url")))
+    assert again.where(
+        F.col("url") != F.col("canonical_url")).count() == 0
