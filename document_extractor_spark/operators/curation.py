@@ -366,9 +366,13 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 2048,
     )
 
 
-#: tracking params stripped by canonicalize_urls — the industry-common
-#: set; bounded quantifier keeps the Java regex linear on hostile input
-_TRACKING_RE = r"^(utm_[a-z_]{1,32}|gclid|fbclid|msclkid|mc_eid|ref)="
+#: tracking params stripped by canonicalize_urls — only UNAMBIGUOUS
+#: tracking keys ('ref' is deliberately kept: it is content-bearing on
+#: many sites, e.g. git-ref selectors, and stripping it would collapse
+#: distinct resources). (?i) because mailers emit UTM_Source; the
+#: (=|$) tail also matches valueless spellings like '?fbclid'. Bounded
+#: quantifier keeps the Java regex linear on hostile input.
+_TRACKING_RE = r"(?i)^(utm_[a-z_]{1,32}|gclid|fbclid|msclkid|mc_eid)(=|$)"
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",

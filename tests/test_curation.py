@@ -430,6 +430,9 @@ def test_canonicalize_urls_rules(spark):
         (5, "https://ex.com"),                 # empty path -> /
         (6, "not a url at all"),
         (7, "https://ex.com/p?b=2&a=1&gclid=abc&fbclid=z"),
+        # mailer-case and valueless tracking spellings still strip;
+        # 'ref' is content-bearing (git-ref selectors) and is KEPT
+        (8, "https://ex.com/p?UTM_Source=feed&fbclid&ref=v1.2"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, url string")
     out = canonicalize_urls(df)
@@ -441,6 +444,7 @@ def test_canonicalize_urls_rules(spark):
     assert got[5] == "https://ex.com/"
     assert got[6] is None
     assert got[7] == "https://ex.com/p?a=1&b=2"
+    assert got[8] == "https://ex.com/p?ref=v1.2"
     assert_no_python(out)
 
 
@@ -460,5 +464,7 @@ def test_canonicalize_urls_idempotent_and_dedup(spark):
     assert vals[0] == vals[1]
     again = canonicalize_urls(
         out.select(F.col("canonical_url").alias("url")))
+    # eqNullSafe: a NULL re-canonicalization must FAIL, not vanish
+    # from the inequality filter
     assert again.where(
-        F.col("url") != F.col("canonical_url")).count() == 0
+        ~F.col("url").eqNullSafe(F.col("canonical_url"))).count() == 0
