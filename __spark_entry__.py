@@ -536,6 +536,32 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff over planted edits: the new snapshot drops
+    docs < 50 (removed), appends ' v2' to the text of every remaining
+    doc_id % 10 == 0 (changed), and adds clones at id+100000 for docs
+    0-9 (added); everything else is unchanged. Statuses are pure
+    functions of doc_id — the oracle states them directly."""
+    from document_extractor_spark.operators.diff import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.concat(F.lit("https://docs.example.org/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    old = docs.select(key, "text")
+    kept = docs.where(F.col("doc_id") >= 50).select(
+        key,
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("https://docs.example.org/"),
+                 (F.col("doc_id") + 100000).cast("string")).alias("url"),
+        "text",
+    )
+    return snapshot_diff(old, kept.unionByName(added), key_col="url")
+
+
 def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over planted messy URLs: mixed-case
     scheme/host, explicit default port, tracking params, unsorted
@@ -1469,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "top_terms": q_top_terms,
         "canonical_urls": q_canonical_urls,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2104,6 +2131,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # Snapshot diff: statuses are pure functions of doc_id.
+        "snapshot_diff": """
+            SELECT 'https://docs.example.org/' || doc_id AS url,
+                   CASE WHEN doc_id < 50 THEN 'removed'
+                        WHEN doc_id % 10 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            UNION ALL
+            SELECT 'https://docs.example.org/' || (doc_id + 100000),
+                   'added'
+            FROM documents WHERE doc_id < 10
         """,
         # URL canonicalization: the messy fixture URL is a pure
         # function of doc_id, so the canonical form is stated directly.
