@@ -536,6 +536,20 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-language deterministic sample: each language keeps
+    its 5 docs with the smallest md5('strat1' || doc_id) — md5 is
+    identical in both engines, so the oracle reproduces the sample
+    row-for-row."""
+    from document_extractor_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs.select("doc_id", "lang"),
+                             group_col="lang", k=5)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-snapshot diff over planted edits: the new snapshot drops
     docs < 50 (removed), appends ' v2' to the text of every remaining
@@ -1496,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "canonical_urls": q_canonical_urls,
         "snapshot_diff": q_snapshot_diff,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2131,6 +2146,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.host, l.crawl_ts, l.doc_id, r.tier, r.note
             FROM l ASOF LEFT JOIN r
               ON l.host = r.host AND l.crawl_ts >= r.snap_ts
+        """,
+        # Stratified sample: identical md5 ranking in both engines.
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('strat1' || CAST(doc_id AS VARCHAR)))
+                       AS rn
+              FROM documents)
+            SELECT doc_id, lang FROM r WHERE rn <= 5
         """,
         # Snapshot diff: statuses are pure functions of doc_id.
         "snapshot_diff": """

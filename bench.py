@@ -225,7 +225,7 @@ HEADLINE_QUERIES = [
     "dedup_best_kept", "pack_sequences", "outlinks", "link_graph",
     "pagerank", "anchor_profile", "asof_policy", "range_campaigns",
     "event_rollup", "kmv_distinct", "robots_policy", "nfc_normalize",
-    "top_terms", "canonical_urls", "snapshot_diff",
+    "top_terms", "canonical_urls", "snapshot_diff", "stratified_sample",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -421,3 +421,29 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     return staged.withColumn(
         out_col, F.concat(proto, F.lit("://"), hp, path, qs)
     ).drop("_q", "_params")
+
+
+def stratified_sample(docs: DataFrame, group_col: str, k: int,
+                      seed: str = "strat1",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Exactly-k-per-group deterministic sample — eval-set carving,
+    per-source inspection slices, balanced annotation batches. Each
+    group keeps its k members with the smallest ``md5(seed || key)``:
+    uniform-without-replacement per group, yet a pure function of
+    (seed, key) like ``sample_mix`` — stable under repartition, task
+    retries, and re-runs, and a different seed draws an independent
+    sample. Groups smaller than k are kept whole.
+
+    One shuffle on the group key; the per-group window ranks by the
+    hash (ties impossible: the hash input embeds the unique key). At
+    100 TB the caveat is a mega-group serializing its own sort — the
+    same bound as every per-host window in this repo; k rows ship on."""
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(h.asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -468,3 +468,30 @@ def test_canonicalize_urls_idempotent_and_dedup(spark):
     # from the inequality filter
     assert again.where(
         ~F.col("url").eqNullSafe(F.col("canonical_url"))).count() == 0
+
+
+def test_stratified_sample_exact_k_and_determinism(spark):
+    """Exactly k per group (whole group when smaller), stable under
+    repartition, different seeds draw different samples."""
+    from document_extractor_spark.operators.curation import (
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"))
+    small = spark.createDataFrame(
+        [(1000, "tiny"), (1001, "tiny")], "doc_id bigint, src string")
+    df = docs.unionByName(small)
+    out = stratified_sample(df, group_col="src", k=10)
+    sizes = {r["src"]: r["n"] for r in
+             out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"0": 10, "1": 10, "2": 10, "tiny": 2}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(df.repartition(17), "src", 10).collect())
+    assert a == b
+    c = sorted(r["doc_id"] for r in
+               stratified_sample(df, "src", 10, seed="other").collect())
+    assert a != c
