@@ -1441,7 +1441,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration ORDER matters: the correctness driver attests a prefix of
+    # this dict (CORRECTNESS_r04.json contains exactly the first 50 keys), so
+    # queries without a driver attestation row yet are registered FIRST —
+    # the four brief-mandated custom operators (as-of join, range join,
+    # rollup, KMV sketch) lead.  Queries already green in CORRECTNESS_r04
+    # follow in their original order.
     return {
+        # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "asof_policy": q_asof_policy,
+        "range_campaigns": q_range_campaigns,
+        "event_rollup": q_event_rollup,
+        "kmv_distinct": q_kmv_distinct,
+        "drop_boilerplate": q_drop_boilerplate,
+        "snapshot_dedup": q_snapshot_dedup,
+        "shuffle_shards": q_shuffle_shards,
+        "dedup_best_kept": q_dedup_best_kept,
+        "pack_sequences": q_pack_sequences,
+        "outlinks": q_outlinks,
+        "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
+        "anchor_profile": q_anchor_profile,
+        "robots_policy": q_robots_policy,
+        "nfc_normalize": q_nfc_normalize,
+        "top_terms": q_top_terms,
+        "canonical_urls": q_canonical_urls,
+        "snapshot_diff": q_snapshot_diff,
+        "stratified_sample": q_stratified_sample,
+        # --- attested green in CORRECTNESS_r04.json ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
         "extract_span_profile": q_extract_span_profile,
@@ -1492,25 +1519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_metadata": q_pdf_metadata,
         "c4_filter": q_c4_filter,
         "url_filter": q_url_filter,
-        "drop_boilerplate": q_drop_boilerplate,
-        "snapshot_dedup": q_snapshot_dedup,
-        "shuffle_shards": q_shuffle_shards,
-        "dedup_best_kept": q_dedup_best_kept,
-        "pack_sequences": q_pack_sequences,
-        "outlinks": q_outlinks,
-        "link_graph": q_link_graph,
-        "pagerank": q_pagerank,
-        "anchor_profile": q_anchor_profile,
-        "asof_policy": q_asof_policy,
-        "range_campaigns": q_range_campaigns,
-        "event_rollup": q_event_rollup,
-        "kmv_distinct": q_kmv_distinct,
-        "robots_policy": q_robots_policy,
-        "nfc_normalize": q_nfc_normalize,
-        "top_terms": q_top_terms,
-        "canonical_urls": q_canonical_urls,
-        "snapshot_diff": q_snapshot_diff,
-        "stratified_sample": q_stratified_sample,
     }
 
 
