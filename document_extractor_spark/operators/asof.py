@@ -45,6 +45,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if clash:
         raise ValueError(f"right payload columns collide with left: "
                          f"{sorted(clash)}")
+    # The synthesized working columns must not collide with user columns
+    # (same guard range_join has for _cell/_cells); without it the clash
+    # surfaces later as an opaque ambiguous-reference AnalysisException.
+    reserved = {"_ts", "_is_right", "_r"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} are reserved by asof_join; "
+            f"rename them on the input frames")
     # SQL join semantics, matching the DuckDB ASOF oracle: a right row
     # with a NULL key or NULL timestamp matches nothing (the window
     # would otherwise sort NULL _ts FIRST and carry a malformed

@@ -231,25 +231,103 @@ URL_BINARY_EXT_PATTERN = (
 )
 
 
+# Public-suffix entries are at most this many labels deep (the real PSL
+# tops out at 5, e.g. a long .jp geo suffix); bounding the candidate
+# fan-out keeps the per-host explode O(1).
+_PSL_MAX_SUFFIX_LABELS = 5
+
+
+def _registered_domains(hosts: DataFrame, suffixes: DataFrame) -> DataFrame:
+    """(host) → (host, _psl_domain) longest-public-suffix-plus-one map.
+
+    Runs at host cardinality: the input is deduped first, each distinct
+    host fans out to at most :data:`_PSL_MAX_SUFFIX_LABELS` trailing
+    label-suffix candidates, the candidates broadcast-join the suffix
+    table (a curated PSL fixture — ~1e4 rows, genuinely bounded), and
+    ``max_by`` keeps the longest match. A host equal to a suffix
+    (``co.uk`` itself) or with no label above the match yields NULL —
+    the caller's fallback rule decides.
+    """
+    col0 = suffixes.columns[0]
+    sfx = suffixes.select(F.lower(F.col(col0)).alias("_sfx")).distinct()
+    hosts = hosts.where(F.col("host").isNotNull()).distinct()
+    # Stage every array expression before the explode (HOF/explode
+    # pushdown trap — see repo rule): _labels, then the candidate
+    # (suffix, domain) structs, then explode_outer + isNotNull on the
+    # GENERATED attribute.
+    staged = (
+        hosts
+        .withColumn("_labels", F.split(F.col("host"), r"\."))
+        .withColumn("_n", F.size("_labels"))
+        # suffix of k trailing labels needs a (k+1)-th label above it to
+        # form a registered domain, so k ranges 1.._n-1 (capped); guard
+        # the empty case — F.sequence(1, 0) counts DOWN, not empty.
+        .withColumn(
+            "_ks",
+            F.when(
+                F.col("_n") >= 2,
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.col("_n") - 1,
+                            F.lit(_PSL_MAX_SUFFIX_LABELS))),
+            ).otherwise(F.array().cast("array<int>")))
+        .withColumn(
+            "_cands",
+            F.transform(
+                "_ks",
+                lambda k: F.struct(
+                    F.array_join(
+                        F.slice(F.col("_labels"),
+                                F.col("_n") - k + 1, k),
+                        ".").alias("sfx"),
+                    F.array_join(
+                        F.slice(F.col("_labels"),
+                                F.col("_n") - k, k + 1),
+                        ".").alias("dom"),
+                    k.alias("k"))))
+        .withColumn("_cand", F.explode_outer("_cands"))
+        .where(F.col("_cand").isNotNull())
+        .select("host", F.col("_cand.sfx").alias("_sfx"),
+                F.col("_cand.dom").alias("_dom"),
+                F.col("_cand.k").alias("_k"))
+    )
+    return (
+        staged.join(F.broadcast(sfx), on="_sfx")
+        .groupBy("host")
+        .agg(F.max_by("_dom", "_k").alias("_psl_domain"))
+    )
+
+
 def url_filter(docs: DataFrame, blocklist: DataFrame = None,
                url_col: str = "url", max_url_len: int = 2048,
-               max_query_params: int = 8) -> DataFrame:
+               max_query_params: int = 8,
+               suffixes: DataFrame = None) -> DataFrame:
     """RefinedWeb/CCNet-style URL triage: annotate every row with the
     parsed ``host`` plus a ``url_keep`` verdict and the first-match
     ``url_reason`` (``bad_scheme`` | ``too_long`` | ``binary_extension``
     | ``query_spam`` | ``blocked_domain`` | NULL when kept). Callers
     drop with ``.filter("url_keep")`` — the annotation form keeps the
     reason histogram observable (a curation run reports WHY it dropped
-    34% of a crawl).
+    34% of a crawl). A NULL url is ``bad_scheme`` (the conditions below
+    NULL-propagate, so without the explicit leading rule a NULL row
+    would fall through every WHEN to the kept default).
 
     ``blocklist`` is an optional (domain) DataFrame of registered
-    domains; matching is on the host's last two labels (a documented
-    simplification of the public-suffix eTLD+1 rule — a production run
-    would join a PSL-derived suffix table through the same seam).
+    domains. ``suffixes`` is an optional one-column DataFrame of public
+    suffixes (PSL-style: ``com``, ``co.uk``, ``github.io`` …); when
+    given, the registered domain is the longest matching suffix plus
+    one label — so a blocklist entry ``badsite.co.uk`` matches
+    ``ads.badsite.co.uk`` while ``good.co.uk`` survives. Without it,
+    matching falls back to the host's last two labels (a documented
+    simplification of the eTLD+1 rule).
 
-    Scale shape: everything except the blocklist probe is a narrow
-    JVM projection (``parse_url`` + bounded regexes — no Python, no
-    shuffle). The blocklist join is an equi-join on the registered
+    Scale shape: everything except the two probes is a narrow JVM
+    projection (``parse_url`` + bounded regexes — no Python, no
+    shuffle). The suffix resolution runs at HOST cardinality, not row
+    cardinality: distinct hosts → ≤:data:`_PSL_MAX_SUFFIX_LABELS`
+    candidate suffixes each → broadcast join against the (small,
+    curated) suffix table → longest-match argmax → host→domain map
+    joined back. The blocklist join is an equi-join on the registered
     domain; curated blocklists are MBs (1e5-1e6 domains), so the hint
     is left to AQE rather than forced broadcast (same reasoning as
     ``decontaminate``'s unbounded-side rule)."""
@@ -264,10 +342,23 @@ def url_filter(docs: DataFrame, blocklist: DataFrame = None,
     host = host_col(c)
     path = F.try_parse_url(c, F.lit("PATH"))
     query = F.try_parse_url(c, F.lit("QUERY"))
-    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    fallback_reg = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
 
-    annotated = docs.withColumn("host", host).withColumn(
-        "_reg_domain", reg_domain)
+    annotated = docs.withColumn("host", host)
+    if suffixes is not None:
+        domains = _registered_domains(
+            annotated.select("host"), suffixes)
+        annotated = (
+            annotated.join(domains, on="host", how="left")
+            # the USING join moves `host` to the front; restore the
+            # docs-columns-then-host order the no-suffix path has
+            .select(*docs.columns, "host", "_psl_domain")
+            .withColumn(
+                "_reg_domain",
+                F.coalesce(F.col("_psl_domain"), fallback_reg))
+            .drop("_psl_domain"))
+    else:
+        annotated = annotated.withColumn("_reg_domain", fallback_reg)
 
     if blocklist is not None:
         b = blocklist.select(
@@ -279,7 +370,8 @@ def url_filter(docs: DataFrame, blocklist: DataFrame = None,
             "_blocked", F.lit(None).cast("boolean"))
 
     reason = (
-        F.when(~c.rlike(r"(?i)^https?://"), F.lit("bad_scheme"))
+        F.when(c.isNull(), F.lit("bad_scheme"))
+        .when(~c.rlike(r"(?i)^https?://"), F.lit("bad_scheme"))
         .when(F.length(c) > max_url_len, F.lit("too_long"))
         .when(F.coalesce(path, F.lit("")).rlike(URL_BINARY_EXT_PATTERN),
               F.lit("binary_extension"))

@@ -125,3 +125,24 @@ def test_asof_join_plans_single_window_no_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Window" in plan, plan
     assert "Join" not in plan.replace("Window", ""), plan
+
+
+def test_asof_join_reserved_names_raise(spark):
+    """Inputs carrying the synthesized working columns (_ts/_is_right/_r)
+    fail fast with a clear ValueError instead of a downstream
+    ambiguous-reference AnalysisException."""
+    import pytest
+    from document_extractor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("h", 1, 0)], "host string, ts bigint, _ts int")
+    right = spark.createDataFrame(
+        [("h", 1, "x")], "host string, rts bigint, tier string")
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join(left, right, on="host", left_ts="ts", right_ts="rts")
+
+    left2 = spark.createDataFrame([("h", 1)], "host string, ts bigint")
+    right2 = spark.createDataFrame(
+        [("h", 1, "x")], "host string, rts bigint, _r string")
+    with pytest.raises(ValueError, match="_r"):
+        asof_join(left2, right2, on="host", left_ts="ts", right_ts="rts")

@@ -495,3 +495,66 @@ def test_stratified_sample_exact_k_and_determinism(spark):
     c = sorted(r["doc_id"] for r in
                stratified_sample(df, "src", 10, seed="other").collect())
     assert a != c
+
+
+def test_url_filter_null_url_dropped(spark):
+    """A NULL url must not fall through the NULL-propagating WHEN chain
+    into the kept default — it is classified bad_scheme with NULL host."""
+    from document_extractor_spark.operators.curation import url_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "https://ok.example.org/a")],
+        "doc_id bigint, url string")
+    out = {r["doc_id"]: r for r in url_filter(df).collect()}
+    assert out[1]["url_reason"] == "bad_scheme" and not out[1]["url_keep"]
+    assert out[1]["host"] is None
+    assert out[2]["url_keep"]
+
+
+def test_url_filter_public_suffix_etld1(spark):
+    """With a suffix table, the registered domain is longest-suffix+1:
+    blocklisting badsite.co.uk catches ads.badsite.co.uk, while
+    good.co.uk (a DIFFERENT registered domain under the same public
+    suffix) survives — the exact case the 2-label fallback cannot
+    express (it reduces both hosts to co.uk)."""
+    from document_extractor_spark.operators.curation import url_filter
+
+    rows = [
+        (1, "https://ads.badsite.co.uk/page"),
+        (2, "https://good.co.uk/page"),
+        (3, "https://badsite.co.uk/page"),          # apex itself
+        (4, "https://deep.a.b.badsite.co.uk/p"),    # deep subdomain
+        (5, "https://other.example.com/p"),         # plain-suffix host kept
+        (6, "https://badsite.com/p"),               # fallback 2-label rule
+        (7, "https://co.uk/p"),                     # host == suffix: no reg
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    bl = spark.createDataFrame(
+        [("badsite.co.uk",), ("badsite.com",)], "domain string")
+    sfx = spark.createDataFrame(
+        [("com",), ("org",), ("co.uk",), ("uk",)], "suffix string")
+    out = {r["doc_id"]: r
+           for r in url_filter(df, bl, suffixes=sfx).collect()}
+    assert out[1]["url_reason"] == "blocked_domain"
+    assert out[3]["url_reason"] == "blocked_domain"
+    assert out[4]["url_reason"] == "blocked_domain"
+    assert out[2]["url_keep"] and out[2]["url_reason"] is None
+    assert out[5]["url_keep"]
+    assert out[6]["url_reason"] == "blocked_domain"
+    assert out[7]["url_keep"]  # no registered domain -> nothing to block
+
+
+def test_url_filter_suffix_table_does_not_change_verdict_columns(spark):
+    """The suffix seam is annotation-internal: output schema and the
+    non-blocklist verdicts are identical with and without it."""
+    from document_extractor_spark.operators.curation import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "ftp://x.example.com/a"), (2, "https://ok.example.org/a")],
+        "doc_id bigint, url string")
+    sfx = spark.createDataFrame([("com",), ("org",)], "suffix string")
+    base = url_filter(df)
+    with_sfx = url_filter(df, suffixes=sfx)
+    assert base.columns == with_sfx.columns
+    assert sorted(map(tuple, base.collect())) == \
+        sorted(map(tuple, with_sfx.collect()))
