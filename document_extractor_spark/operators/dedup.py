@@ -407,23 +407,40 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
     than ``min_len`` chars pass through untouched (dedup of trivial
     fragments like '' or '—' would splice unrelated docs together).
 
-    Shape: posexplode → row_number window over md5(paragraph) → filter
-    rank 1 → re-aggregate with an in-group sort. Two shuffles (hash,
-    doc id), both on paragraph-level rows — the classic C4 dedup cost,
-    irreducible because the decision is corpus-global. Skewed hash keys
-    ARE the duplicates being removed; AQE handles the hot partitions.
-    Returns (id_col, text_col) with every input doc present (a doc
-    whose every paragraph was deduplicated keeps empty text)."""
+    Shape (same narrow discipline as ``drop_boilerplate_lines``): the
+    first-occurrence decision runs on a NARROW ``(md5, id, pos)``
+    projection — paragraph text never rides the skewed md5 window
+    (skewed hash keys ARE the duplicates being removed, and a
+    corpus-hot paragraph would otherwise land on one reducer with its
+    full text), and sub-``min_len`` paragraphs are excluded from the
+    window input entirely (their verdict ignores rank, so the
+    empty-string hash must not become a hot partition). Winning
+    positions re-aggregate to one per-doc array (still narrow), join
+    the exploded paragraphs on the doc id, and the reassembly
+    ``groupBy`` reuses that partitioning — paragraph text moves in
+    exactly ONE exchange, keyed by the uniform doc id, never by the
+    skewed paragraph hash. Returns (id_col, text_col) with every input
+    doc present (a doc whose every paragraph was deduplicated keeps
+    empty text)."""
     from pyspark.sql import Window
 
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     )
-    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pos")
+    w = Window.partitionBy("h").orderBy(id_col, "pos")
+    keep_pos = (
+        paras.filter(F.length("para") >= min_len)
+        .select(F.col(id_col), "pos", F.md5(F.col("para")).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_keep_pos"))
+    )
     kept = (
-        paras.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) | (F.length("para") < min_len))
+        paras.join(keep_pos, on=id_col, how="left")
+        .filter((F.length("para") < min_len)
+                | F.array_contains(F.col("_keep_pos"), F.col("pos")))
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(

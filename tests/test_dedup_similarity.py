@@ -475,3 +475,42 @@ def test_drop_exact_duplicates_keep_by_string_ids(spark):
     kept = sorted(r["url"] for r in drop_exact_duplicates(
         df, id_col="url", keep_by="q").collect())
     assert kept == ["https://a.example/2", "https://b.example/9"]
+
+
+def test_drop_duplicate_paragraphs_narrow_window(spark):
+    """Paragraph text must never ride the skewed md5-hash shuffle: the
+    only exchange carrying the paragraph payload is the uniform
+    doc-id one (join + reassembly); every hash-keyed exchange is the
+    narrow (h, id, pos) projection."""
+    from document_extractor_spark.operators.dedup import (
+        drop_duplicate_paragraphs,
+    )
+    from document_extractor_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma\n\ndelta epsilon zeta")],
+        "doc_id bigint, text string")
+    plan = physical_plan(drop_duplicate_paragraphs(df))
+    for line in plan.splitlines():
+        if "Exchange" in line and "para" in line:
+            assert "doc_id" in line and "hashpartitioning(h" not in line, line
+
+
+def test_drop_duplicate_paragraphs_short_paras_skip_window(spark):
+    """Sub-min_len paragraphs (incl. empty strings — the hottest hash
+    key in a real corpus) pass through in every copy and never enter
+    the window input."""
+    from document_extractor_spark.operators.dedup import (
+        drop_duplicate_paragraphs,
+    )
+
+    long_a = "this paragraph is long enough to dedup"
+    rows = [
+        (1, long_a + "\n\n\n\nshort"),
+        (2, long_a + "\n\n\n\nshort"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.text
+           for r in drop_duplicate_paragraphs(df).collect()}
+    assert out[1] == long_a + "\n\n\n\nshort"
+    assert out[2] == "\n\nshort"  # long para deduped, shorts survive
