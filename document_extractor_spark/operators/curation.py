@@ -394,7 +394,8 @@ def url_filter(docs: DataFrame, blocklist: DataFrame = None,
 
 def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
                    key_col: str = "doc_id",
-                   seed: str = "shuf1") -> DataFrame:
+                   seed: str = "shuf1",
+                   max_rows_per_shard: int = 100_000_000) -> DataFrame:
     """Deterministic global shuffle for training export — the last mile
     of a curation pipeline: training wants the corpus in random order,
     split into a fixed number of shard files, and REPRODUCIBLY so
@@ -407,7 +408,13 @@ def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
 
     Scale shape: one shuffle, on the shard id — uniform by md5
     construction, so every shard is the same size (corpus/n_shards)
-    and no reducer is hot. Downstream ``.write.partitionBy('shard')``
+    and no reducer is hot ACROSS shards, but each shard's full payload
+    still sorts in one task: per-shard volume is corpus/n_shards, so
+    ``n_shards`` must scale with the corpus (1,024 shards over 100 TB
+    would mean ~100 GB single-task sorts). ``max_rows_per_shard``
+    enforces that relationship — the job fails loudly, mid-window,
+    naming the shard, instead of silently grinding a giant
+    single-partition sort. Downstream ``.write.partitionBy('shard')``
     emits one reproducibly-ordered file set per shard."""
     from pyspark.sql import Window
 
@@ -416,10 +423,24 @@ def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
         F.lit(n_shards)).cast("int")
     w = Window.partitionBy("shard").orderBy("_shuf_h", key_col)
+    rn = F.row_number().over(w) - 1
+    # woven into the live shard_pos expression (guard.isNull() is TRUE
+    # on every surviving row) so column pruning cannot drop it — same
+    # pattern as range_join's cell-cap guard
+    guard = F.assert_true(
+        rn < F.lit(max_rows_per_shard),
+        F.concat(
+            F.lit(f"shuffle_shards: shard "), F.col("shard"),
+            F.lit(f" exceeds max_rows_per_shard={max_rows_per_shard}; "
+                  f"raise n_shards (corpus/n_shards rows sort in ONE "
+                  f"task) or max_rows_per_shard")),
+    )
     return (
         docs.withColumn("_shuf_h", h)
         .withColumn("shard", shard)
-        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn(
+            "shard_pos",
+            F.when(guard.isNull(), rn).cast("int"))
         .drop("_shuf_h")
     )
 
@@ -427,7 +448,8 @@ def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
 def pack_sequences(docs: DataFrame, ctx_len: int = 2048,
                    tokens_col: str = "n_tokens",
                    shard_col: str = "shard",
-                   pos_col: str = "shard_pos") -> DataFrame:
+                   pos_col: str = "shard_pos",
+                   max_rows_per_shard: int = 100_000_000) -> DataFrame:
     """GPT-style sequence-packing plan: documents are concatenated in
     the deterministic shard order (see ``shuffle_shards``) and chopped
     into fixed ``ctx_len``-token training sequences. Emits per-doc
@@ -441,12 +463,24 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 2048,
     exists (the classic cumulative-sum scale-killer); each shard is an
     independent stream, which is how training loaders consume shard
     files anyway. One shuffle, on the shard id, uniform by the md5
-    shard construction."""
+    shard construction — but per-shard volume = corpus/n_shards runs
+    the running sum in ONE task, so ``max_rows_per_shard`` fails the
+    job loudly when the shard count was sized too small for the corpus
+    (same guard as ``shuffle_shards``; the two are sized together)."""
     from pyspark.sql import Window
 
     w = (Window.partitionBy(shard_col).orderBy(pos_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    offset = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    guard = F.assert_true(
+        F.col(pos_col) < F.lit(max_rows_per_shard),
+        F.concat(
+            F.lit("pack_sequences: shard "), F.col(shard_col),
+            F.lit(f" exceeds max_rows_per_shard={max_rows_per_shard}; "
+                  f"repack with more shards or raise the cap")),
+    )
+    offset = F.when(
+        guard.isNull(),
+        F.coalesce(F.sum(tokens_col).over(w), F.lit(0)))
     n = F.col(tokens_col)
     seq_first = F.floor(offset / ctx_len)
     seq_last = F.floor((offset + F.greatest(n, F.lit(1)) - 1) / ctx_len)

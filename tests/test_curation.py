@@ -558,3 +558,35 @@ def test_url_filter_suffix_table_does_not_change_verdict_columns(spark):
     assert base.columns == with_sfx.columns
     assert sorted(map(tuple, base.collect())) == \
         sorted(map(tuple, with_sfx.collect()))
+
+
+def test_shuffle_shards_volume_guard_raises(spark):
+    """Sizing n_shards too small for the corpus must fail loudly (each
+    shard sorts in ONE task), not silently build a giant
+    single-partition sort."""
+    import pytest
+    from document_extractor_spark.operators.curation import shuffle_shards
+
+    df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    with pytest.raises(Exception, match="max_rows_per_shard"):
+        shuffle_shards(df, n_shards=2, max_rows_per_shard=10).collect()
+    # comfortably sized: same corpus passes
+    ok = shuffle_shards(df, n_shards=2, max_rows_per_shard=64).collect()
+    assert len(ok) == 64 and all(r["shard_pos"] is not None for r in ok)
+
+
+def test_pack_sequences_volume_guard_raises(spark):
+    """pack_sequences enforces the same per-shard row cap as
+    shuffle_shards — the running-sum window is single-task per shard."""
+    import pytest
+    from document_extractor_spark.operators.curation import (
+        pack_sequences, shuffle_shards,
+    )
+
+    df = shuffle_shards(
+        spark.range(0, 64).withColumnRenamed("id", "doc_id"), n_shards=2
+    ).withColumn("n_tokens", F.lit(10))
+    with pytest.raises(Exception, match="max_rows_per_shard"):
+        pack_sequences(df, max_rows_per_shard=10).collect()
+    ok = pack_sequences(df, max_rows_per_shard=64).collect()
+    assert len(ok) == 64 and all(r["tok_offset"] is not None for r in ok)
