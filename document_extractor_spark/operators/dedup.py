@@ -230,10 +230,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     """64-bit SimHash, no Python: explode tokens → xxhash64 → per-bit sign
     votes → reassemble. The groupBy gets map-side partial aggregation, so
     the shuffle carries ``bits`` longs per doc, not per token."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    # staged (withColumn then explode_outer on the attribute), per the
+    # repo explode rule: a bare explode's implicit size>0 filter pushes
+    # below the projection with the split() inlined, re-tokenizing every
+    # row a second time
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"))
+        .select(F.col(id_col), F.explode_outer("_toks").alias("t"))
+        .where(F.col("t").isNotNull())
+        .withColumn("h", F.xxhash64("t"))
+    )
     votes = toks.groupBy(id_col).agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
@@ -424,9 +432,15 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
     empty text)."""
     from pyspark.sql import Window
 
-    paras = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    # staged split then posexplode_outer on the attribute (repo explode
+    # rule: the bare generator's implicit size>0 filter inlines the
+    # split and re-tokenizes every row)
+    paras = (
+        df.select(F.col(id_col),
+                  F.split(F.col(text_col), sep).alias("_paras"))
+        .select(F.col(id_col),
+                F.posexplode_outer("_paras").alias("pos", "para"))
+        .where(F.col("pos").isNotNull())
     )
     w = Window.partitionBy("h").orderBy(id_col, "pos")
     keep_pos = (
@@ -483,9 +497,12 @@ def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     the boilerplate being removed — AQE skew-join handles the hot
     partitions. Every input doc survives (a doc that was pure
     boilerplate keeps empty text)."""
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "ln"),
+    lines = (
+        df.select(F.col(id_col),
+                  F.split(F.col(text_col), r"\n").alias("_lines"))
+        .select(F.col(id_col),
+                F.posexplode_outer("_lines").alias("pos", "ln"))
+        .where(F.col("pos").isNotNull())
     ).withColumn("_trim_len", F.length(F.trim("ln"))).withColumn(
         "h", F.md5(F.trim("ln")))
     bad = (

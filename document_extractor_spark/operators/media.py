@@ -52,13 +52,17 @@ def caption_items(extracted: DataFrame, url_col: str = "url",
     """Extraction output (with_items=True) → caption rows with a 1-based
     positional index (row_number over item order — the I2 fallback)."""
     w = Window.partitionBy(url_col).orderBy("item_order")
+    # staged explode_outer (repo explode rule): a bare explode over the
+    # inlined array-filter would re-evaluate the filter once more per
+    # row via the implicit size>0 pushdown
     return (
         extracted.select(
             F.col(url_col),
-            F.explode(
-                F.filter(items_col, lambda it: it["type"] == "caption")
-            ).alias("item"),
+            F.filter(items_col, lambda it: it["type"] == "caption")
+            .alias("_caps"),
         )
+        .select(F.col(url_col), F.explode_outer("_caps").alias("item"))
+        .where(F.col("item").isNotNull())
         .select(url_col, F.col("item.order").alias("item_order"),
                 F.col("item.content").alias("caption"))
         .withColumn("caption_index", F.row_number().over(w))
