@@ -578,9 +578,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over planted messy URLs: mixed-case
-    scheme/host, explicit default port, tracking params, unsorted
-    params, and a fragment — all pure functions of doc_id, so the
-    canonical form is closed-form for the oracle."""
+    scheme/host, explicit default port, tracking params (including a
+    percent-encoded ``utm%5Fsource`` spelling), unsorted params, a
+    fragment, and RFC 3986 §6.2.2 percent spellings (``%7e`` → ``~``,
+    ``%2e`` → ``.``, reserved ``%2f`` uppercased in place) — all pure
+    functions of doc_id, so the canonical form is closed-form for the
+    oracle."""
     from document_extractor_spark.operators.curation import (
         canonicalize_urls,
     )
@@ -591,8 +594,8 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(
             F.lit("HTTPS://H"), (F.col("doc_id") % 37).cast("string"),
-            F.lit(".Example.ORG:443/d/"), did,
-            F.lit("?utm_source=feed&b="), did, F.lit("&a=1#frag"),
+            F.lit(".Example.ORG:443/d%2e/%7eu%2fv/"), did,
+            F.lit("?utm%5Fsource=feed&b="), did, F.lit("&a=%31#frag"),
         ).alias("url"),
     )
     return canonicalize_urls(messy).select("doc_id", "canonical_url")
@@ -2182,7 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         # function of doc_id, so the canonical form is stated directly.
         "canonical_urls": """
             SELECT doc_id,
-                   'https://h' || (doc_id % 37) || '.example.org/d/'
+                   'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
         """,

@@ -501,6 +501,40 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 2048,
 _TRACKING_RE = r"(?i)^(utm_[a-z_]{1,32}|gclid|fbclid|msclkid|mc_eid)(=|$)"
 
 
+def _pct_normalize(s):
+    """RFC 3986 §6.2.2 percent-encoding normalization of one URL
+    component (Column → Column, pure JVM): the hex digits of every
+    percent triplet are uppercased (``%2f`` → ``%2F``) and triplets
+    encoding UNRESERVED characters (ALPHA / DIGIT / ``-._~``) are
+    decoded (``%7E`` → ``~``, ``%2e`` → ``.``); reserved and non-ASCII
+    octets stay encoded. Shape: split on ``%`` — every element after
+    the first begins with whatever followed a ``%``, so a leading
+    2-hex-digit match identifies a triplet, and a dangling ``%`` (no
+    valid hex) passes through verbatim. NULL in → NULL out.
+    Idempotent: decoded output contains no triplet and uppercase hex is
+    a fixed point."""
+    parts = F.split(s, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def seg(e):
+        hex2 = F.substring(e, 1, 2)
+        rest = F.substring(e, 3, 1 << 30)
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            code.between(48, 57) | code.between(65, 90)
+            | code.between(97, 122) | code.isin(45, 46, 95, 126))
+        return F.when(
+            e.rlike("^[0-9A-Fa-f]{2}"),
+            F.concat(
+                F.when(unreserved, F.char(code))
+                .otherwise(F.concat(F.lit("%"), F.upper(hex2))),
+                rest),
+        ).otherwise(F.concat(F.lit("%"), e))
+
+    return F.concat(head, F.array_join(F.transform(tail, seg), ""))
+
+
 def canonicalize_urls(df: DataFrame, url_col: str = "url",
                       out_col: str = "canonical_url") -> DataFrame:
     """URL canonicalization — the prerequisite for URL-level dedup and
@@ -511,12 +545,17 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     ``lower(scheme)://lower(host)[:nondefault-port]path?sorted-params``
 
     where tracking params (``utm_*``, gclid, fbclid, ...) and the
-    fragment are dropped, an empty path becomes ``/``, and userinfo is
-    stripped. Unparseable URLs canonicalize to NULL (callers route them
-    to quarantine like ``url_filter`` does). Entirely JVM-side; the
-    param array is STAGED before the higher-order filter/sort (the
-    measured HOF-inlining trap), so the URL is parsed once, not once
-    per param."""
+    fragment are dropped, an empty path becomes ``/``, userinfo is
+    stripped, and percent-encoding is normalized per RFC 3986 §6.2.2
+    (hex uppercased, unreserved characters decoded — see
+    :func:`_pct_normalize`) in the path and each param BEFORE the
+    tracking filter and the param sort, so ``%7Euser`` and ``~user``
+    dedup together and an encoded ``utm%5Fsource`` is still stripped.
+    Unparseable URLs canonicalize to NULL (callers route them to
+    quarantine like ``url_filter`` does). Entirely JVM-side; the param
+    array is STAGED before the higher-order filter/sort (the measured
+    HOF-inlining trap), so the URL is parsed once, not once per
+    param."""
     u = F.col(url_col)
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
@@ -529,16 +568,21 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
         .otherwise(host_port)
     )
     raw_path = F.try_parse_url(u, F.lit("PATH"))
-    path = F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")) \
-            .otherwise(raw_path)
     staged = (
-        df.withColumn("_q", F.try_parse_url(u, F.lit("QUERY")))
+        df.withColumn("_rawpath", raw_path)
+        .withColumn(
+            "_path",
+            F.when(F.col("_rawpath").isNull() | (F.col("_rawpath") == ""),
+                   F.lit("/"))
+            .otherwise(_pct_normalize(F.col("_rawpath"))))
+        .withColumn("_q", F.try_parse_url(u, F.lit("QUERY")))
         .withColumn(
             "_params",
             F.array_sort(F.filter(
-                F.split(F.col("_q"), "&"),
+                F.transform(F.split(F.col("_q"), "&"), _pct_normalize),
                 lambda p: (p != "") & ~p.rlike(_TRACKING_RE))))
     )
+    path = F.col("_path")
     qs = (
         F.when(F.col("_q").isNull() | (F.size("_params") == 0), F.lit(""))
         .otherwise(F.concat(F.lit("?"),
@@ -546,7 +590,7 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     )
     return staged.withColumn(
         out_col, F.concat(proto, F.lit("://"), hp, path, qs)
-    ).drop("_q", "_params")
+    ).drop("_rawpath", "_path", "_q", "_params")
 
 
 def stratified_sample(docs: DataFrame, group_col: str, k: int,

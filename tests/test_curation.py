@@ -590,3 +590,26 @@ def test_pack_sequences_volume_guard_raises(spark):
         pack_sequences(df, max_rows_per_shard=10).collect()
     ok = pack_sequences(df, max_rows_per_shard=64).collect()
     assert len(ok) == 64 and all(r["tok_offset"] is not None for r in ok)
+
+
+def test_canonicalize_urls_percent_encoding(spark):
+    """RFC 3986 §6.2.2: unreserved triplets decode (%7e→~, %2e→., %61→a),
+    reserved ones stay but uppercase (%2f→%2F), an encoded tracking key
+    (utm%5Fsource) is still stripped, a dangling '%' passes through,
+    and the result is idempotent — encoded and plain spellings of the
+    same resource collapse to one canonical string."""
+    from document_extractor_spark.operators.curation import (
+        canonicalize_urls,
+    )
+
+    rows = [
+        (1, "https://ex.com/%7euser/a%2Fb%2e?b=1&utm%5Fsource=x&A=%61"),
+        (2, "https://ex.com/~user/a%2Fb.?A=a&b=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.doc_id: r.canonical_url
+           for r in canonicalize_urls(df).collect()}
+    assert out[1] == out[2] == "https://ex.com/~user/a%2Fb.?A=a&b=1"
+    again = canonicalize_urls(
+        spark.createDataFrame([(1, out[1])], "doc_id bigint, url string"))
+    assert again.collect()[0]["canonical_url"] == out[1]
