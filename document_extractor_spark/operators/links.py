@@ -87,7 +87,9 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
 def pagerank(edges: DataFrame, damping: float = 0.85,
              iterations: int = 10, src_col: str = "src_host",
              dst_col: str = "dst_host",
-             weight_col: str = "n_links") -> DataFrame:
+             weight_col: str = "n_links",
+             tol: float = 1e-9,
+             stats: dict = None) -> DataFrame:
     """Weighted PageRank over a host-level edge list — host authority is
     a standard web-corpus quality/ranking feature (the graph twin of the
     Gopher-style per-document scores). Returns ``(host, pagerank)`` for
@@ -104,6 +106,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     is redistributed uniformly each round via a 1-row aggregate
     collected on the driver — metadata-scale, like the convergence
     counters in ``duplicate_clusters``.
+
+    ``iterations`` is the hard cap; the loop exits EARLY when the L1
+    rank delta between consecutive rounds drops below ``tol`` — one
+    extra host-scale aggregate per round, reusing the two frames the
+    round already checkpointed (regular graphs converge in one round
+    and pay for one instead of ``iterations``). ``tol=0`` disables the
+    check (and its per-round job) entirely. When a ``stats`` dict is
+    passed, the executed round count and final delta are recorded in it
+    (run observability, mirroring ``duplicate_clusters``' counters).
     """
     src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
     # Unresolvable links (null src/dst) are excluded from the graph
@@ -137,8 +148,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     has_dangling = bool(dangling.head(1))
     ranks = verts.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    if stats is None:
+        stats = {}
+    stats["iterations"] = 0
+    stats["l1_delta"] = None
     try:
         for _ in range(iterations):
+            stats["iterations"] += 1
             d_mass = 0.0
             if has_dangling:
                 d_mass = (
@@ -151,6 +167,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                 .groupBy(F.col("_dst").alias("host"))
                 .agg(F.sum(F.col("pr") * F.col("_p")).alias("_in"))
             )
+            prev = ranks
             ranks = (
                 verts.join(contribs, "host", "left")
                 .select(
@@ -162,6 +179,18 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                 )
                 .localCheckpoint(eager=True)
             )
+            if tol > 0:
+                delta = (
+                    ranks.join(prev.withColumnRenamed("pr", "_prev"),
+                               "host")
+                    .agg(F.coalesce(
+                        F.sum(F.abs(F.col("pr") - F.col("_prev"))),
+                        F.lit(0.0)))
+                    .collect()[0][0]
+                )
+                stats["l1_delta"] = delta
+                if delta < tol:
+                    break
     finally:
         trans.unpersist()
         dangling.unpersist()

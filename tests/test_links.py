@@ -310,3 +310,36 @@ def test_pagerank_drops_null_host_edges(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for h in want:
         assert abs(got[h] - want[h]) < 1e-12
+
+
+def test_pagerank_converges_early_on_regular_graph(spark, sf_dir):
+    """The circulant fixture graph has uniform 1/37 as an exact fixed
+    point, so the L1-delta early exit must stop after round 1 of the
+    10-round cap — and still return the exact stationary vector."""
+    from document_extractor_spark.operators.links import (
+        extract_outlinks,
+        host_link_graph,
+        pagerank,
+    )
+    from document_extractor_spark.sources.docpages import pages_with_links
+
+    g = host_link_graph(extract_outlinks(pages_with_links(spark, sf_dir)))
+    stats = {}
+    rows = pagerank(g, iterations=10, stats=stats).collect()
+    assert stats["iterations"] == 1
+    assert stats["l1_delta"] is not None and stats["l1_delta"] < 1e-9
+    for r in rows:
+        assert abs(r["pagerank"] - 1.0 / 37) < 1e-12
+
+
+def test_pagerank_tol_zero_runs_all_iterations(spark):
+    """tol=0 disables the convergence job: the full iteration budget
+    runs even on an instantly-converged graph."""
+    from document_extractor_spark.operators.links import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)],
+        "src_host string, dst_host string, n_links bigint")
+    stats = {}
+    pagerank(df, iterations=4, tol=0, stats=stats).collect()
+    assert stats["iterations"] == 4 and stats["l1_delta"] is None
