@@ -955,6 +955,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest roundtrip: 64 planted records (urls, timestamps and
+    HTML payloads all closed forms of doc_id) are written as two real
+    Common-Crawl-shaped archives — one per-record-gzipped, one plain,
+    covering both wire paths — ingested through ``warc_to_pages_table``
+    (binaryFile scan → streaming record parser → day-partitioned
+    parquet), read back from the partitioned table, and reduced to
+    (url, warc_day, payload_md5). The oracle restates the md5 of each
+    payload directly from doc_id. Fixture construction is a bounded
+    64-record driver-side loop — the ingest itself is the distributed
+    path under test."""
+    import os
+    import shutil
+    import tempfile
+
+    from document_extractor_spark.sources.warc import (
+        build_warc,
+        warc_to_pages_table,
+    )
+
+    def payload(i: int) -> bytes:
+        return (f"<html><body><h1>Doc {i}</h1><p>body {i % 7}</p>"
+                f"</body></html>").encode()
+
+    def url(i: int) -> str:
+        return f"https://h{i % 37}.example.org/d/{i}"
+
+    def ts(i: int) -> str:
+        return f"2024-01-{15 + i % 2:02d}T10:{i % 60:02d}:00Z"
+
+    recs = [(url(i), ts(i), payload(i)) for i in range(64)]
+    base = tempfile.mkdtemp(prefix="sg_warc_rt_")
+    warc_dir, table = os.path.join(base, "warc"), os.path.join(base, "t")
+    os.makedirs(warc_dir)
+    with open(os.path.join(warc_dir, "seg-00000.warc.gz"), "wb") as f:
+        f.write(build_warc(recs[:32], per_record_gzip=True))
+    with open(os.path.join(warc_dir, "seg-00001.warc"), "wb") as f:
+        f.write(build_warc(recs[32:], per_record_gzip=False))
+    warc_to_pages_table(spark, warc_dir, table)
+    out = (
+        spark.read.parquet(table)
+        .select("url", F.col("warc_day").cast("string").alias("warc_day"),
+                F.md5("html").alias("payload_md5"))
+        # eager localCheckpoint so the temp archive + table dirs can be
+        # deleted immediately (same leak-avoidance as q_stream_dedup)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over planted duplicate chains: doc i links to
     i+100000 (i<50) and i+100000 links to i+200000 (i<20) — transitive
@@ -1452,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "warc_roundtrip": q_warc_roundtrip,
         "asof_policy": q_asof_policy,
         "range_campaigns": q_range_campaigns,
         "event_rollup": q_event_rollup,
@@ -2183,6 +2235,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # URL canonicalization: the messy fixture URL is a pure
         # function of doc_id, so the canonical form is stated directly.
+        # WARC roundtrip: the archives are BUILT from these closed forms
+        # of doc_id, so the oracle restates them; md5 of the payload
+        # string equals Spark's md5 of the ingested binary column (both
+        # hash the UTF-8 bytes).
+        "warc_roundtrip": """
+            SELECT 'https://h' || (doc_id % 37) || '.example.org/d/'
+                     || doc_id AS url,
+                   '2024-01-' || lpad(CAST(15 + doc_id % 2 AS VARCHAR),
+                                      2, '0') AS warc_day,
+                   md5('<html><body><h1>Doc ' || doc_id || '</h1><p>body '
+                       || (doc_id % 7) || '</p></body></html>')
+                     AS payload_md5
+            FROM documents WHERE doc_id < 64
+        """,
         "canonical_urls": """
             SELECT doc_id,
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
