@@ -1006,6 +1006,49 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _span_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted ExactSubstr corpus: every doc is 30 closed-form tokens;
+    docs 0-29 carry a 10-token run shared within their doc_id%5 group at
+    token positions 10..19 (tokens ``g{g}s{j}`` — group-unique), all
+    other tokens ``d{i}w{j}`` are doc-unique. With min_tokens=8 the
+    duplicated windows are exactly starts 10..12, merging to span
+    [10, 20); the group minimum (doc_id == g < 5) is the surviving
+    copy."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 5).cast("string")
+    shared = (F.col("doc_id") < 30)
+    tok = lambda j: F.when(  # noqa: E731
+        shared & (j >= 10) & (j < 20),
+        F.concat(F.lit("g"), g, F.lit("s"), j.cast("string")),
+    ).otherwise(F.concat(F.lit("d"), did, F.lit("w"), j.cast("string")))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(29)), tok), " "
+        ).alias("text"),
+    )
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span detection over the planted corpus:
+    every non-first copy of the shared 10-token run is reported as the
+    maximal token span [10, 20) — closed form of doc_id."""
+    from document_extractor_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(_span_planted(spark, sf_dir), min_tokens=8)
+
+
+def q_drop_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr rewrite: non-first copies lose exactly tokens 10..19;
+    group winners and unduplicated docs come back byte-identical."""
+    from document_extractor_spark.operators.spans import (
+        drop_duplicate_spans,
+    )
+
+    return drop_duplicate_spans(_span_planted(spark, sf_dir), min_tokens=8)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over planted duplicate chains: doc i links to
     i+100000 (i<50) and i+100000 links to i+200000 (i<20) — transitive
@@ -1504,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
         "warc_roundtrip": q_warc_roundtrip,
+        "dup_spans": q_dup_spans,
+        "drop_dup_spans": q_drop_dup_spans,
         "asof_policy": q_asof_policy,
         "range_campaigns": q_range_campaigns,
         "event_rollup": q_event_rollup,
@@ -2235,6 +2280,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # URL canonicalization: the messy fixture URL is a pure
         # function of doc_id, so the canonical form is stated directly.
+        # ExactSubstr duplicate spans over the planted corpus (see
+        # _span_planted): group winners are doc_id < 5; every other
+        # doc_id < 30 reports the maximal merged span [10, 20).
+        "dup_spans": """
+            SELECT doc_id, CAST(10 AS INT) AS span_start,
+                   CAST(20 AS INT) AS span_end
+            FROM documents WHERE doc_id >= 5 AND doc_id < 30
+        """,
+        # ExactSubstr rewrite: non-winners lose exactly tokens 10..19 of
+        # the planted 30-token doc; everyone else is byte-identical.
+        "drop_dup_spans": """
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                     list_filter(generate_series(0, 29),
+                       j -> NOT (doc_id >= 5 AND doc_id < 30
+                                 AND j >= 10 AND j < 20)),
+                     j -> CASE WHEN doc_id < 30 AND j >= 10 AND j < 20
+                               THEN 'g' || (doc_id % 5) || 's' || j
+                               ELSE 'd' || doc_id || 'w' || j END),
+                     ' ') AS text
+            FROM documents
+        """,
         # WARC roundtrip: the archives are BUILT from these closed forms
         # of doc_id, so the oracle restates them; md5 of the payload
         # string equals Spark's md5 of the ingested binary column (both
