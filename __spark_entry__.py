@@ -844,6 +844,24 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates(d.unionByName(clones), known)
 
 
+def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-pre-filtered twin of ``snapshot_dedup``: identical
+    planted batches, identical closed-form survivors — the bitmap
+    pre-filter must be invisible in the result (no false negatives;
+    candidates exactly re-checked)."""
+    from document_extractor_spark.functions.text import fingerprint
+    from document_extractor_spark.operators.bloom import (
+        drop_known_duplicates_bloom,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    known = d.filter(F.col("doc_id") < 100).select(
+        fingerprint("text").alias("fingerprint"))
+    clones = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)) \
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return drop_known_duplicates_bloom(d.unionByName(clones), known)
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-export shuffle: shard assignment and
     in-shard position are pure md5 functions of (seed, doc_id), so the
@@ -1549,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
+        "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
         "asof_policy": q_asof_policy,
         "range_campaigns": q_range_campaigns,
         "event_rollup": q_event_rollup,
@@ -2470,6 +2489,10 @@ def oracle_sql() -> dict[str, str]:
         # the in-batch clones duplicate docs 100-109 → survivors are
         # exactly the docs ≥ 100 (no natural dups in the corpus).
         "snapshot_dedup": """
+            SELECT doc_id, text FROM documents WHERE doc_id >= 100
+        """,
+        # Bloom-pre-filtered twin: result must be identical.
+        "snapshot_dedup_bloom": """
             SELECT doc_id, text FROM documents WHERE doc_id >= 100
         """,
         # Deterministic export shuffle: identical md5 arithmetic.
