@@ -844,6 +844,46 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates(d.unionByName(clones), known)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-capped inverted index over the documents table: terms in
+    2..100 docs with their sorted posting CSV (corpus-wide stopwords
+    fall above the df cap and never materialize a posting list — the
+    scale guard under test). Tokenization is the token_counts /
+    top_terms twin."""
+    from document_extractor_spark.operators.invindex import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs, min_df=2, max_df=100)
+
+
+def q_host_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation over planted verdicts: doc quality is the
+    closed form (doc_id % 4 != 0) and hosts are doc_id % 37, so each
+    host's failing fraction — and the keep verdict at max_fail_frac=0.3
+    — is exact integer arithmetic in both engines. Host 999's singleton
+    (below min_docs) and a NULL-host row exercise the keep-by-default
+    rules."""
+    from document_extractor_spark.operators.curation import (
+        host_quality_filter,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") == 1,
+              F.lit("https://h999.example.org/solo"))
+        .otherwise(F.concat(F.lit("https://h"),
+                            (F.col("doc_id") % 37).cast("string"),
+                            F.lit(".example.org/d/"), did)).alias("url"),
+        ((F.col("doc_id") % 4) != 0).alias("passes_gopher"),
+    )
+    return host_quality_filter(
+        planted, max_fail_frac=0.3).select(
+        "doc_id", "host_fail_frac", "host_keep")
+
+
 def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom-pre-filtered twin of ``snapshot_dedup``: identical
     planted batches, identical closed-form survivors — the bitmap
@@ -1568,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
         "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
+        "inverted_index": q_inverted_index,
+        "host_quality_filter": q_host_quality_filter,
         "asof_policy": q_asof_policy,
         "range_campaigns": q_range_campaigns,
         "event_rollup": q_event_rollup,
@@ -2299,6 +2341,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # URL canonicalization: the messy fixture URL is a pure
         # function of doc_id, so the canonical form is stated directly.
+        # Inverted index: identical tokenization to token_counts /
+        # top_terms; df-banded terms with ascending posting CSV.
+        "inverted_index": """
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+              FROM documents),
+            t AS (SELECT DISTINCT doc_id, term FROM raw),
+            d AS (SELECT term, count(*) AS df FROM t GROUP BY 1
+                  HAVING count(*) BETWEEN 2 AND 100)
+            SELECT d.term, CAST(d.df AS BIGINT) AS df,
+                   string_agg(CAST(t.doc_id AS VARCHAR), ','
+                              ORDER BY t.doc_id) AS postings
+            FROM d JOIN t USING (term) GROUP BY d.term, d.df
+        """,
+        # Host-level curation: hosts are doc_id%37 (doc 0 NULL-host,
+        # doc 1 a singleton host), per-doc verdict doc_id%4 <> 0 —
+        # every fraction is exact integer arithmetic.
+        "host_quality_filter": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = 0 THEN NULL
+                          WHEN doc_id = 1 THEN 'h999'
+                          ELSE 'h' || (doc_id % 37) END AS host,
+                     (doc_id % 4) <> 0 AS ok
+              FROM documents),
+            v AS (
+              SELECT host, count(*) AS n,
+                     sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS nf
+              FROM p WHERE host IS NOT NULL GROUP BY host)
+            SELECT p.doc_id,
+                   CAST(nf AS DOUBLE) / n AS host_fail_frac,
+                   coalesce(n < 2 OR CAST(nf AS DOUBLE) / n
+                            <= 0.3::DOUBLE, TRUE) AS host_keep
+            FROM p LEFT JOIN v USING (host)
+        """,
         # ExactSubstr duplicate spans over the planted corpus (see
         # _span_planted): group winners are doc_id < 5; every other
         # doc_id < 30 reports the maximal merged span [10, 20).

@@ -226,6 +226,8 @@ HEADLINE_QUERIES = [
     "pagerank", "anchor_profile", "asof_policy", "range_campaigns",
     "event_rollup", "kmv_distinct", "robots_policy", "nfc_normalize",
     "top_terms", "canonical_urls", "snapshot_diff", "stratified_sample",
+    "warc_roundtrip", "dup_spans", "drop_dup_spans",
+    "snapshot_dedup_bloom", "inverted_index", "host_quality_filter",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

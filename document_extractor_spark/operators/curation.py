@@ -387,6 +387,55 @@ def url_filter(docs: DataFrame, blocklist: DataFrame = None,
     )
 
 
+def host_quality_filter(docs: DataFrame, url_col: str = "url",
+                        pass_col: str = "passes_gopher",
+                        max_fail_frac: float = 0.5,
+                        min_docs: int = 2) -> DataFrame:
+    """RefinedWeb-style HOST-level curation: per-document quality
+    verdicts (``pass_col`` — e.g. ``gopher_quality_flags``'
+    ``passes_gopher``) aggregate per host, and every document from a
+    host whose failing fraction exceeds ``max_fail_frac`` is marked
+    dropped — a content farm is a property of the site, not of the one
+    page that happens to pass. Hosts with fewer than ``min_docs``
+    documents are kept (no evidence either way), as are docs whose URL
+    yields no host (they already answer to ``url_filter``). Annotation
+    form (``host_fail_frac``, ``host_keep``), same observability
+    contract as ``url_filter``; callers drop with
+    ``.filter("host_keep")``.
+
+    Scale shape: the verdict aggregates a narrow ``(host, bool)``
+    projection — map-side-combined counts on host-scale keys, Zipfian
+    host skew bounded by partial aggregation; the join back is the one
+    payload move, on the same host key. A NULL ``pass_col`` counts as
+    failing (unknown quality is not evidence of quality)."""
+    from .extract import host_col
+
+    host = host_col(F.col(url_col))
+    narrow = docs.select(host.alias("_host"),
+                         F.coalesce(F.col(pass_col), F.lit(False))
+                         .alias("_ok"))
+    verdicts = (
+        narrow.where(F.col("_host").isNotNull())
+        .groupBy("_host")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("_nf"))
+        .select(
+            F.col("_host"),
+            (F.col("_nf") / F.col("_n").cast("double"))
+            .alias("host_fail_frac"),
+            ((F.col("_n") < min_docs)
+             | (F.col("_nf") / F.col("_n").cast("double")
+                <= max_fail_frac)).alias("host_keep"))
+    )
+    return (
+        docs.withColumn("_host", host)
+        .join(verdicts, on="_host", how="left")
+        .withColumn("host_keep", F.coalesce(F.col("host_keep"),
+                                            F.lit(True)))
+        .drop("_host")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic training-export shuffle
 # ---------------------------------------------------------------------------

@@ -613,3 +613,54 @@ def test_canonicalize_urls_percent_encoding(spark):
     again = canonicalize_urls(
         spark.createDataFrame([(1, out[1])], "doc_id bigint, url string"))
     assert again.collect()[0]["canonical_url"] == out[1]
+
+
+def test_host_quality_filter_verdicts(spark):
+    """A host over the failing-fraction threshold drops ALL its docs
+    (even passing ones); small hosts and NULL hosts keep by default;
+    NULL verdicts count as failures."""
+    from document_extractor_spark.operators.curation import (
+        host_quality_filter,
+    )
+
+    rows = [
+        # badhost: 3 docs, 2 fail -> frac 0.667 > 0.5 -> drop all
+        (1, "https://bad.example.com/a", False),
+        (2, "https://bad.example.com/b", False),
+        (3, "https://bad.example.com/c", True),
+        # goodhost: 2 docs, 0 fail
+        (4, "https://good.example.org/a", True),
+        (5, "https://good.example.org/b", True),
+        # singleton host: below min_docs, failing doc still kept
+        (6, "https://solo.example.net/x", False),
+        # NULL url -> no host -> kept by default
+        (7, None, False),
+        # NULL verdict counts as failing: 2 docs, 1 unknown -> frac 0.5
+        (8, "https://mixed.example.io/a", None),
+        (9, "https://mixed.example.io/b", True),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, url string, passes_gopher boolean")
+    out = {r.doc_id: r for r in host_quality_filter(df).collect()}
+    assert all(not out[i]["host_keep"] for i in (1, 2, 3))
+    assert all(out[i]["host_keep"] for i in (4, 5, 6, 7, 8, 9))
+    assert abs(out[1]["host_fail_frac"] - 2 / 3) < 1e-12
+    assert out[7]["host_fail_frac"] is None
+    assert abs(out[8]["host_fail_frac"] - 0.5) < 1e-12
+
+
+def test_host_quality_filter_narrow_verdict_path(spark):
+    """The host aggregation sees only (host, bool) — no exchange on the
+    verdict path carries document text."""
+    from document_extractor_spark.operators.curation import (
+        host_quality_filter,
+    )
+    from document_extractor_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(1, "https://h.example.com/a", True, "x" * 10)],
+        "doc_id bigint, url string, passes_gopher boolean, text string")
+    plan = physical_plan(host_quality_filter(df))
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning(_host" in line:
+            assert "text" not in line, line
