@@ -1,0 +1,114 @@
+"""Bigram-LM perplexity scoring + CCNet buckets — closed-form math,
+hostile inputs, bucket semantics, and the narrow-exchange scale shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.lm import (
+    bigram_lm_scores,
+    perplexity_buckets,
+)
+
+
+def _by_id(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_bigram_lm_closed_form(spark):
+    # corpus: c(a,b)=3, c(b,a)=1, ctx(a)=3, ctx(b)=1, V={a,b}=2
+    # p(a,b) = 4/5 -> nano 223143551 ; p(b,a) = 2/3 -> nano 405465108
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, ""), (5, None)],
+        "doc_id int, text string",
+    )
+    out = _by_id(bigram_lm_scores(docs))
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_nll_nano"] == 2 * 223143551 + 405465108
+    assert out[1]["avg_nll"] == pytest.approx(0.283917)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["sum_nll_nano"] == 223143551
+    assert out[2]["avg_nll"] == pytest.approx(0.223144)
+    # <2 tokens: zero bigrams, NULL scores, but the row is present
+    for i in (3, 4, 5):
+        assert out[i]["n_bigrams"] == 0
+        assert out[i]["sum_nll_nano"] is None
+        assert out[i]["avg_nll"] is None
+
+
+def test_bigram_lm_case_and_whitespace(spark):
+    """Tokenization is the lowercased token_counts twin: case folds,
+    runs of whitespace collapse."""
+    docs = spark.createDataFrame(
+        [(1, "A  b\ta B"), (2, "a b a b")], "doc_id int, text string")
+    out = _by_id(bigram_lm_scores(docs))
+    assert out[1]["sum_nll_nano"] == out[2]["sum_nll_nano"]
+
+
+def test_perplexity_buckets_value_semantics(spark):
+    """Equal scores share a bucket (value cutoffs, not rank): six
+    identical docs all land in bucket 1."""
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en") for i in range(6)],
+        "doc_id int, text string, lang string",
+    )
+    rows = perplexity_buckets(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == 1 and rows[0]["n_docs"] == 6
+    assert rows[0]["min_avg_nll"] == rows[0]["max_avg_nll"]
+
+
+def test_perplexity_buckets_split_and_langs(spark):
+    """Distinct scores split ~n/3 per bucket, independently per lang;
+    docs with no bigrams are excluded."""
+    rows = []
+    for i in range(9):
+        # increasingly repetitive docs -> strictly varying likelihoods
+        rows.append((i, " ".join(f"w{j % (i + 2)}" for j in range(12)), "en"))
+    rows.append((100, "solo", "de"))        # no bigrams -> excluded
+    rows.append((101, "x y x y", "de"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = perplexity_buckets(docs)
+    agg = {(r["lang"], r["bucket"]): r["n_docs"] for r in out.collect()}
+    assert sum(n for (lang, _), n in agg.items() if lang == "en") == 9
+    assert agg[("de", 1)] == 1
+    assert ("de", 2) not in agg and ("de", 3) not in agg
+    en = [(b, n) for (lang, b), n in agg.items() if lang == "en"]
+    assert sorted(en) == [(1, 3), (2, 3), (3, 3)]
+
+
+def test_perplexity_buckets_sample_seam(spark):
+    """sample_frac fits cutoffs on the md5 sample but still buckets
+    every scored document."""
+    rows = [(i, " ".join(f"w{j % (i % 7 + 2)}" for j in range(12)), "en")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = perplexity_buckets(docs, sample_frac=0.5)
+    assert out.agg(F.sum("n_docs")).first()[0] == 40
+
+
+def test_perplexity_buckets_guards(spark):
+    docs = spark.createDataFrame([(1, "a b", "en")],
+                                 "doc_id int, text string, lang string")
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, n_buckets=1)
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, sample_frac=0.0)
+
+
+def test_lm_plan_no_python_and_narrow_exchanges(spark):
+    """Pure JVM, and document text never rides an exchange — the
+    shuffles carry only (id, w1, w2) token pairs / counts."""
+    from document_extractor_spark.plans import assert_no_python, physical_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "en")], "doc_id int, text string, lang string")
+    out = bigram_lm_scores(docs)
+    assert_no_python(out)
+    for line in physical_plan(out).splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    out2 = perplexity_buckets(docs)
+    assert_no_python(out2)
+    for line in physical_plan(out2).splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
