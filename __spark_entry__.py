@@ -925,6 +925,24 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(_docs(spark, sf_dir))
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs tf-idf cosine mining through the inverted index, with
+    20 planted exact clones guaranteeing non-trivial pairs; the oracle
+    is the full relational twin (not a closed form), exact because
+    weights are milli-quantized BIGINTs and the dot product is an
+    integer sum. max_df=400 exercises the prefix-filter band at fixture
+    scale (corpus stopwords appear in >400 of the 520 docs)."""
+    from document_extractor_spark.operators.invindex import (
+        tfidf_cosine_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return tfidf_cosine_pairs(
+        d.unionByName(clones), threshold=0.95, max_df=400)
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-export shuffle: shard assignment and
     in-shard position are pure md5 functions of (seed, doc_id), so the
@@ -1629,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
         "lm_perplexity": q_lm_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "warc_roundtrip": q_warc_roundtrip,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
@@ -2481,6 +2500,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s.snn AS DOUBLE) / CAST(s.nb AS DOUBLE)
                          / 1e9, 6) AS avg_nll
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # All-pairs tf-idf cosine: full relational twin of the Spark
+        # operator — sublinear-tf × idf weights milli-quantized to
+        # BIGINT, integer dot products, IEEE sqrt norms; the planted
+        # +10000 clones guarantee pairs at cosine 1.0.
+        "tfidf_cosine_pairs": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id < 20),
+            tok AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+              FROM base),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+                    HAVING count(*) BETWEEN 2 AND 400),
+            w AS (
+              SELECT doc_id, term,
+                     CAST(round((1 + ln(tf)) * ln(n.n / df) * 1000)
+                          AS BIGINT) AS w
+              FROM tf JOIN dfq USING (term), n),
+            wp AS (SELECT * FROM w WHERE w > 0),
+            norms AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm
+                      FROM wp GROUP BY 1),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(a.w * b.w) AS dot
+              FROM wp a JOIN wp b USING (term)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6)
+                     AS cosine
+            FROM dots
+            JOIN norms na ON na.doc_id = dots.doc_a
+            JOIN norms nb ON nb.doc_id = dots.doc_b
+            WHERE round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6)
+                  >= 0.95
         """,
         # CCNet buckets: cutoffs are exact order statistics (the
         # ceil(k*n/3)-th smallest score per lang), documents bucket by
