@@ -943,6 +943,16 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unionByName(clones), threshold=0.95, max_df=400)
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier curation tier: multinomial Naive Bayes fit on
+    (text, lang), predicted back over the corpus, reported as a
+    confusion matrix. All log-probs are nano-nat BIGINTs, so the argmin
+    is exact integer comparison in both engines."""
+    from document_extractor_spark.operators.nb import nb_confusion
+
+    return nb_confusion(_docs(spark, sf_dir))
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-export shuffle: shard assignment and
     in-shard position are pure md5 functions of (seed, doc_id), so the
@@ -1648,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "nb_confusion": q_nb_confusion,
         "warc_roundtrip": q_warc_roundtrip,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
@@ -2541,6 +2552,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.doc_id = dots.doc_b
             WHERE round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6)
                   >= 0.95
+        """,
+        # Naive Bayes confusion matrix: the full relational twin of the
+        # trained classifier — token-class counts, nano-nat log-probs,
+        # the algebraic unseen-token decomposition (delta + n_toks·def
+        # + prior), integer argmin with lexicographic tiebreak.
+        "nb_confusion": """
+            WITH d AS (SELECT doc_id, lang, text FROM documents
+                       WHERE lang IS NOT NULL),
+            tok AS (
+              SELECT doc_id, lang, unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> t <> '')) AS tok
+              FROM d),
+            occ AS (SELECT doc_id, lang, tok, count(*) AS tf
+                    FROM tok GROUP BY 1, 2, 3),
+            tc AS (SELECT lang AS k, tok, sum(tf) AS c_tk
+                   FROM occ GROUP BY 1, 2),
+            ck AS (SELECT k, sum(c_tk) AS c_k FROM tc GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM tc),
+            nk AS (SELECT lang AS k, count(*) AS n_k FROM d GROUP BY 1),
+            nt AS (SELECT count(*) AS n FROM d),
+            klass AS (
+              SELECT ck.k,
+                     CAST(round(-ln(1.0 / (c_k + v.v)) * 1e9) AS BIGINT)
+                       AS def_nano,
+                     CAST(round(-ln(CAST(n_k AS DOUBLE) / nt.n) * 1e9)
+                          AS BIGINT) AS prior_nano
+              FROM ck JOIN nk USING (k), v, nt),
+            model AS (
+              SELECT tc.k, tc.tok,
+                     CAST(round(-ln((c_tk + 1) / (c_k + v.v)) * 1e9)
+                          AS BIGINT) - def_nano AS dn
+              FROM tc JOIN ck USING (k) JOIN klass USING (k), v),
+            deltas AS (
+              SELECT o.doc_id, m.k, sum(o.tf * m.dn) AS delta
+              FROM occ o JOIN model m USING (tok) GROUP BY 1, 2),
+            ntk AS (SELECT doc_id, sum(tf) AS n_toks FROM occ GROUP BY 1),
+            cand AS (
+              SELECT d.doc_id, d.lang, coalesce(ntk.n_toks, 0) AS n_toks,
+                     klass.k, def_nano, prior_nano
+              FROM d LEFT JOIN ntk USING (doc_id), klass),
+            scored AS (
+              SELECT c.doc_id, c.lang, c.k,
+                     coalesce(dl.delta, 0) + c.n_toks * c.def_nano
+                       + c.prior_nano AS score
+              FROM cand c LEFT JOIN deltas dl
+                ON dl.doc_id = c.doc_id AND dl.k = c.k),
+            best AS (
+              SELECT doc_id, lang, k,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score, k) AS rn
+              FROM scored)
+            SELECT lang, k AS predicted, count(*) AS n_docs
+            FROM best WHERE rn = 1 GROUP BY 1, 2
         """,
         # CCNet buckets: cutoffs are exact order statistics (the
         # ceil(k*n/3)-th smallest score per lang), documents bucket by
