@@ -81,8 +81,11 @@ def naive_bayes_predict(df: DataFrame, id_col: str = "doc_id",
     occ = _token_counts(df, id_col, text_col, extra=(label_col,))
     occ.persist()
 
-    # model: c(t,k), c(k), V — all integer aggregates
+    # model: c(t,k), c(k), V — all integer aggregates; tc feeds three
+    # consumers (class totals, the model join, the vocab count), so it
+    # is persisted alongside occ
     tc = occ.groupBy(label_col, "tok").agg(F.sum("tf").alias("c_tk"))
+    tc.persist()
     ck = tc.groupBy(label_col).agg(F.sum("c_tk").alias("c_k"))
     v_size = tc.select("tok").distinct().count() or 0
     n_by_k = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_k"))
