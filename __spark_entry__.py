@@ -943,6 +943,24 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unionByName(clones), threshold=0.95, max_df=400)
 
 
+def q_quality_gated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the model-based tier with deterministic
+    sampling: per-language CCNet HEAD-bucket documents (most fluent
+    third), then an exactly-10-per-language md5-stratified export —
+    the 'carve a balanced high-quality eval slice' move. Verifies the
+    doc-level bucket assignment THREADS into downstream sampling."""
+    from document_extractor_spark.operators.curation import (
+        stratified_sample,
+    )
+    from document_extractor_spark.operators.lm import (
+        perplexity_bucket_assignments,
+    )
+
+    asg = perplexity_bucket_assignments(_docs(spark, sf_dir))
+    head = asg.where(F.col("bucket") == 1).select("doc_id", "lang")
+    return stratified_sample(head, group_col="lang", k=10)
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-classifier curation tier: multinomial Naive Bayes fit on
     (text, lang), predicted back over the corpus, reported as a
@@ -1659,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "nb_confusion": q_nb_confusion,
+        "quality_gated_export": q_quality_gated_export,
         "warc_roundtrip": q_warc_roundtrip,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
@@ -2552,6 +2571,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.doc_id = dots.doc_b
             WHERE round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6)
                   >= 0.95
+        """,
+        # Quality-gated export: the perplexity-bucket chain at doc
+        # level (bucket 1 = head), then the stratified_sample md5 rank
+        # — the composition of two independently-verified stages.
+        "quality_gated_export": """
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+              FROM documents),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(tk[1:greatest(len(tk) - 1, 0)]) AS w1,
+                     unnest(tk[2:len(tk)]) AS w2
+              FROM t),
+            occ AS (SELECT doc_id, w1, w2, count(*) AS occ_n
+                    FROM pairs GROUP BY 1, 2, 3),
+            v AS (SELECT count(DISTINCT tok) AS v FROM (
+                    SELECT w1 AS tok FROM occ
+                    UNION ALL SELECT w2 FROM occ)),
+            cb AS (SELECT w1, w2, sum(occ_n) AS c_bg FROM occ GROUP BY 1, 2),
+            cc AS (SELECT w1, sum(occ_n) AS c_ctx FROM occ GROUP BY 1),
+            model AS (
+              SELECT cb.w1, cb.w2,
+                     CAST(round(-ln((c_bg + 1) / (c_ctx + v.v)) * 1e9)
+                          AS BIGINT) AS nll_nano
+              FROM cb JOIN cc USING (w1), v),
+            scored AS (
+              SELECT occ.doc_id, sum(occ.occ_n) AS nb,
+                     sum(occ.occ_n * m.nll_nano) AS snn
+              FROM occ JOIN model m USING (w1, w2) GROUP BY 1),
+            s AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(snn AS DOUBLE) / CAST(nb AS DOUBLE) AS score
+              FROM documents d JOIN scored USING (doc_id) WHERE nb > 0),
+            ranked AS (
+              SELECT lang, score,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY score, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM s),
+            cuts AS (
+              SELECT lang,
+                     max(CASE WHEN rn = ceil(1 * n / 3) THEN score END) AS c1
+              FROM ranked GROUP BY lang),
+            head AS (
+              SELECT s.doc_id, s.lang
+              FROM s JOIN cuts USING (lang) WHERE score <= c1),
+            r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('strat1' || CAST(doc_id AS VARCHAR)))
+                       AS rn
+              FROM head)
+            SELECT doc_id, lang FROM r WHERE rn <= 10
         """,
         # Naive Bayes confusion matrix: the full relational twin of the
         # trained classifier — token-class counts, nano-nat log-probs,

@@ -149,12 +149,17 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
-def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", lang_col: str = "lang",
-                       n_buckets: int = 3,
-                       sample_frac: float = 1.0,
-                       seed: str = "ppl1") -> DataFrame:
-    """CCNet head/middle/tail quality buckets per language.
+def perplexity_bucket_assignments(df: DataFrame, id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  lang_col: str = "lang",
+                                  n_buckets: int = 3,
+                                  sample_frac: float = 1.0,
+                                  seed: str = "ppl1") -> DataFrame:
+    """Per-document CCNet bucket assignment:
+    ``(id, lang, bucket, sum_nll_nano, n_bigrams)`` — the composable
+    doc-level form of :func:`perplexity_buckets` (which aggregates it)
+    — compose it with ``stratified_sample`` / ``sample_mix`` for
+    quality-gated exports.
 
     Cutoffs are exact order statistics of the per-document score within
     each language: cutoff *k* (k = 1..n_buckets-1) is the
@@ -169,8 +174,7 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
     ``(lang, score)`` rows instead of the corpus.  Bucketing itself is
     a broadcast value comparison — the corpus is never globally sorted.
 
-    Returns ``(lang, bucket, n_docs, min_avg_nll, max_avg_nll)``;
-    bucket 1 = head (most fluent).  Documents with no bigrams are
+    Bucket 1 = head (most fluent); documents with no bigrams are
     excluded (no signal).
     """
     if not 0 < sample_frac <= 1.0:
@@ -234,8 +238,25 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
     for k in range(n_buckets - 1, 0, -1):
         bucket = F.when(F.col("score") <= F.col(f"_cut{k}"), F.lit(k)) \
             .otherwise(bucket)
-    bucketed = s.join(F.broadcast(cuts), "lang").select(
-        "lang", bucket.alias("bucket"), "sum_nll_nano", "n_bigrams")
+    return s.join(F.broadcast(cuts), "lang").select(
+        F.col(id_col), "lang", bucket.alias("bucket"),
+        "sum_nll_nano", "n_bigrams")
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", lang_col: str = "lang",
+                       n_buckets: int = 3,
+                       sample_frac: float = 1.0,
+                       seed: str = "ppl1") -> DataFrame:
+    """CCNet head/middle/tail quality buckets per language — the
+    corpus-level report over :func:`perplexity_bucket_assignments`
+    (see there for cutoff semantics and the ``sample_frac`` seam).
+
+    Returns ``(lang, bucket, n_docs, min_avg_nll, max_avg_nll)``;
+    bucket 1 = head (most fluent)."""
+    bucketed = perplexity_bucket_assignments(
+        df, id_col=id_col, text_col=text_col, lang_col=lang_col,
+        n_buckets=n_buckets, sample_frac=sample_frac, seed=seed)
     return (
         bucketed.groupBy("lang", "bucket")
         .agg(

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from document_extractor_spark.operators.lm import (
     bigram_lm_scores,
+    perplexity_bucket_assignments,
     perplexity_buckets,
 )
 
@@ -74,6 +75,23 @@ def test_perplexity_buckets_split_and_langs(spark):
     assert ("de", 2) not in agg and ("de", 3) not in agg
     en = [(b, n) for (lang, b), n in agg.items() if lang == "en"]
     assert sorted(en) == [(1, 3), (2, 3), (3, 3)]
+
+
+def test_bucket_assignments_consistent_with_report(spark):
+    """The doc-level assignment aggregates to exactly the bucket
+    report, and every scored doc gets exactly one bucket."""
+    rows = [(i, " ".join(f"w{j % (i % 5 + 2)}" for j in range(10)), "en")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    asg = perplexity_bucket_assignments(docs)
+    assert asg.count() == 12
+    assert asg.select("doc_id").distinct().count() == 12
+    from_asg = {(r["lang"], r["bucket"]): r["n"]
+                for r in asg.groupBy("lang", "bucket")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    report = {(r["lang"], r["bucket"]): r["n_docs"]
+              for r in perplexity_buckets(docs).collect()}
+    assert from_asg == report
 
 
 def test_perplexity_buckets_sample_seam(spark):
