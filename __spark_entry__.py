@@ -943,6 +943,24 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unionByName(clones), threshold=0.95, max_df=400)
 
 
+def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build state on doc_id < 300,
+    fold the rest in as an append-only delta (no re-tokenization of
+    the old corpus), serve the [2,100] band. The oracle is the FULL
+    REBUILD over all documents — the merge must be row-identical to
+    it, including terms that crossed min_df or max_df at the merge."""
+    from document_extractor_spark.operators.invindex import (
+        index_state_from_docs,
+        index_state_merge,
+        served_index,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    state = index_state_from_docs(d.where(F.col("doc_id") < 300))
+    merged = index_state_merge(state, d.where(F.col("doc_id") >= 300))
+    return served_index(merged, min_df=2, max_df=100)
+
+
 def q_quality_gated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition of the model-based tier with deterministic
     sampling: per-language CCNet HEAD-bucket documents (most fluent
@@ -1678,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "nb_confusion": q_nb_confusion,
         "quality_gated_export": q_quality_gated_export,
+        "index_delta_merge": q_index_delta_merge,
         "warc_roundtrip": q_warc_roundtrip,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
@@ -2571,6 +2590,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.doc_id = dots.doc_b
             WHERE round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6)
                   >= 0.95
+        """,
+        # Incremental index merge: the oracle is the FULL REBUILD over
+        # all documents (identical SQL to inverted_index) — merge ≡
+        # rebuild is the operator's equivalence contract.
+        "index_delta_merge": """
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+              FROM documents),
+            t AS (SELECT DISTINCT doc_id, term FROM raw),
+            d AS (SELECT term, count(*) AS df FROM t GROUP BY 1
+                  HAVING count(*) BETWEEN 2 AND 100)
+            SELECT d.term, CAST(d.df AS BIGINT) AS df,
+                   string_agg(CAST(t.doc_id AS VARCHAR), ','
+                              ORDER BY t.doc_id) AS postings
+            FROM d JOIN t USING (term) GROUP BY d.term, d.df
         """,
         # Quality-gated export: the perplexity-bucket chain at doc
         # level (bucket 1 = head), then the stratified_sample md5 rank

@@ -229,7 +229,7 @@ HEADLINE_QUERIES = [
     "warc_roundtrip", "dup_spans", "drop_dup_spans",
     "snapshot_dedup_bloom", "inverted_index", "host_quality_filter",
     "lm_perplexity", "perplexity_buckets", "tfidf_cosine_pairs",
-    "nb_confusion", "quality_gated_export",
+    "nb_confusion", "quality_gated_export", "index_delta_merge",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

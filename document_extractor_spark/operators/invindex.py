@@ -42,15 +42,7 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
     doc-id list, CSV-joined. Tokenization matches ``top_terms`` /
     ``token_counts`` so the index aligns with the rest of the
     token-level pipeline."""
-    from ..functions.text import tokens
-
-    pairs = (
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
-        .withColumn("_toks", tokens("_t"))
-        .select(F.col(id_col), F.explode_outer("_toks").alias("term"))
-        .where(F.col("term").isNotNull())
-        .distinct()
-    )
+    pairs = _term_doc_pairs(df, id_col, text_col)
     dfreq = (
         pairs.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -66,6 +58,117 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
                 F.transform("_ids", lambda i: i.cast("string")), ","
             ).alias("postings"))
     )
+
+
+def _term_doc_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (term, id) pairs, tokenization shared with
+    ``inverted_index`` / ``top_terms``."""
+    from ..functions.text import tokens
+
+    return (
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
+        .withColumn("_toks", tokens("_t"))
+        .select(F.col(id_col), F.explode_outer("_toks").alias("term"))
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+
+
+def index_state_from_docs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_df: int = 1_000_000) -> DataFrame:
+    """Build the MAINTAINABLE index state: ``(term, df, postings)`` for
+    EVERY term — including sub-``min_df`` singletons (their lists are
+    ≤ min_df-1 ids, so they're cheap, and a term crossing min_df after
+    a later delta needs them) — with ``postings = NULL`` for terms over
+    ``max_df`` (their lists are unrecoverable by design: the skew guard
+    means a corpus stopword's posting list never exists; only its df
+    count is carried, and df can only grow, so the list never needs to
+    come back).  Serve queries through :func:`served_index`."""
+    return (
+        _term_doc_pairs(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .select(
+            "term", "df",
+            F.when(
+                F.col("df") <= max_df,
+                F.array_join(
+                    F.transform("_ids", lambda i: i.cast("string")), ","),
+            ).alias("postings"))
+    )
+
+
+def index_state_merge(state: DataFrame, delta_docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_df: int = 1_000_000) -> DataFrame:
+    """Incremental index maintenance: fold a DELTA corpus into an
+    existing index state WITHOUT re-tokenizing the indexed corpus —
+    the append-only ingest path of a growing web archive.
+
+    Precondition (documented, upstream-enforced): delta doc ids are
+    disjoint from indexed ones — exactly what ``snapshot_dedup`` /
+    ``drop_known_duplicates_bloom`` guarantee ahead of this operator.
+    Under it, df adds and posting arrays concatenate disjointly.
+
+    Scale shape: one full-outer join on ``term``.  In-band posting
+    lists ride the exchange (inherent to index maintenance, bounded by
+    ``max_df`` entries each); over-band terms move as (term, df) only —
+    the corpus-stopword rows stay narrow forever.  The rebuilt
+    alternative re-tokenizes the ENTIRE corpus; this touches only the
+    delta plus the state.
+
+    Equivalence contract (the operator's oracle):
+    ``merge(from_docs(A), B) ≡ from_docs(A ∪ B)`` row-for-row."""
+    delta = (
+        _term_doc_pairs(delta_docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df_d"),
+             F.collect_list(id_col).alias("_ids_d"))
+    )
+    s = state.select(
+        "term", F.col("df").alias("_df_s"),
+        F.when(
+            F.col("postings").isNotNull(),
+            F.transform(F.split("postings", ","),
+                        lambda x: x.cast("long")),
+        ).alias("_ids_s"),
+        F.col("postings").isNotNull().alias("_had_list"),
+    )
+    j = s.join(delta, "term", "full_outer")
+    df2 = (F.coalesce("_df_s", F.lit(0))
+           + F.coalesce("_df_d", F.lit(0))).alias("df")
+    # postings survive iff the merged df is in cap AND the state side
+    # never dropped its list (state NULL ⇒ old df > max_df ⇒ df2 > max_df
+    # anyway — the second conjunct is belt-and-braces for a hand-edited
+    # state)
+    merged_ids = F.sort_array(F.concat(
+        F.coalesce("_ids_s", F.array().cast("array<bigint>")),
+        F.coalesce("_ids_d", F.array().cast("array<bigint>")),
+    ))
+    keep_list = (
+        (F.coalesce("_df_s", F.lit(0)) + F.coalesce("_df_d", F.lit(0))
+         <= F.lit(max_df))
+        & (F.coalesce("_had_list", F.lit(True)))
+    )
+    return j.select(
+        "term", df2,
+        F.when(
+            keep_list,
+            F.array_join(
+                F.transform(merged_ids, lambda i: i.cast("string")), ","),
+        ).alias("postings"))
+
+
+def served_index(state: DataFrame, min_df: int = 2,
+                 max_df: int = 1_000_000) -> DataFrame:
+    """The query-facing band of an index state — identical shape and
+    semantics to :func:`inverted_index` output."""
+    return state.where(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+        & F.col("postings").isNotNull()
+    ).select("term", "df", "postings")
 
 
 def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
