@@ -71,6 +71,37 @@ def test_postings_sort_is_numeric(spark):
     assert got["zz"] == (2, "9,10")
 
 
+def test_merge_is_associative_and_empty_identity(spark):
+    """State-fold algebra: ((A+B)+C) == (A+(B∪C as one delta)) == full
+    rebuild, and an empty delta is the identity — the properties that
+    make per-snapshot incremental ingest order-insensitive."""
+    a = _docs(spark, [(1, "x y"), (2, "x z")])
+    b = _docs(spark, [(3, "x y w")])
+    c = _docs(spark, [(4, "w z q")])
+    two_step = index_state_merge(
+        index_state_merge(index_state_from_docs(a), b), c)
+    one_step = index_state_merge(index_state_from_docs(a), b.unionByName(c))
+    rebuilt = index_state_from_docs(a.unionByName(b).unionByName(c))
+    assert _state_rows(two_step) == _state_rows(rebuilt)
+    assert _state_rows(one_step) == _state_rows(rebuilt)
+    empty = _docs(spark, []).where(F.lit(False))
+    ident = index_state_merge(index_state_from_docs(a), empty)
+    assert _state_rows(ident) == _state_rows(index_state_from_docs(a))
+
+
+def test_state_partitioning_invariance(spark):
+    """The served index is a pure function of the corpus, not of how
+    the state or delta frames are partitioned."""
+    old = _docs(spark, [(i, f"t{i % 3} shared") for i in range(6)])
+    new = _docs(spark, [(10 + i, f"t{i % 3} shared") for i in range(6)])
+    base = _state_rows(served_index(
+        index_state_merge(index_state_from_docs(old), new), 2, 100))
+    repart = _state_rows(served_index(
+        index_state_merge(index_state_from_docs(old.repartition(7)),
+                          new.repartition(5)), 2, 100))
+    assert base == repart
+
+
 def test_plan_no_python_narrow_exchanges(spark):
     from document_extractor_spark.plans import assert_no_python, physical_plan
 
