@@ -943,6 +943,30 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unionByName(clones), threshold=0.95, max_df=400)
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on a planted complete-bipartite host graph
+    (hub0..4 each link auth0..2): with L1 normalization the fixed point
+    is exactly rational — hubs 1/5 with authority 0, authorities 1/3
+    with hub 0 — reached in round 1 (the tol early-exit stops round 2).
+    Convergence on asymmetric graphs is numpy-verified in pytest.
+    Rounded to 9 decimals so ulp-level multiply order cannot flip the
+    hash."""
+    from document_extractor_spark.operators.links import hits
+
+    edges = (
+        spark.range(5)
+        .select(F.concat(F.lit("hub"), F.col("id")).alias("src_host"),
+                F.array(*[F.lit(f"auth{j}") for j in range(3)])
+                .alias("_dsts"))
+        .select("src_host", F.explode_outer("_dsts").alias("dst_host"))
+        .withColumn("n_links", F.lit(1))
+    )
+    out = hits(edges, iterations=10)
+    return out.select(
+        "host", F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"))
+
+
 def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance: build state on doc_id < 300,
     fold the rest in as an append-only delta (no re-tokenization of
@@ -1697,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": q_nb_confusion,
         "quality_gated_export": q_quality_gated_export,
         "index_delta_merge": q_index_delta_merge,
+        "hits_scores": q_hits_scores,
         "warc_roundtrip": q_warc_roundtrip,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
@@ -2590,6 +2615,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.doc_id = dots.doc_b
             WHERE round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6)
                   >= 0.95
+        """,
+        # HITS on the complete-bipartite fixture: the L1-normalized
+        # fixed point in closed form (hubs 1/5, authorities 1/3).
+        "hits_scores": """
+            SELECT 'hub' || i AS host, round(1.0 / 5, 9) AS hub,
+                   0.0 AS authority
+            FROM (SELECT unnest(generate_series(0, 4)) AS i)
+            UNION ALL
+            SELECT 'auth' || j, 0.0, round(1.0 / 3, 9)
+            FROM (SELECT unnest(generate_series(0, 2)) AS j)
         """,
         # Incremental index merge: the oracle is the FULL REBUILD over
         # all documents (identical SQL to inverted_index) — merge ≡

@@ -197,6 +197,97 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks.select("host", F.col("pr").alias("pagerank"))
 
 
+def hits(edges: DataFrame, iterations: int = 30,
+         src_col: str = "src_host", dst_col: str = "dst_host",
+         weight_col: str = "n_links",
+         tol: float = 1e-9,
+         stats: dict = None) -> DataFrame:
+    """Weighted HITS over the host link graph — hub and authority
+    scores, the complementary pair to :func:`pagerank` (a good hub
+    LINKS TO quality; a good authority IS LINKED FROM quality — the
+    classic seed-discovery signal for focused crawling).
+
+    Returns ``(host, hub, authority)`` for every vertex; each score
+    vector is L1-normalized (sums to 1 — L1 instead of the textbook L2
+    so a regular fixture's fixed point stays exactly rational and the
+    oracle can state it in closed form).
+
+    Same scale shape as ``pagerank``: the edge table is persisted TWICE,
+    pre-partitioned on each join key (``_src`` for the authority step,
+    ``_dst`` for the hub step), so every round is two co-partitioned
+    joins + map-side-combined groupBys on host-scale keys;
+    ``localCheckpoint`` truncates lineage per round; the normalizers
+    are 1-row driver aggregates (metadata budget, like pagerank's
+    dangling mass).  Early exit when the hub L1 delta drops below
+    ``tol``."""
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    edges = edges.where(src.isNotNull() & dst.isNotNull())
+    verts = (
+        edges.select(src.alias("host"))
+        .unionByName(edges.select(dst.alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            "host", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority"))
+    e = edges.select(src.alias("_src"), dst.alias("_dst"),
+                     w.cast("double").alias("_w"))
+    e_by_src = e.repartition("_src").persist()
+    e_by_dst = e.repartition("_dst").persist()
+    hub = verts.withColumn("hub", F.lit(1.0 / n))
+    auth = verts.withColumn("authority", F.lit(0.0))
+    if stats is None:
+        stats = {}
+    stats["iterations"] = 0
+    stats["l1_delta"] = None
+
+    def _normalize(raw, col, out):
+        total = raw.agg(
+            F.coalesce(F.sum(col), F.lit(0.0))).collect()[0][0]
+        scale = 1.0 / total if total > 0 else 0.0
+        return (
+            verts.join(raw, "host", "left")
+            .select("host",
+                    (F.coalesce(F.col(col), F.lit(0.0))
+                     * F.lit(scale)).alias(out))
+            .localCheckpoint(eager=True)
+        )
+
+    try:
+        for _ in range(iterations):
+            stats["iterations"] += 1
+            a_raw = (
+                e_by_src.join(hub, e_by_src._src == hub.host)
+                .groupBy(F.col("_dst").alias("host"))
+                .agg(F.sum(F.col("hub") * F.col("_w")).alias("_a"))
+            )
+            auth = _normalize(a_raw, "_a", "authority")
+            h_raw = (
+                e_by_dst.join(auth, e_by_dst._dst == auth.host)
+                .groupBy(F.col("_src").alias("host"))
+                .agg(F.sum(F.col("authority") * F.col("_w")).alias("_h"))
+            )
+            prev = hub
+            hub = _normalize(h_raw, "_h", "hub")
+            if tol > 0:
+                delta = (
+                    hub.join(prev.withColumnRenamed("hub", "_prev"), "host")
+                    .agg(F.coalesce(
+                        F.sum(F.abs(F.col("hub") - F.col("_prev"))),
+                        F.lit(0.0)))
+                    .collect()[0][0]
+                )
+                stats["l1_delta"] = delta
+                if delta < tol:
+                    break
+    finally:
+        e_by_src.unpersist()
+        e_by_dst.unpersist()
+    return hub.join(auth, "host").select("host", "hub", "authority")
+
+
 def incoming_anchor_profile(links: DataFrame) -> DataFrame:
     """Outlink rows → per-destination-host incoming anchor-text stats:
     ``(dst_host, n_inlinks, n_anchor_texts, top_anchor)``. Incoming
