@@ -319,7 +319,10 @@ run; **headline = {out['scaling_efficiency']:.3f}**
 {out.get('scaling_runs_eligible', 0)} eligible of
 {out.get('scaling_runs_recorded', 1)} recorded run(s) at this sf;
 history with per-pass steal evidence:
-`.bench_cache/scaling_history.json`).
+`.bench_cache/scaling_history.json` — note the history lives in the
+UNVERSIONED cache dir, so a sandbox reset between rounds starts it
+fresh; the headline is the median over THIS environment's eligible
+runs only).
 
 Methodology (revised after round-1 review): co-tenant CPU steal is NOT
 one-directional for a ratio — steal during the N-side passes *inflates*

@@ -95,10 +95,12 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     ``exp(avg_nll)``).  Documents with < 2 tokens get
     ``n_bigrams = 0`` and NULL scores.
 
-    ``V`` (smoothing vocabulary = distinct tokens in the corpus) is the
-    one driver-side scalar — metadata-scale, same budget as PageRank's
-    vertex count; at 100 TB the KMV sketch (``sketch.py``) is the
-    approximate drop-in if an exact distinct count is too expensive.
+    ``V`` (smoothing vocabulary = distinct tokens participating in any
+    bigram, i.e. tokens of documents with ≥ 2 tokens — the training
+    stream itself) is the one driver-side scalar — metadata-scale, same
+    budget as PageRank's vertex count; at 100 TB the KMV sketch
+    (``sketch.py``) is the approximate drop-in if an exact distinct
+    count is too expensive.
     """
     occ = _bigram_occurrences(df, id_col, text_col)
     occ.persist()
