@@ -28,6 +28,27 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+def exploded_tokens(df, id_col: str, text_col: str, extra: tuple = ()):
+    """``(id, *extra, tok)`` rows: lowercased whitespace tokens, staged
+    before the explode per the repo HOF/explode rule, NULLs dropped.
+    THE shared scaffold for every token-level relational operator
+    (inverted index, tf-idf, Naive Bayes, top-terms twins) so the
+    tokenizer contract the oracle SQL depends on lives in one place.
+    Oracle twin: ``unnest(list_filter(regexp_split_to_array(
+    trim(lower(text)), '\\s+'), t -> t <> ''))``."""
+    d = (
+        df.select(F.col(id_col), *[F.col(c) for c in extra],
+                  F.lower(F.col(text_col)).alias("_t"))
+        .withColumn("_toks", tokens("_t"))
+        .drop("_t")
+    )
+    return (
+        d.select(F.col(id_col), *[F.col(c) for c in extra],
+                 F.explode_outer("_toks").alias("tok"))
+        .where(F.col("tok").isNotNull())
+    )
+
+
 def char_count(col) -> Column:
     return F.length(col)
 

@@ -152,7 +152,10 @@ def drop_known_duplicates_bloom(new_docs: DataFrame, known: DataFrame,
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
     ) + ", _candidate boolean"
-    probed = keyed.mapInPandas(probe, schema)
+    # persisted: four downstream consumers (hit side, miss side, the
+    # survivors groupBy, the final semi-join) would otherwise each
+    # re-run the Arrow probe AND content_hash over the full batch text
+    probed = keyed.mapInPandas(probe, schema).persist()
     idx = known.select(F.col(fingerprint_col).alias("_fp"))
     hits = probed.where(F.col("_candidate"))
     fresh = (

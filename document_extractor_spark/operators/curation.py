@@ -262,13 +262,19 @@ def _registered_domains(hosts: DataFrame, suffixes: DataFrame) -> DataFrame:
         # suffix of k trailing labels needs a (k+1)-th label above it to
         # form a registered domain, so k ranges 1.._n-1 (capped); guard
         # the empty case — F.sequence(1, 0) counts DOWN, not empty.
+        # k ranges 1.._n (capped): k = _n is the host ITSELF as a suffix
+        # candidate — when the full host is a public suffix (the co.uk
+        # apex), the longest match must be the host and the registered
+        # domain NULL, not the shorter 'uk' match promoting co.uk to a
+        # registered domain. Guard the empty case — F.sequence(1, 0)
+        # counts DOWN, not empty.
         .withColumn(
             "_ks",
             F.when(
-                F.col("_n") >= 2,
+                F.col("_n") >= 1,
                 F.sequence(
                     F.lit(1),
-                    F.least(F.col("_n") - 1,
+                    F.least(F.col("_n"),
                             F.lit(_PSL_MAX_SUFFIX_LABELS))),
             ).otherwise(F.array().cast("array<int>")))
         .withColumn(
@@ -280,10 +286,13 @@ def _registered_domains(hosts: DataFrame, suffixes: DataFrame) -> DataFrame:
                         F.slice(F.col("_labels"),
                                 F.col("_n") - k + 1, k),
                         ".").alias("sfx"),
-                    F.array_join(
-                        F.slice(F.col("_labels"),
-                                F.col("_n") - k, k + 1),
-                        ".").alias("dom"),
+                    F.when(
+                        k < F.col("_n"),
+                        F.array_join(
+                            F.slice(F.col("_labels"),
+                                    F.col("_n") - k, k + 1),
+                            "."),
+                    ).alias("dom"),
                     k.alias("k"))))
         .withColumn("_cand", F.explode_outer("_cands"))
         .where(F.col("_cand").isNotNull())
@@ -291,10 +300,16 @@ def _registered_domains(hosts: DataFrame, suffixes: DataFrame) -> DataFrame:
                 F.col("_cand.dom").alias("_dom"),
                 F.col("_cand.k").alias("_k"))
     )
+    # max over (k, dom) structs, NOT max_by: the longest match may
+    # carry a NULL dom (host == suffix) and must still WIN — the
+    # struct max orders on k first and carries the NULL through.
     return (
         staged.join(F.broadcast(sfx), on="_sfx")
         .groupBy("host")
-        .agg(F.max_by("_dom", "_k").alias("_psl_domain"))
+        .agg(F.max(F.struct(F.col("_k").alias("k"),
+                            F.col("_dom").alias("d"))).alias("_m"))
+        .select("host", F.col("_m.d").alias("_psl_domain"),
+                F.lit(True).alias("_psl_hit"))
     )
 
 
@@ -352,11 +367,17 @@ def url_filter(docs: DataFrame, blocklist: DataFrame = None,
             annotated.join(domains, on="host", how="left")
             # the USING join moves `host` to the front; restore the
             # docs-columns-then-host order the no-suffix path has
-            .select(*docs.columns, "host", "_psl_domain")
+            .select(*docs.columns, "host", "_psl_domain", "_psl_hit")
+            # a host the PSL MATCHED keeps its verdict as-is — including
+            # the NULL of a suffix-apex host (co.uk itself has no
+            # registered domain and must not fall back); only hosts with
+            # NO suffix match take the last-two-labels fallback (the
+            # PSL's own '*' default rule)
             .withColumn(
                 "_reg_domain",
-                F.coalesce(F.col("_psl_domain"), fallback_reg))
-            .drop("_psl_domain"))
+                F.when(F.col("_psl_hit"), F.col("_psl_domain"))
+                .otherwise(fallback_reg))
+            .drop("_psl_domain", "_psl_hit"))
     else:
         annotated = annotated.withColumn("_reg_domain", fallback_reg)
 

@@ -423,10 +423,11 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
     full text), and sub-``min_len`` paragraphs are excluded from the
     window input entirely (their verdict ignores rank, so the
     empty-string hash must not become a hot partition). Winning
-    positions re-aggregate to one per-doc array (still narrow), join
-    the exploded paragraphs on the doc id, and the reassembly
-    ``groupBy`` reuses that partitioning — paragraph text moves in
-    exactly ONE exchange, keyed by the uniform doc id, never by the
+    (id, pos) keys semi-join the exploded long paragraphs — a linear
+    join, never a per-row winner-array scan (which is quadratic inside
+    one task for a many-paragraph doc) — and the reassembly ``groupBy``
+    runs on the uniform doc id. Paragraph text moves only through
+    uniform-keyed exchanges ((id, pos) then id), never through the
     skewed paragraph hash. Returns (id_col, text_col) with every input
     doc present (a doc whose every paragraph was deduplicated keeps
     empty text)."""
@@ -443,18 +444,25 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("pos").isNotNull())
     )
     w = Window.partitionBy("h").orderBy(id_col, "pos")
-    keep_pos = (
+    winners = (
         paras.filter(F.length("para") >= min_len)
         .select(F.col(id_col), "pos", F.md5(F.col("para")).alias("h"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .groupBy(id_col)
-        .agg(F.collect_set("pos").alias("_keep_pos"))
+        .select(id_col, "pos")
     )
+    # LEFT-SEMI join on (id, pos) instead of a per-row array_contains
+    # over a collected per-doc winner array: the array scan is
+    # O(paragraphs × winners) INSIDE one task for a pathological
+    # many-paragraph doc (1e5 paragraphs → 1e10 comparisons); the
+    # semi-join is linear and its key is uniform. Costs one extra
+    # uniform-keyed pass of the long-paragraph text (join key (id,pos),
+    # then the rebuild groupBy on id) — bytes, never a straggler.
     kept = (
-        paras.join(keep_pos, on=id_col, how="left")
-        .filter((F.length("para") < min_len)
-                | F.array_contains(F.col("_keep_pos"), F.col("pos")))
+        paras.filter(F.length("para") < min_len)
+        .unionByName(
+            paras.filter(F.length("para") >= min_len)
+            .join(winners, on=[id_col, "pos"], how="left_semi"))
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(

@@ -62,14 +62,13 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
 
 def _term_doc_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (term, id) pairs, tokenization shared with
-    ``inverted_index`` / ``top_terms``."""
-    from ..functions.text import tokens
+    ``inverted_index`` / ``top_terms`` (one scaffold:
+    ``functions.text.exploded_tokens``)."""
+    from ..functions.text import exploded_tokens
 
     return (
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
-        .withColumn("_toks", tokens("_t"))
-        .select(F.col(id_col), F.explode_outer("_toks").alias("term"))
-        .where(F.col("term").isNotNull())
+        exploded_tokens(df, id_col, text_col)
+        .select(F.col(id_col), F.col("tok").alias("term"))
         .distinct()
     )
 
@@ -77,14 +76,17 @@ def _term_doc_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def index_state_from_docs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           max_df: int = 1_000_000) -> DataFrame:
-    """Build the MAINTAINABLE index state: ``(term, df, postings)`` for
-    EVERY term — including sub-``min_df`` singletons (their lists are
-    ≤ min_df-1 ids, so they're cheap, and a term crossing min_df after
-    a later delta needs them) — with ``postings = NULL`` for terms over
-    ``max_df`` (their lists are unrecoverable by design: the skew guard
-    means a corpus stopword's posting list never exists; only its df
-    count is carried, and df can only grow, so the list never needs to
-    come back).  Serve queries through :func:`served_index`."""
+    """Build the MAINTAINABLE index state: ``(term, df, posting_ids)``
+    for EVERY term — including sub-``min_df`` singletons (their lists
+    are ≤ min_df-1 ids, so they're cheap, and a term crossing min_df
+    after a later delta needs them) — with ``posting_ids = NULL`` for
+    terms over ``max_df`` (their lists are unrecoverable by design: the
+    skew guard means a corpus stopword's posting list never exists;
+    only its df count is carried, and df can only grow, so the list
+    never needs to come back).  ``posting_ids`` keeps the id column's
+    NATIVE type (sorted array) — no stringly round-trip, so string or
+    long ids merge and re-sort correctly.  Serve queries through
+    :func:`served_index` (which emits the CSV shape)."""
     return (
         _term_doc_pairs(df, id_col, text_col)
         .groupBy("term")
@@ -92,11 +94,8 @@ def index_state_from_docs(df: DataFrame, id_col: str = "doc_id",
              F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .select(
             "term", "df",
-            F.when(
-                F.col("df") <= max_df,
-                F.array_join(
-                    F.transform("_ids", lambda i: i.cast("string")), ","),
-            ).alias("postings"))
+            F.when(F.col("df") <= max_df, F.col("_ids"))
+            .alias("posting_ids"))
     )
 
 
@@ -129,23 +128,20 @@ def index_state_merge(state: DataFrame, delta_docs: DataFrame,
     )
     s = state.select(
         "term", F.col("df").alias("_df_s"),
-        F.when(
-            F.col("postings").isNotNull(),
-            F.transform(F.split("postings", ","),
-                        lambda x: x.cast("long")),
-        ).alias("_ids_s"),
-        F.col("postings").isNotNull().alias("_had_list"),
+        F.col("posting_ids").alias("_ids_s"),
+        F.col("posting_ids").isNotNull().alias("_had_list"),
     )
     j = s.join(delta, "term", "full_outer")
     df2 = (F.coalesce("_df_s", F.lit(0))
            + F.coalesce("_df_d", F.lit(0))).alias("df")
-    # postings survive iff the merged df is in cap AND the state side
-    # never dropped its list (state NULL ⇒ old df > max_df ⇒ df2 > max_df
-    # anyway — the second conjunct is belt-and-braces for a hand-edited
-    # state)
+    # posting lists survive iff the merged df is in cap AND the state
+    # side never dropped its list (state NULL ⇒ old df > max_df ⇒ df2 >
+    # max_df anyway — the second conjunct is belt-and-braces for a
+    # hand-edited state).  The empty-array fallbacks take the OTHER
+    # side's element type, so native id typing flows through the merge.
     merged_ids = F.sort_array(F.concat(
-        F.coalesce("_ids_s", F.array().cast("array<bigint>")),
-        F.coalesce("_ids_d", F.array().cast("array<bigint>")),
+        F.coalesce(F.col("_ids_s"), F.array()),
+        F.coalesce(F.col("_ids_d"), F.array()),
     ))
     keep_list = (
         (F.coalesce("_df_s", F.lit(0)) + F.coalesce("_df_d", F.lit(0))
@@ -154,21 +150,21 @@ def index_state_merge(state: DataFrame, delta_docs: DataFrame,
     )
     return j.select(
         "term", df2,
-        F.when(
-            keep_list,
-            F.array_join(
-                F.transform(merged_ids, lambda i: i.cast("string")), ","),
-        ).alias("postings"))
+        F.when(keep_list, merged_ids).alias("posting_ids"))
 
 
 def served_index(state: DataFrame, min_df: int = 2,
                  max_df: int = 1_000_000) -> DataFrame:
     """The query-facing band of an index state — identical shape and
-    semantics to :func:`inverted_index` output."""
+    semantics to :func:`inverted_index` output (CSV postings)."""
     return state.where(
         (F.col("df") >= min_df) & (F.col("df") <= max_df)
-        & F.col("postings").isNotNull()
-    ).select("term", "df", "postings")
+        & F.col("posting_ids").isNotNull()
+    ).select(
+        "term", "df",
+        F.array_join(
+            F.transform("posting_ids", lambda i: i.cast("string")), ","
+        ).alias("postings"))
 
 
 def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -201,14 +197,16 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
       budget, same as PageRank's vertex count).
     * Weight bound: ``w ≤ (1+ln tf)·ln(N/df)·1e3 ≈ 4e5`` at 1e12 docs,
       so per-doc ``Σw²`` stays ~1e16 ≪ BIGINT range.
+    * ``tf``/``w`` persist for their multiple consumers and stay cached
+      for the session (lazy result — same contract as the MinHash
+      shingle frame); ``spark.catalog.clearCache()`` between
+      corpus-scale invocations in a long-lived driver.
     """
-    from ..functions.text import tokens
+    from ..functions.text import exploded_tokens
 
     tf = (
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
-        .withColumn("_toks", tokens("_t"))
-        .select(F.col(id_col), F.explode_outer("_toks").alias("term"))
-        .where(F.col("term").isNotNull())
+        exploded_tokens(df, id_col, text_col)
+        .select(F.col(id_col), F.col("tok").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

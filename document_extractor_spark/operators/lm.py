@@ -101,6 +101,13 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     budget as PageRank's vertex count; at 100 TB the KMV sketch
     (``sketch.py``) is the approximate drop-in if an exact distinct
     count is too expensive.
+
+    ``occ`` (and the bucket functions' score frame) persist for their
+    multiple consumers and stay cached for the session — the result is
+    lazy, so the operator cannot scope-unpersist them itself (the same
+    documented contract as the MinHash shingle frame in ``dedup.py``);
+    a long-lived driver invoking this per snapshot should
+    ``spark.catalog.clearCache()`` between corpus-scale calls.
     """
     occ = _bigram_occurrences(df, id_col, text_col)
     occ.persist()
@@ -177,7 +184,10 @@ def perplexity_bucket_assignments(df: DataFrame, id_col: str = "doc_id",
     a broadcast value comparison — the corpus is never globally sorted.
 
     Bucket 1 = head (most fluent); documents with no bigrams are
-    excluded (no signal).
+    excluded (no signal).  Documents whose language has no cutoff row —
+    a language entirely absent from the fit sample, or a NULL language
+    (NULL keys never match a cohort) — get bucket NULL explicitly: no
+    verdict, never a silent drop or a default-to-tail.
     """
     if not 0 < sample_frac <= 1.0:
         raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
@@ -240,7 +250,15 @@ def perplexity_bucket_assignments(df: DataFrame, id_col: str = "doc_id",
     for k in range(n_buckets - 1, 0, -1):
         bucket = F.when(F.col("score") <= F.col(f"_cut{k}"), F.lit(k)) \
             .otherwise(bucket)
-    return s.join(F.broadcast(cuts), "lang").select(
+    # LEFT join: a language absent from the cutoff-fit sample (possible
+    # when sample_frac < 1, or a NULL language — NULL keys never match)
+    # has no basis for a verdict, so its documents get bucket NULL
+    # explicitly instead of being silently dropped or mis-filed in the
+    # tail.  Cutoffs are all-or-nothing per language (every cutoff
+    # position k is ≤ n), so checking _cut1 alone decides.
+    bucket = F.when(F.col("_cut1").isNull(), F.lit(None).cast("int")) \
+        .otherwise(bucket)
+    return s.join(F.broadcast(cuts), "lang", "left").select(
         F.col(id_col), "lang", bucket.alias("bucket"),
         "sum_nll_nano", "n_bigrams")
 

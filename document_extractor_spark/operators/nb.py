@@ -38,25 +38,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
-
-#: fixed-point scale for log-probabilities (nano-nats) — same
-#: quantization as operators/lm.py, same cross-engine probe backing.
-NANO = 1_000_000_000
+from ..functions.text import exploded_tokens
+from .lm import NANO  # one fixed-point scale across the model-based tier
 
 
 def _token_counts(df: DataFrame, id_col: str, text_col: str,
                   extra: tuple = ()) -> DataFrame:
-    d = (
-        df.select(F.col(id_col), *[F.col(c) for c in extra],
-                  F.lower(F.col(text_col)).alias("_t"))
-        .withColumn("_toks", tokens("_t"))
-        .drop("_t")
-    )
     return (
-        d.select(F.col(id_col), *[F.col(c) for c in extra],
-                 F.explode_outer("_toks").alias("tok"))
-        .where(F.col("tok").isNotNull())
+        exploded_tokens(df, id_col, text_col, extra=extra)
         .groupBy(id_col, *extra, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -76,7 +65,12 @@ def naive_bayes_predict(df: DataFrame, id_col: str = "doc_id",
 
     NULL-labeled documents are excluded from training and output (no
     label to learn or confuse against); a class whose documents are all
-    token-free never enters the model."""
+    token-free never enters the model.
+
+    ``occ``/``tc`` persist for their multiple consumers and stay cached
+    for the session (lazy result — same contract as the MinHash shingle
+    frame); call ``spark.catalog.clearCache()`` between corpus-scale
+    invocations in a long-lived driver."""
     df = df.where(F.col(label_col).isNotNull())
     occ = _token_counts(df, id_col, text_col, extra=(label_col,))
     occ.persist()
@@ -134,6 +128,15 @@ def naive_bayes_predict(df: DataFrame, id_col: str = "doc_id",
     # literal (|classes| is metadata-scale — langs, not vocabulary)
     classes = sorted(
         (r["k"], r["def_nano"], r["prior_nano"]) for r in klass.collect())
+    if not classes:
+        # every labeled document is token-free: no model, no
+        # predictions — an empty, correctly-typed result instead of an
+        # unresolvable empty-array explode downstream
+        return (
+            df.select(F.col(id_col), F.col(label_col),
+                      F.col(label_col).alias("predicted"))
+            .where(F.lit(False))
+        )
     karr = F.array(*[
         F.struct(F.lit(k).alias("k"), F.lit(d).alias("def_nano"),
                  F.lit(p).alias("prior_nano"))

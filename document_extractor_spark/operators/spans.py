@@ -18,8 +18,13 @@ rolling windows over token streams):
 1. tokenize once, STAGED (the repo HOF/explode discipline);
 2. per doc, hash every ``min_tokens``-token window — a JVM
    ``transform(sequence(...))`` over the staged token array, one
-   ``xxhash64`` per window;
-3. explode to NARROW ``(id, start, hash)`` rows — 8-byte hashes; token
+   ``md5`` per window (128 bits: at the 100-TB target of ~2e13
+   windows a 64-bit hash would EXPECT ~1e7 colliding pairs, each one
+   silently deleting never-duplicated text; md5's expectation there is
+   ~1e-12 — the same reasoning as the md5-keyed paragraph dedup.
+   Tokens contain no whitespace, so the space-join the hash consumes
+   is an injective encoding of the token sequence);
+3. explode to NARROW ``(id, start, hash)`` rows — 16-byte keys; token
    text never shuffles;
 4. group by hash: a hash seen more than once is a duplicate anchor; the
    lexicographically smallest ``(id, start)`` is the surviving copy
@@ -78,8 +83,10 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                 F.col("_n") >= L,
                 F.transform(
                     F.sequence(F.lit(0), F.col("_n") - L),
-                    lambda j: F.xxhash64(F.slice("_toks", j + 1, L))),
-            ).otherwise(F.array().cast("array<bigint>")))
+                    lambda j: F.md5(
+                        F.array_join(F.slice("_toks", j + 1, L), " ")
+                        .cast("binary"))),
+            ).otherwise(F.array().cast("array<string>")))
         .select(F.col(id_col),
                 F.posexplode_outer("_wh").alias("start", "h"))
         .where(F.col("h").isNotNull())

@@ -542,6 +542,14 @@ def test_url_filter_public_suffix_etld1(spark):
     assert out[5]["url_keep"]
     assert out[6]["url_reason"] == "blocked_domain"
     assert out[7]["url_keep"]  # no registered domain -> nothing to block
+    # blocklisting a PURE SUFFIX is malformed and must block NOTHING:
+    # the apex host's registered domain is NULL (its own longest suffix
+    # match is itself), and every *.co.uk host resolves to its own
+    # eTLD+1 — consistent semantics, no apex-only blocking
+    bl2 = spark.createDataFrame([("co.uk",)], "domain string")
+    out2 = {r["doc_id"]: r
+            for r in url_filter(df, bl2, suffixes=sfx).collect()}
+    assert all(out2[i]["url_reason"] != "blocked_domain" for i in out2)
 
 
 def test_url_filter_suffix_table_does_not_change_verdict_columns(spark):

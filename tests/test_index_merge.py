@@ -15,7 +15,9 @@ def _docs(spark, rows):
 
 
 def _state_rows(df):
-    return {r["term"]: (r["df"], r["postings"]) for r in df.collect()}
+    cols = df.columns
+    key = "posting_ids" if "posting_ids" in cols else "postings"
+    return {r["term"]: (r["df"], r[key]) for r in df.collect()}
 
 
 def test_merge_equals_rebuild(spark):
@@ -46,7 +48,7 @@ def test_max_df_crossing_drops_list_and_df_keeps_counting(spark):
                                max_df=3)
     got = _state_rows(merged)
     assert got["hot"] == (5, None)          # crossed the cap at merge
-    assert got["cold"] == (2, "0,1")
+    assert got["cold"] == (2, [0, 1])
     # a second delta keeps counting df on the narrow row
     merged2 = index_state_merge(merged, _docs(spark, [(20, "hot")]),
                                 max_df=3)
@@ -58,9 +60,9 @@ def test_delta_only_and_state_only_terms(spark):
     old = _docs(spark, [(1, "oldword shared")])
     new = _docs(spark, [(2, "newword shared")])
     got = _state_rows(index_state_merge(index_state_from_docs(old), new))
-    assert got["oldword"] == (1, "1")
-    assert got["newword"] == (1, "2")
-    assert got["shared"] == (2, "1,2")
+    assert got["oldword"] == (1, [1])
+    assert got["newword"] == (1, [2])
+    assert got["shared"] == (2, [1, 2])
 
 
 def test_postings_sort_is_numeric(spark):
@@ -68,7 +70,22 @@ def test_postings_sort_is_numeric(spark):
     old = _docs(spark, [(9, "zz")])
     new = _docs(spark, [(10, "zz")])
     got = _state_rows(index_state_merge(index_state_from_docs(old), new))
-    assert got["zz"] == (2, "9,10")
+    assert got["zz"] == (2, [9, 10])
+    served = _state_rows(served_index(
+        index_state_merge(index_state_from_docs(old), new), 2, 10))
+    assert served["zz"] == (2, "9,10")
+
+
+def test_string_ids_merge_natively(spark):
+    """Non-numeric ids survive the state round-trip: posting_ids keeps
+    the id column's native type, so nothing is lost to a cast."""
+    old = spark.createDataFrame([("u-a", "zz yy")], "doc_id string, text string")
+    new = spark.createDataFrame([("u-b", "zz")], "doc_id string, text string")
+    merged = index_state_merge(index_state_from_docs(old), new)
+    got = _state_rows(merged)
+    assert got["zz"] == (2, ["u-a", "u-b"])
+    assert got["yy"] == (1, ["u-a"])
+    assert _state_rows(served_index(merged, 2, 10))["zz"] == (2, "u-a,u-b")
 
 
 def test_merge_is_associative_and_empty_identity(spark):

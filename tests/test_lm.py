@@ -104,6 +104,42 @@ def test_perplexity_buckets_sample_seam(spark):
     assert out.agg(F.sum("n_docs")).first()[0] == 40
 
 
+def test_bucket_null_for_unsampled_or_null_lang(spark):
+    """A language whose every doc misses the cutoff-fit sample, and
+    NULL-lang docs, get bucket NULL explicitly — never dropped, never
+    defaulted to the tail."""
+    from document_extractor_spark.operators.lm import (
+        perplexity_bucket_assignments,
+    )
+    from document_extractor_spark.operators.curation import (
+        mix_threshold_hex,
+    )
+
+    # find a doc id whose md5('ppl1'||id) lands ABOVE a 0.5 threshold
+    # (deterministic): probe a few
+    import hashlib
+    thr = mix_threshold_hex(0.5)
+    unsampled = next(
+        i for i in range(100, 200)
+        if hashlib.md5(f"ppl1{i}".encode()).hexdigest()[:8] >= thr)
+    rows = [(i, "a b c d e", "en") for i in range(6)]
+    rows.append((unsampled, "a b c d e", "rare"))   # only 'rare' doc
+    rows.append((999, "a b c d e", None))           # NULL lang
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    asg = {r["doc_id"]: r for r in perplexity_bucket_assignments(
+        docs, sample_frac=0.5).collect()}
+    assert len(asg) == 8                      # nothing silently dropped
+    assert asg[unsampled]["bucket"] is None   # lang absent from sample
+    assert asg[999]["bucket"] is None         # NULL lang: no cohort
+    # 'en' has a cuts row iff ANY en doc made the sample; then every
+    # en doc must be bucketed (cutoffs broadcast to the whole cohort)
+    en_sampled = any(
+        hashlib.md5(f"ppl1{i}".encode()).hexdigest()[:8] < thr
+        for i in range(6))
+    assert all((asg[i]["bucket"] is not None) == en_sampled
+               for i in range(6))
+
+
 def test_perplexity_buckets_guards(spark):
     docs = spark.createDataFrame([(1, "a b", "en")],
                                  "doc_id int, text string, lang string")

@@ -58,6 +58,17 @@ def test_null_label_excluded(spark):
     assert 3 not in got and len(got) == 2
 
 
+def test_empty_model_returns_empty_not_crash(spark):
+    """Every labeled doc token-free -> no model; an empty typed result,
+    not an AnalysisException from an empty-array explode."""
+    docs = spark.createDataFrame(
+        [(1, "   ", "A"), (2, "", "B")],
+        "doc_id int, text string, lang string")
+    out = naive_bayes_predict(docs)
+    assert out.collect() == []
+    assert out.columns == ["doc_id", "lang", "predicted"]
+
+
 def test_plan_no_python_narrow_exchanges(spark):
     from document_extractor_spark.plans import assert_no_python, physical_plan
 
