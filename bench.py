@@ -180,7 +180,12 @@ def scale_run(cores: int) -> None:
     walls = []
     steals = []
     docs = 0
-    while len(walls) < 6:
+    # Minimum 5 passes (was 3): under one-sided noise (co-tenant steal and
+    # in-guest contention only ever SLOW a pass) the fastest-of-N wall is a
+    # consistent estimator of the true job time, and quiet passes still
+    # spread ~20% on this box — N=5 tightens it, applied symmetrically to
+    # BOTH sides of the N→4N pair so the ratio stays unbiased.
+    while len(walls) < 7:
         result, obs = observe_extract(extract_pages(pages))
         s0 = _cpu_steal()
         t0 = time.monotonic()
@@ -188,14 +193,24 @@ def scale_run(cores: int) -> None:
         walls.append(time.monotonic() - t0)
         steals.append(_cpu_steal() - s0)
         docs = int(obs.get["docs"])
-        if len(walls) >= 3 and min(steals) < 150:
+        if len(walls) >= 5 and min(steals) < 150:
             break
-    best = min(range(len(walls)), key=walls.__getitem__)
+    # Select the fastest pass that measured LOW steal; only if no pass was
+    # steal-quiet fall back to the fastest overall (the pair will then be
+    # gated ineligible).  A fast-but-stolen pass means the job is at least
+    # that fast, but its wall is contaminated in an unknowable direction —
+    # a quiet pass's wall is the honest per-width measurement, and picking
+    # it (symmetrically on both sides of the N→4N pair) is exactly the
+    # "measure the job, not the neighbors" rule the eligibility gate
+    # encodes.  Before this, one noisy-but-fastest pass discarded the
+    # whole 4-subprocess observation even when a quiet pass existed.
+    quiet = [i for i in range(len(walls)) if steals[i] < 150]
+    best = min(quiet or range(len(walls)), key=walls.__getitem__)
     wall = walls[best]
     print(json.dumps({"cores": cores, "docs": docs, "wall_sec": wall,
                       "walls": walls, "steal_jiffies": steals,
-                      # steal measured during the SELECTED (fastest) pass —
-                      # the pair-eligibility gate reads this, not min(steals)
+                      # steal measured during the SELECTED pass — the
+                      # pair-eligibility gate reads this, not min(steals)
                       "sel_steal": steals[best],
                       "load_at_start": round(load0, 2),
                       "docs_per_sec": docs / wall}))
@@ -434,22 +449,13 @@ def _load_linearity() -> dict | None:
         return None
 
 
-def main() -> None:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
-        scale_run(int(sys.argv[2]))
-        return
-    if len(sys.argv) >= 2 and sys.argv[1] == "--linearity":
-        linearity_run()
-        return
-
-    ensure_corpus()
-    total0 = time.monotonic()
-    scale = {}
+def _run_scale_subprocesses() -> dict:
     # Two N→4N pairs. PRIMARY: 4→16 — at half machine width the "4N"
     # configuration is not fighting the box's own DRAM-bandwidth/turbo
     # ceiling or co-tenant CPU steal, so it is the honest stand-in for
     # 4× executors on 4× machines. SECONDARY: 8→32 (full width),
     # reported with per-pass steal + the machine's pure-CPU ceiling.
+    scale = {}
     for cores in (4, 16, 8, CPUS):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scale-run",
@@ -458,33 +464,24 @@ def main() -> None:
             env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
         )
         scale[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    return scale
 
-    # analytics pair evidence: same shuffle-bearing queries at local[8]
-    # then local[32], sequential fresh sessions, each warmed untimed
-    spark8 = _session(8)
-    spark8.sparkContext.setLogLevel("ERROR")
-    times8 = _run_headline(spark8, names=ANALYTICS_PAIR_QUERIES)
-    spark8.stop()
 
-    spark = _session(CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-    times = _run_headline(spark)
-    spark.stop()
+def _record_scaling(scale: dict) -> dict:
+    """Append this run's pairs to the history and recompute the gated
+    median headline.
 
-    for cores in (4, 16, 8, CPUS):
-        times[f"extract_corpus_local{cores}"] = round(
-            scale[cores]["wall_sec"], 3)
+    Headline methodology (revised after r1 review): steal is NOT
+    one-directional — steal on the N (denominator) side INFLATES the
+    ratio, so best-of-history was an upward-biased estimator. A run's
+    pair is ELIGIBLE only when the selected pass on BOTH sides of the
+    pair measured low steal (<150 jiffies); the headline is the MEDIAN
+    of eligible primary-pair (4→16) observations across recorded runs
+    at this sf. History: .bench_cache/scaling_history.json.
+    """
     eff_4_16 = scale[16]["docs_per_sec"] / (4 * scale[4]["docs_per_sec"])
     eff_8_32 = scale[CPUS]["docs_per_sec"] / (
         (CPUS / 8) * scale[8]["docs_per_sec"])
-
-    # Headline methodology (revised after r1 review): steal is NOT
-    # one-directional — steal on the N (denominator) side INFLATES the
-    # ratio, so best-of-history was an upward-biased estimator. A run's
-    # pair is ELIGIBLE only when the selected pass on BOTH sides of the
-    # pair measured low steal (<150 jiffies); the headline is the MEDIAN
-    # of eligible primary-pair (4→16) observations across recorded runs
-    # at this sf. History: .bench_cache/scaling_history.json.
     STEAL_OK = 150
     hist_path = os.path.join(CACHE, "scaling_history.json")
     try:
@@ -533,6 +530,79 @@ def main() -> None:
     else:
         headline_eff = eff_4_16
         basis = "this_run_4_16_no_steal_quiet_run_recorded"
+    return {
+        "eff_4_16": eff_4_16,
+        "eff_8_32": eff_8_32,
+        "headline": headline_eff,
+        "basis": basis,
+        "recorded": len(same_sf),
+        "eligible": len(eligible_4_16),
+        "eligible_values": eligible_4_16,
+    }
+
+
+def scaling_only() -> None:
+    """One scaling observation, no query tables: run the four scale-run
+    subprocesses, append the pair to the history under the SAME steal +
+    load gates as a full bench, and print the updated gated median. Used
+    to accumulate eligible 4→16 pairs in quiet windows without paying
+    for the ~80-query headline tables each time."""
+    ensure_corpus()
+    scale = _run_scale_subprocesses()
+    rec = _record_scaling(scale)
+    print(json.dumps({
+        "metric": "scaling_only",
+        "eff_4_16_this_run": round(rec["eff_4_16"], 3),
+        "eff_8_32_this_run": round(rec["eff_8_32"], 3),
+        "headline": round(rec["headline"], 3),
+        "basis": rec["basis"],
+        "recorded": rec["recorded"],
+        "eligible": rec["eligible"],
+        "eligible_values": rec["eligible_values"],
+        "sel_steal": {str(c): scale[c].get("sel_steal")
+                      for c in (4, 16, 8, CPUS)},
+        "load": {str(c): scale[c].get("load_at_start")
+                 for c in (4, 16, 8, CPUS)},
+    }))
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
+        scale_run(int(sys.argv[2]))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--linearity":
+        linearity_run()
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scaling-only":
+        scaling_only()
+        return
+
+    ensure_corpus()
+    total0 = time.monotonic()
+    scale = _run_scale_subprocesses()
+
+    # analytics pair evidence: same shuffle-bearing queries at local[8]
+    # then local[32], sequential fresh sessions, each warmed untimed
+    spark8 = _session(8)
+    spark8.sparkContext.setLogLevel("ERROR")
+    times8 = _run_headline(spark8, names=ANALYTICS_PAIR_QUERIES)
+    spark8.stop()
+
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    times = _run_headline(spark)
+    spark.stop()
+
+    for cores in (4, 16, 8, CPUS):
+        times[f"extract_corpus_local{cores}"] = round(
+            scale[cores]["wall_sec"], 3)
+    rec = _record_scaling(scale)
+    eff_4_16 = rec["eff_4_16"]
+    eff_8_32 = rec["eff_8_32"]
+    headline_eff = rec["headline"]
+    basis = rec["basis"]
+    eligible_4_16 = rec["eligible_values"]
+    same_sf_count = rec["recorded"]
     out = {
         "metric": "extraction+analytics bench (docs/sec + headline queries)",
         "value": round(time.monotonic() - total0, 3),
@@ -550,7 +620,7 @@ def main() -> None:
         "scaling_efficiency_this_run": round(eff_4_16, 3),
         "scaling_efficiency_4_16": round(eff_4_16, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
-        "scaling_runs_recorded": len(same_sf),
+        "scaling_runs_recorded": same_sf_count,
         "scaling_runs_eligible": len(eligible_4_16),
         "steal_local4": scale[4].get("steal_jiffies"),
         "steal_local16": scale[16].get("steal_jiffies"),
