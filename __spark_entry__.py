@@ -884,6 +884,51 @@ def q_host_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host_fail_frac", "host_keep")
 
 
+def q_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota over planted hosts: host = doc_id % 7, quality =
+    (doc_id*7) % 13 (deliberately collides within a host so the md5 tie
+    break is exercised), k=3; doc 0 carries a NULL url for the
+    keep-by-default rule. Survivor set is exact window arithmetic in
+    both engines."""
+    from document_extractor_spark.operators.curation import cap_per_host
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("https://h"),
+                            (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".example.org/d/"), did)).alias("url"),
+        ((F.col("doc_id") * 7) % 13).cast("double").alias("quality"),
+    )
+    return cap_per_host(planted, k=3, quality_col="quality").select(
+        "doc_id", "host_rank", "host_cap_keep")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table blocked by its topic label:
+    vec_ids 1..10 get planted same-label duplicates (2·v — doubling is
+    exact in IEEE floats, so the normalized twin is bit-identical and
+    cosine is exactly 1 ≥ 0.95, while the best organic pair is ≈0.37,
+    nowhere near the threshold) under id+300000; the md5-priority keep
+    rule then picks the same survivor in both engines."""
+    from document_extractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id").between(1, 10)).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(2.0)).cast("float"))
+        .alias("embedding"),
+        "label",
+    )
+    return semantic_dedup(emb.unionByName(planted), dim=64,
+                          threshold=0.95, cluster_col="label")
+
+
 def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom-pre-filtered twin of ``snapshot_dedup``: identical
     planted batches, identical closed-form survivors — the bitmap
@@ -1715,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "cap_per_host": q_cap_per_host,
+        "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -1747,7 +1794,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "snapshot_diff": q_snapshot_diff,
         "stratified_sample": q_stratified_sample,
-        # --- attested green in CORRECTNESS_r04.json ---
+        # --- attested green in r04 but CHANGED since (need fresh
+        # attestation): url_filter (NULL-url classify + eTLD+1 seam),
+        # drop_dup_paragraphs (de-payloaded window), simhash + the two
+        # media queries (staged explodes) ---
+        "url_filter": q_url_filter,
+        "drop_dup_paragraphs": q_drop_dup_paragraphs,
+        "simhash": q_simhash,
+        "image_extract": q_image_extract,
+        "image_items": q_image_items,
+        # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
         "extract_span_profile": q_extract_span_profile,
@@ -1764,8 +1820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "drop_near_dups": q_drop_near_dups,
-        "drop_dup_paragraphs": q_drop_dup_paragraphs,
-        "simhash": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -1786,10 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_pivot": q_kv_pivot,
         "json_repair": q_json_repair,
         "multipage_merge": q_multipage_merge,
-        "image_extract": q_image_extract,
         "image_link": q_image_link,
         "readability": q_readability,
-        "image_items": q_image_items,
         "dup_clusters": q_dup_clusters,
         "source_quantiles": q_source_quantiles,
         "formatting_render": q_formatting_render,
@@ -1797,7 +1849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_positions": q_pdf_positions,
         "pdf_metadata": q_pdf_metadata,
         "c4_filter": q_c4_filter,
-        "url_filter": q_url_filter,
     }
 
 
@@ -2478,6 +2529,55 @@ def oracle_sql() -> dict[str, str]:
         # Host-level curation: hosts are doc_id%37 (doc 0 NULL-host,
         # doc 1 a singleton host), per-doc verdict doc_id%4 <> 0 —
         # every fraction is exact integer arithmetic.
+        # Per-host quota: same planted host/quality arithmetic as the
+        # Spark side; survivors are exact window arithmetic (md5 of the
+        # same id strings breaks the planted quality ties identically).
+        "cap_per_host": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = 0 THEN NULL
+                          ELSE 'h' || (doc_id % 7) END AS host,
+                     ((doc_id * 7) % 13)::DOUBLE AS q
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY q DESC, md5(doc_id::VARCHAR)) AS INT)
+                       AS host_rank
+              FROM p WHERE host IS NOT NULL)
+            SELECT p.doc_id, r.host_rank,
+                   coalesce(r.host_rank <= 3, TRUE) AS host_cap_keep
+            FROM p LEFT JOIN r USING (doc_id)
+        """,
+        # SemDeDup: the planting (2·v under id+300000) and the
+        # md5-priority local-maximum keep rule replayed exactly; doubling
+        # is exact in IEEE floats, so normalized twins are bit-identical
+        # (cosine 1) and the organic pairs sit ≈0.37 — both engines agree
+        # on every verdict with margin.
+        "semantic_dedup": """
+            WITH aug AS (
+              SELECT vec_id, embedding, label FROM embeddings
+              UNION ALL
+              SELECT vec_id + 300000,
+                     list_transform(embedding,
+                                    x -> CAST(x * 2 AS FLOAT)), label
+              FROM embeddings WHERE vec_id BETWEEN 1 AND 10),
+            n AS (
+              SELECT vec_id, label, md5(vec_id::VARCHAR) AS pri,
+                list_transform(embedding, x -> x::DOUBLE /
+                  sqrt(list_sum(list_transform(embedding,
+                    y -> y::DOUBLE * y::DOUBLE)))) AS v
+              FROM aug),
+            drp AS (
+              SELECT DISTINCT b.vec_id
+              FROM n a JOIN n b
+                ON a.label = b.label AND a.pri < b.pri
+              WHERE list_sum(list_transform(range(1, 65),
+                      i -> a.v[i] * b.v[i])) >= 0.95)
+            SELECT n.vec_id, drp.vec_id IS NULL AS sem_keep
+            FROM n LEFT JOIN drp USING (vec_id)
+        """,
         "host_quality_filter": """
             WITH p AS (
               SELECT doc_id,

@@ -457,6 +457,51 @@ def host_quality_filter(docs: DataFrame, url_col: str = "url",
     )
 
 
+def cap_per_host(docs: DataFrame, k: int, url_col: str = "url",
+                 quality_col: str = None,
+                 key_col: str = "doc_id") -> DataFrame:
+    """Per-host document quota — the Gopher / RefinedWeb "limit the
+    contribution of any single site" rule: keep at most ``k`` documents
+    per URL host, preferring higher ``quality_col`` (when given), with
+    ties — and the whole ordering when no quality column exists — broken
+    by ``md5(key)`` so reruns, partitionings, and the DuckDB twin all
+    pick the same survivors. Documents whose URL yields no host are kept
+    (unparseable URLs answer to ``url_filter``, not the quota).
+    Annotation form (``host_rank`` 1-based within host, ``host_cap_keep``),
+    the same observability contract as ``url_filter`` /
+    ``host_quality_filter``; callers drop with ``.filter("host_cap_keep")``.
+
+    Scale shape: the rank window sees only a narrow ``(host, key,
+    quality)`` projection — document payloads never enter the shuffle —
+    and verdicts join back on the key column. Zipfian hosts make the
+    window partition skewed, but each row is three scalar columns, the
+    same per-row bound as the dedup winner windows; a 10M-page host is
+    ~300 MB of keys on one reducer, not 300 GB of text."""
+    from pyspark.sql import Window
+
+    from .extract import host_col
+
+    host = host_col(F.col(url_col))
+    qual = (F.col(quality_col).cast("double") if quality_col
+            else F.lit(0.0))
+    narrow = docs.select(host.alias("_host"),
+                         F.col(key_col).alias("_key"),
+                         qual.alias("_q"))
+    w = Window.partitionBy("_host").orderBy(
+        F.col("_q").desc_nulls_last(),
+        F.md5(F.col("_key").cast("string")))
+    ranked = (
+        narrow.where(F.col("_host").isNotNull())
+        .select("_key", F.row_number().over(w).alias("host_rank"))
+    )
+    return (
+        docs.join(ranked, docs[key_col] == ranked._key, "left")
+        .drop("_key")
+        .withColumn("host_cap_keep",
+                    F.coalesce(F.col("host_rank") <= k, F.lit(True)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic training-export shuffle
 # ---------------------------------------------------------------------------

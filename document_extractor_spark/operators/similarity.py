@@ -291,3 +291,75 @@ def ivf_topk(indexed: DataFrame, centers: list, qvec: list, k: int = 10,
     probes = [int(i) for i in np.argsort(d)[:nprobe]]
     cand = indexed.filter(F.col("ivf_cell").isin(probes))
     return brute_force_topk(cand, qvec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
+                   cluster_col: str = None, n_cells: int = 16,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster_size: int = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    whose embedding is near-identical (cosine ≥ ``threshold``) to a
+    higher-priority member of the SAME cluster. Priority is
+    ``md5(id)`` — deterministic, order-free, partitioning-invariant —
+    so the keep rule is "a row survives iff no lower-md5 same-cluster
+    row sits within the threshold", a local-maximum rule an exact SQL
+    twin can verify (no greedy sequential scan to replay). Clusters
+    come from ``cluster_col`` when the caller already has a blocking
+    key (topic label, IVF cell, SRP band); with ``cluster_col=None``
+    the MLlib-KMeans coarse quantizer (``ivf_index``, sample-trainable)
+    assigns one — the paper's actual recipe.
+
+    Scale shape: candidate pairs exist only WITHIN a cluster — the
+    self-join is an equi-join on the cluster key carrying
+    ``(id, priority, normalized vec)``, never document payloads, and
+    cost is Σ |cluster|², bounded by sizing n_cells ≈ corpus/target
+    (SemDeDup uses 50k clusters at 100M scale for the same reason).
+    ``max_cluster_size`` is the safety rail: a skewed cluster fails
+    loudly at plan time instead of silently building a quadratic
+    straggler (the ``range_join`` cell-guard contract).
+    Returns ``(id_col, sem_keep)``; callers drop with
+    ``.filter("sem_keep")`` via a join or semi-join on the id."""
+    if cluster_col is None:
+        indexed, _ = ivf_index(df, n_cells=n_cells, seed=seed,
+                               id_col=id_col, vec_col=vec_col)
+        cluster_col = "ivf_cell"
+        df = indexed
+    narrow = df.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(id_col).cast("string")).alias("_pri"),
+        _l2_normalized(F.col(vec_col)).alias("_v"),
+    ).where(F.col("_cl").isNotNull())
+    if max_cluster_size is not None:
+        worst = (narrow.groupBy("_cl").count()
+                 .agg(F.max("count")).first()[0] or 0)
+        if worst > max_cluster_size:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {worst} rows "
+                f"(max_cluster_size={max_cluster_size}); raise n_cells "
+                "or pre-split the blocking key before the pairwise pass")
+    a = narrow.alias("sa")
+    b = narrow.alias("sb")
+    # vectors are pre-normalized → cosine is the plain dot product
+    dot = F.aggregate(
+        F.zip_with(F.col("sa._v"), F.col("sb._v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, (F.col("sa._cl") == F.col("sb._cl"))
+               & (F.col("sa._pri") < F.col("sb._pri")))
+        .where(dot >= threshold)
+        .select(F.col("sb._id").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dropped, F.col(id_col) == F.col("_dropped"), "left")
+        .select(id_col, F.col("_dropped").isNull().alias("sem_keep"))
+    )

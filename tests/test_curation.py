@@ -672,3 +672,55 @@ def test_host_quality_filter_narrow_verdict_path(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning(_host" in line:
             assert "text" not in line, line
+
+
+def test_cap_per_host_quota_and_quality(spark):
+    """At most k docs survive per host; the highest-quality docs are the
+    survivors; a NULL-url row is kept (answers to url_filter, not the
+    quota)."""
+    from document_extractor_spark.operators.curation import cap_per_host
+
+    rows = ([(i, f"https://big.example.org/{i}", float(i)) for i in range(6)]
+            + [(10, "https://small.example.org/x", 1.0),
+               (11, None, 9.9)])
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, q double")
+    out = cap_per_host(df, k=2, quality_col="q")
+    kept = {r.doc_id for r in out.filter("host_cap_keep").collect()}
+    # big host: top-2 by quality = docs 4, 5; small host + NULL url kept
+    assert kept == {4, 5, 10, 11}
+    ranks = {r.doc_id: r.host_rank for r in out.collect()}
+    assert ranks[5] == 1 and ranks[4] == 2 and ranks[11] is None
+
+
+def test_cap_per_host_md5_tie_break_deterministic(spark):
+    """Equal quality → survivor chosen by md5(key), invariant under
+    input partitioning."""
+    from document_extractor_spark.operators.curation import cap_per_host
+
+    rows = [(i, "https://h.example.org/d", 1.0) for i in range(20)]
+    df1 = spark.createDataFrame(rows, "doc_id bigint, url string, q double")
+    df8 = df1.repartition(8)
+    k1 = sorted(r.doc_id for r in
+                cap_per_host(df1, k=3, quality_col="q")
+                .filter("host_cap_keep").collect())
+    k8 = sorted(r.doc_id for r in
+                cap_per_host(df8, k=3, quality_col="q")
+                .filter("host_cap_keep").collect())
+    assert k1 == k8 and len(k1) == 3
+
+
+def test_cap_per_host_no_python_and_narrow_window(spark):
+    """Plan hygiene: no Python in the plan, and no exchange below the
+    rank window carries the payload column."""
+    from document_extractor_spark.operators.curation import cap_per_host
+
+    df = spark.createDataFrame(
+        [(1, "https://h.example.org/a", "PAYLOAD" * 100)],
+        "doc_id bigint, url string, text string")
+    out = cap_per_host(df, k=1)
+    assert_no_python(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window's input exchange must not carry `text`
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(_host[^\n]*", plan):
+        assert "text" not in m.group(0)

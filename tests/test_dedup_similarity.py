@@ -514,3 +514,90 @@ def test_drop_duplicate_paragraphs_short_paras_skip_window(spark):
            for r in drop_duplicate_paragraphs(df).collect()}
     assert out[1] == long_a + "\n\n\n\nshort"
     assert out[2] == "\n\nshort"  # long para deduped, shorts survive
+
+
+def test_semantic_dedup_drops_planted_twin_keeps_singletons(spark):
+    """A cosine-1 twin inside the same cluster loses exactly one of the
+    pair (the md5-larger id); cross-cluster identical vectors are NOT
+    compared; singletons survive."""
+    from document_extractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, v, 0), (2, [2.0, 0.0, 0.0, 0.0], 0),   # twins, cluster 0
+        (3, v, 1),                                  # same vec, other cluster
+        (4, w, 0),                                  # orthogonal singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = {r.vec_id: r.sem_keep for r in
+           semantic_dedup(df, dim=4, threshold=0.95,
+                          cluster_col="label").collect()}
+    assert out[3] and out[4]
+    assert sorted([out[1], out[2]]) == [False, True]
+    import hashlib
+    pri = {i: hashlib.md5(str(i).encode()).hexdigest() for i in (1, 2)}
+    survivor = 1 if pri[1] < pri[2] else 2
+    assert out[survivor] is True
+
+
+def test_semantic_dedup_learned_clusters_kmeans_path(spark):
+    """cluster_col=None → IVF KMeans assigns clusters; on well-separated
+    planted clusters the within-cluster twin is still caught."""
+    import numpy as np
+
+    from document_extractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # σ=1 noise on norm-10 centers: member-pair cosines land ≈0.92-0.98,
+    # comfortably BELOW the 0.999 threshold, while the planted scaled
+    # twin is exactly 1 — only the twin pair is a semantic duplicate.
+    for cid, center in enumerate([np.eye(8)[0] * 10, np.eye(8)[4] * 10]):
+        for i in range(20):
+            vec = center + rng.normal(0, 1.0, 8)
+            rows.append((cid * 100 + i, [float(x) for x in vec]))
+    rows.append((999, [float(x) for x in np.array(rows[0][1]) * 3]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r.sem_keep for r in
+           semantic_dedup(df, dim=8, threshold=0.999,
+                          cluster_col=None, n_cells=2).collect()}
+    # 999 is an exact scaled twin of vec 0 — exactly one of them drops
+    assert sorted([out[0], out[999]]) == [False, True]
+
+
+def test_semantic_dedup_cluster_size_guard_raises(spark):
+    from document_extractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup(df, dim=2, cluster_col="label",
+                       max_cluster_size=5)
+
+
+def test_semantic_dedup_tolerates_zero_vector(spark):
+    """A zero embedding must not crash the pass and is never a near-dup
+    of anything (cosine undefined → dot 0 after the zero-safe
+    normalization)."""
+    from document_extractor_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [2.0, 0.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = {r.vec_id: r.sem_keep for r in
+           semantic_dedup(df, dim=2, threshold=0.95,
+                          cluster_col="label").collect()}
+    assert out[1] is True
+    assert sorted([out[2], out[3]]) == [False, True]
