@@ -35,7 +35,13 @@ CACHE = os.path.join(REPO, ".bench_cache")
 # (≳40 s at local[8], ≳10 s at local[32] at sf0.1: pages avg ~16 KB,
 # extraction ~3.7 ms/doc single-core) and fixed job overheads stay <10%
 DOCS_PER_SF = 1_000_000
-CORPUS_VERSION = 2  # bump when generator output changes → regenerates cache
+CORPUS_VERSION = 3  # bump when generator output changes → regenerates cache
+# v3: same rows as v2 (identical shard seeds), written as 2 files per
+# (shard, day) instead of 1 — 256 files ≈ 1.1 MB at sf0.1. With 2 MB
+# splits that is ~256 single-file tasks: ≥ 8 waves at every bench width,
+# so the last-wave straggler tail costs every width the same few percent
+# instead of taxing only the wide side (at 100 TB the same job has
+# millions of 128 MB splits and no wave-granularity effect at all).
 
 
 def _sf_from_dir(d: str) -> float:
@@ -64,11 +70,12 @@ def _session(cores: int, shuffle_parts: int | None = None):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The narrow extract plan gets its parallelism from scan splits;
-        # the default 128 MB maxPartitionBytes would bin-pack the ~2 MB
-        # bench files into ~20 splits and starve 32 cores. 4 MB + small
-        # open cost → ~1-2 files per split ≈ 2-4× cores tasks at sf0.1.
+        # the default 128 MB maxPartitionBytes would bin-pack the ~1 MB
+        # bench files into ~20 splits and starve 32 cores. 2 MB + 512 KB
+        # open cost → one file per split ≈ 256 tasks ≥ 8 waves at every
+        # width, so wave-tail loss is width-symmetric.
         # (At 100 TB the default 128 MB is right — this is bench sizing.)
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
@@ -129,11 +136,17 @@ def _gen_shard_entry(args):
     for i, (day, rows) in enumerate(sorted(buckets.items())):
         dd = os.path.join(out_dir, f"warc_day={day}")
         os.makedirs(dd, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pylist(rows, schema=schema),
-            os.path.join(dd, f"s{shard:02d}-{i:03d}.parquet"),
-            compression="zstd",
-        )
+        # two files per (shard, day): finer scan-split granularity so the
+        # bench widths all get ≥ 8 scheduling waves (see CORPUS_VERSION)
+        half = (len(rows) + 1) // 2
+        for part, chunk in enumerate((rows[:half], rows[half:])):
+            if not chunk:
+                continue
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=schema),
+                os.path.join(dd, f"s{shard:02d}-{i:03d}-p{part}.parquet"),
+                compression="zstd",
+            )
     return shard
 
 
