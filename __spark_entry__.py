@@ -947,6 +947,21 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampled selection (Xie et al. 2023): target =
+    the src0 documents, raw corpus = all documents; hashed unigram+bigram
+    buckets (md5 mod 2048), Laplace-smoothed log ratios as exact
+    nano-nat BIGINTs, deterministic top-100 by (log w, md5 tiebreak).
+    The oracle is the full relational twin — same bucketing hash, same
+    one-ln fixed-point quantization as lm_perplexity."""
+    from document_extractor_spark.operators.dsir import dsir_select
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    target = d.where(F.col("source") == "src0").select("doc_id", "text")
+    return dsir_select(d.select("doc_id", "text"), target, k=100,
+                       n_buckets=2048)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style model-based quality scoring: a Laplace-smoothed
     bigram LM trained on the corpus itself, scored back per document.
@@ -1760,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "dsir_select": q_dsir_select,
         "cap_per_host": q_cap_per_host,
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
@@ -2529,6 +2545,55 @@ def oracle_sql() -> dict[str, str]:
         # Host-level curation: hosts are doc_id%37 (doc 0 NULL-host,
         # doc 1 a singleton host), per-doc verdict doc_id%4 <> 0 —
         # every fraction is exact integer arithmetic.
+        # DSIR: full relational twin — same md5 feature bucketing, same
+        # one-ln fixed-point λ quantization as lm_perplexity, same
+        # (log w, md5) deterministic top-k as the Spark side.
+        "dsir_select": """
+            WITH t AS (
+              SELECT doc_id, source, list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+              FROM documents),
+            uni AS (SELECT doc_id, source, unnest(tk) AS f FROM t),
+            pairs AS (
+              SELECT doc_id, source,
+                     unnest(tk[1:greatest(len(tk) - 1, 0)]) AS w1,
+                     unnest(tk[2:len(tk)]) AS w2
+              FROM t),
+            feats AS (
+              SELECT doc_id, source, f FROM uni
+              UNION ALL
+              SELECT doc_id, source, w1 || ' ' || w2 FROM pairs),
+            occ AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 2048
+                          AS BIGINT) AS bucket,
+                     count(*) AS occ_n
+              FROM feats GROUP BY 1, 2, 3),
+            raw_b AS (SELECT bucket, sum(occ_n) AS r_n FROM occ GROUP BY 1),
+            tgt_b AS (SELECT bucket, sum(occ_n) AS t_n FROM occ
+                      WHERE source = 'src0' GROUP BY 1),
+            tot AS (SELECT (SELECT sum(r_n) FROM raw_b) AS r_tot,
+                           (SELECT coalesce(sum(t_n), 0) FROM tgt_b) AS t_tot),
+            lam AS (
+              SELECT raw_b.bucket,
+                     CAST(round(ln(
+                       CAST((coalesce(t_n, 0) + 1) * (r_tot + 2048)
+                            AS DOUBLE)
+                       / CAST((r_n + 1) * (t_tot + 2048) AS DOUBLE)
+                     ) * 1e9) AS BIGINT) AS lam_nano
+              FROM raw_b LEFT JOIN tgt_b USING (bucket), tot),
+            scored AS (
+              SELECT occ.doc_id, sum(occ.occ_n) AS nf,
+                     sum(occ.occ_n * lam.lam_nano) AS lw
+              FROM occ JOIN lam USING (bucket) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.nf, 0) AS BIGINT) AS n_features,
+                   CAST(s.lw AS BIGINT) AS log_w_nano
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY s.lw DESC NULLS LAST,
+                     md5('dsir1' || CAST(d.doc_id AS VARCHAR))
+            LIMIT 100
+        """,
         # Per-host quota: same planted host/quality arithmetic as the
         # Spark side; survivors are exact window arithmetic (md5 of the
         # same id strings breaks the planted quality ties identically).

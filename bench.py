@@ -324,7 +324,7 @@ HEADLINE_QUERIES = [
     "snapshot_dedup_bloom", "inverted_index", "host_quality_filter",
     "lm_perplexity", "perplexity_buckets", "tfidf_cosine_pairs",
     "nb_confusion", "quality_gated_export", "index_delta_merge",
-    "hits_scores", "cap_per_host", "semantic_dedup",
+    "hits_scores", "cap_per_host", "semantic_dedup", "dsir_select",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N
