@@ -58,6 +58,7 @@ from document_extractor_spark.operators.curation import (
     sample_mix,
 )
 from document_extractor_spark.operators.kvpivot import kv_records_to_table
+from document_extractor_spark.operators.mixing import domain_mixture_sql
 from document_extractor_spark.operators.media import (
     caption_items,
     explode_images,
@@ -947,6 +948,28 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (type-token + hapax ratios as exact
+    integer ppm) — the domain-level corpus-health rollup read next to
+    domain_mixture when deriving a training mix."""
+    from document_extractor_spark.operators.textstats import (
+        lexical_diversity)
+
+    return lexical_diversity(_docs(spark, sf_dir), group_col="source")
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-data mixture (mT5/XLM-R sampling
+    temperature, τ=0.5) over the documents table grouped by source:
+    exact BIGINT weight_ppm + epochs_milli for a 10^9-token budget.
+    The sqrt-composition keeps the DuckDB twin hash-identical (IEEE
+    sqrt/mul are correctly rounded in both engines; pow is not)."""
+    from document_extractor_spark.operators.mixing import domain_mixture
+
+    return domain_mixture(_docs(spark, sf_dir), group_col="source",
+                          temperature=0.5, budget_tokens=1_000_000_000)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampled selection (Xie et al. 2023): target =
     the src0 documents, raw corpus = all documents; hashed unigram+bigram
@@ -1775,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "domain_mixture": q_domain_mixture,
+        "lexical_diversity": q_lexical_diversity,
         "dsir_select": q_dsir_select,
         "cap_per_host": q_cap_per_host,
         "semantic_dedup": q_semantic_dedup,
@@ -2548,6 +2573,30 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        "domain_mixture": domain_mixture_sql(
+            table="documents", group_col="source", temperature=0.5,
+            budget_tokens=1_000_000_000),
+        "lexical_diversity": """
+            WITH toks AS (
+              SELECT source AS domain,
+                     unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+              FROM documents
+            ), per_type AS (
+              SELECT domain, tok, COUNT(*) AS occ
+              FROM toks GROUP BY domain, tok
+            )
+            SELECT domain,
+                   CAST(SUM(occ) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST((COUNT(*) * 1000000) // SUM(occ)
+                        AS BIGINT) AS ttr_ppm,
+                   CAST((SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                         * 1000000) // SUM(occ) AS BIGINT) AS hapax_ppm
+            FROM per_type GROUP BY domain
+        """,
         "dsir_select": """
             WITH t AS (
               SELECT doc_id, source, list_filter(regexp_split_to_array(

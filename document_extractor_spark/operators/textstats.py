@@ -262,3 +262,60 @@ def doc_top_terms(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("rank") <= k)
         .select(F.col("_id").alias(id_col), "term", "tf", "df", "rank")
     )
+
+
+def lexical_diversity(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-domain lexical-diversity diagnostics ``(domain, n_tokens,
+    n_types, n_hapax, ttr_ppm, hapax_ppm)`` — the corpus-health signals
+    a data-mixing pass reads next to :func:`~.mixing.domain_mixture`:
+    a domain whose type-token ratio or hapax share collapses is
+    template/boilerplate spam (Gopher §A1.2 uses the same signals at
+    document level; this is the corpus/domain-level rollup).
+
+    * ``n_types`` = distinct lowercased whitespace tokens, ``n_hapax``
+      = types occurring exactly once in the domain.
+    * Ratios are exact integer parts-per-million (``(x·10^6) div
+      n_tokens``) — no float anywhere, so the DuckDB twin is
+      hash-identical by construction.
+
+    Scale shape: one explode into narrow ``(domain, tok)`` rows →
+    map-side-combinable ``groupBy(domain, tok)`` (the only real
+    shuffle; key cardinality = vocabulary × domains, well spread) →
+    ``groupBy(domain)`` over already-narrow type rows.  Document text
+    never crosses an exchange.  Domains whose every document is empty
+    have no token rows and are absent from the output (callers join
+    back against the domain roster if they need explicit zeros).
+
+    Oracle twin::
+
+        WITH toks AS (SELECT <group> AS domain,
+                 unnest(list_filter(regexp_split_to_array(
+                   trim(lower(<text>)), '\\s+'), t -> t <> '')) AS tok
+               FROM <table>),
+        per_type AS (SELECT domain, tok, COUNT(*) AS occ
+                     FROM toks GROUP BY domain, tok)
+        SELECT domain, CAST(SUM(occ) AS BIGINT) AS n_tokens, ...
+    """
+    from ..functions.text import exploded_tokens
+
+    per_type = (
+        exploded_tokens(df.select(F.col(group_col).alias("domain"),
+                                  F.col(text_col)),
+                        "domain", text_col)
+        .groupBy("domain", "tok")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_type.groupBy("domain")
+        .agg(F.sum("occ").alias("n_tokens"),
+             F.count(F.lit(1)).alias("n_types"),
+             F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+             .alias("n_hapax"))
+        .select(
+            "domain", "n_tokens", "n_types", "n_hapax",
+            F.expr("(n_types * 1000000L) div n_tokens")
+            .cast("bigint").alias("ttr_ppm"),
+            F.expr("(n_hapax * 1000000L) div n_tokens")
+            .cast("bigint").alias("hapax_ppm"))
+    )
