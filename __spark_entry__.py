@@ -76,6 +76,10 @@ from document_extractor_spark.sources.jsonrepair import parse_json_relaxed
 
 _EMB_DIM = 64
 
+# non-ASCII suffix planted by q_fix_mojibake (escapes: byte-exact
+# independent of this file's encoding)
+_MOJIBAKE_SUFFIX = " caf\u00e9 \u2014 \u2018na\u00efve\u2019 \u20ac"
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -948,6 +952,28 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair roundtrip: every document gets a non-ASCII
+    suffix (accents, em-dash, curly quote, euro — the classic cp1252
+    victims), is then corrupted with the exact UTF-8-read-as-cp1252
+    forward transform IN SPARK, and repaired by fix_mojibake. The
+    oracle is simply the planted original — a byte-identity check that
+    the repair chain (translate → encode ISO-8859-1 → is_valid_utf8 →
+    decode UTF-8) inverts the accident exactly, cross-engine."""
+    from document_extractor_spark.operators.mojibake import (
+        corrupt_utf8_as_cp1252, fix_mojibake)
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(_MOJIBAKE_SUFFIX),
+                 F.col("doc_id").cast("string")).alias("text"),
+    )
+    mangled = corrupt_utf8_as_cp1252(planted, "text")
+    return fix_mojibake(mangled, "text").select(
+        "doc_id", "text", "mojibake_fixed")
+
+
 def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical diversity (type-token + hapax ratios as exact
     integer ppm) — the domain-level corpus-health rollup read next to
@@ -1798,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "fix_mojibake": q_fix_mojibake,
         "domain_mixture": q_domain_mixture,
         "lexical_diversity": q_lexical_diversity,
         "dsir_select": q_dsir_select,
@@ -2573,6 +2600,16 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        # fix_mojibake: Spark corrupts the planted text with the exact
+        # UTF-8-as-cp1252 forward transform and repairs it; a correct
+        # repair is byte-identical to the planted original, so the
+        # oracle is just the plant — the strongest possible check on
+        # the translate/encode/is_valid_utf8/decode chain.
+        "fix_mojibake": (
+            "SELECT doc_id, text || '" + _MOJIBAKE_SUFFIX + "'"
+            " || CAST(doc_id AS VARCHAR) AS text,"
+            " TRUE AS mojibake_fixed FROM documents"
+        ),
         "domain_mixture": domain_mixture_sql(
             table="documents", group_col="source", temperature=0.5,
             budget_tokens=1_000_000_000),
