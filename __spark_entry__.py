@@ -952,6 +952,23 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction off raw HTML bytes: title (with entity
+    unescape), rel=canonical (both attribute orders), og:title /
+    og:site_name / og:image (mixed orders and quote styles, og:image
+    single-quoted). Values are planted as pure functions of
+    (doc_id, source); tags are OMITTED on arithmetic subsets so the
+    closed-form oracle also proves the NULL paths."""
+    from document_extractor_spark.operators.pagemeta import page_metadata
+    from document_extractor_spark.sources.docpages import (
+        pages_with_head_metadata)
+
+    pages = pages_with_head_metadata(spark, sf_dir)
+    return page_metadata(pages).select(
+        doc_id_from_url("url"), "title", "canonical_url",
+        "og_title", "og_site_name", "og_image")
+
+
 def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair roundtrip: every document gets a non-ASCII
     suffix (accents, em-dash, curly quote, euro — the classic cp1252
@@ -1824,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "page_metadata": q_page_metadata,
         "fix_mojibake": q_fix_mojibake,
         "domain_mixture": q_domain_mixture,
         "lexical_diversity": q_lexical_diversity,
@@ -2600,6 +2618,21 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        # page_metadata: the fixture plants head tags as pure functions
+        # of (doc_id, source) with mixed attribute orders/quote styles
+        # and arithmetic omissions; the oracle states the plant.
+        "page_metadata": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 THEN NULL
+                   ELSE 'Doc ' || doc_id || ' & ' || source END AS title,
+              'https://example.org/d/' || doc_id AS canonical_url,
+              'OG Doc ' || doc_id AS og_title,
+              'site' || (doc_id % 7) AS og_site_name,
+              CASE WHEN doc_id % 5 = 0 THEN NULL
+                   ELSE 'https://img.example.org/' || doc_id || '.png'
+              END AS og_image
+            FROM documents
+        """,
         # fix_mojibake: Spark corrupts the planted text with the exact
         # UTF-8-as-cp1252 forward transform and repairs it; a correct
         # repair is byte-identical to the planted original, so the

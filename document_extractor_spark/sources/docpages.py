@@ -149,6 +149,47 @@ def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Head-metadata variant for the page_metadata operator: a realistic
+# <head> whose title / canonical / og:* values are pure functions of
+# (doc_id, source) — with deliberately mixed attribute orders and quote
+# styles, an escaped '&' in the title, and tags omitted on arithmetic
+# subsets — so extraction has a closed-form oracle that also proves the
+# NULL (missing-tag) paths.
+def pages_with_head_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    title = F.when((F.col("doc_id") % 11) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<title>Doc "), did, F.lit(" &amp; "),
+                 F.col("source"), F.lit("</title>")))
+    canon = F.concat(F.lit("https://example.org/d/"), did)
+    canonical = F.when(
+        (F.col("doc_id") % 3) == 0,
+        F.concat(F.lit('<link href="'), canon, F.lit('" rel="canonical">')),
+    ).otherwise(
+        F.concat(F.lit('<link rel="canonical" href="'), canon, F.lit('">')))
+    og_title = F.concat(
+        F.lit('<meta property="og:title" content="OG Doc '), did, F.lit('">'))
+    og_site = F.concat(  # content-before-property order
+        F.lit('<meta content="site'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('" property="og:site_name">'))
+    og_image = F.when((F.col("doc_id") % 5) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<meta property='og:image' "
+                       "content='https://img.example.org/"),
+                 did, F.lit(".png'>")))  # single-quoted attrs
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head>"), title, canonical, og_title,
+        og_site, og_image, F.lit("</head><body><p>"), _escaped("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
 # PDF variant for the position/margin operators: each document becomes a
 # deterministic one-page PDF with a FIXED layout — an 18 pt title at
 # (72, 720) and a two-line 12 pt body at (72, 680) holding the first two

@@ -1,0 +1,96 @@
+"""Page-head metadata extraction (operators/pagemeta.py)."""
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.pagemeta import page_metadata
+from document_extractor_spark.plans import assert_no_python
+
+
+def _pages(spark, rows):
+    df = spark.createDataFrame(rows, "id bigint, page string")
+    return df.select("id", F.encode("page", "UTF-8").alias("html"))
+
+
+def _by_id(df):
+    return {r["id"]: r for r in df.collect()}
+
+
+def test_title_canonical_og_both_attribute_orders(spark):
+    rows = [
+        (1, '<html><head><title> T1 </title>'
+            '<link rel="canonical" href="https://e.org/a">'
+            '<meta property="og:title" content="OT1">'
+            '</head><body>x</body></html>'),
+        (2, "<html><head><TITLE>T2</TITLE>"          # case-insensitive
+            '<link href="https://e.org/b" rel="canonical">'   # href first
+            '<meta content="OT2" property="og:title">'        # content first
+            "</head></html>"),
+        (3, "<html><head><meta property='og:title' content='OT3'>"
+            "</head></html>"),                       # single quotes, no title
+    ]
+    got = _by_id(page_metadata(_pages(spark, rows), og_fields=("title",)))
+    assert got[1]["title"] == "T1"                   # trimmed
+    assert got[1]["canonical_url"] == "https://e.org/a"
+    assert got[1]["og_title"] == "OT1"
+    assert got[2]["title"] == "T2"
+    assert got[2]["canonical_url"] == "https://e.org/b"
+    assert got[2]["og_title"] == "OT2"
+    assert got[3]["title"] is None
+    assert got[3]["canonical_url"] is None
+    assert got[3]["og_title"] == "OT3"
+
+
+def test_entity_unescape_and_multiline_title(spark):
+    rows = [(1, "<head><title>A &amp; B &lt;C&gt; &quot;D&quot; &#39;E&#39;"
+                "</title></head>"),
+            (2, "<head><title>line1\nline2</title></head>"),
+            (3, "<head><title>literal &amp;lt; stays</title></head>")]
+    got = _by_id(page_metadata(_pages(spark, rows)))
+    assert got[1]["title"] == "A & B <C> \"D\" 'E'"
+    assert got[2]["title"] == "line1\nline2"         # (?s) dotall
+    assert got[3]["title"] == "literal &lt; stays"   # no double-unescape
+
+
+def test_hostile_inputs_yield_nulls_not_errors(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, b""), (3, bytes([0xC3, 0x28, 0xFF])),  # invalid UTF-8
+         (4, b"<head><title></title></head>")],                # empty title
+        "id bigint, html binary")
+    got = _by_id(page_metadata(df))
+    for i in (1, 2, 3, 4):
+        assert got[i]["title"] is None
+        assert got[i]["canonical_url"] is None
+
+
+def test_fixture_roundtrip_matches_closed_form(spark, sf_dir):
+    """The driver-oracle contract, locally: extract over the planted
+    head fixture and compare every field to its closed form."""
+    from document_extractor_spark.sources.docpages import (
+        doc_id_from_url, pages_with_head_metadata)
+
+    out = page_metadata(pages_with_head_metadata(spark, sf_dir)) \
+        .select(doc_id_from_url("url"), "title", "canonical_url",
+                "og_title", "og_site_name", "og_image")
+    d = F.col("doc_id")
+    bad = out.where(
+        ~(
+            (F.col("canonical_url")
+             == F.concat(F.lit("https://example.org/d/"), d.cast("string")))
+            & (F.col("og_title")
+               == F.concat(F.lit("OG Doc "), d.cast("string")))
+            & (F.col("og_site_name")
+               == F.concat(F.lit("site"), (d % 7).cast("string")))
+            & (F.when(d % 5 == 0, F.col("og_image").isNull())
+               .otherwise(F.col("og_image") == F.concat(
+                   F.lit("https://img.example.org/"), d.cast("string"),
+                   F.lit(".png"))))
+            & (F.when(d % 11 == 0, F.col("title").isNull())
+               .otherwise(F.col("title").startswith("Doc ")
+                          & F.col("title").contains(" & ")))
+        ))
+    assert bad.count() == 0
+
+
+def test_plan_is_jvm_only(spark):
+    df = _pages(spark, [(1, "<head><title>x</title></head>")])
+    assert_no_python(page_metadata(df))
