@@ -363,3 +363,123 @@ def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
         .join(dropped, F.col(id_col) == F.col("_dropped"), "left")
         .select(id_col, F.col("_dropped").isNull().alias("sem_keep"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product-quantization) ANN — Jegou et al. 2011 (IEEE TPAMI), the
+# faiss IndexPQ shape: split each normalized vector into m subvectors,
+# vector-quantize every subspace against a tiny trained codebook, score
+# candidates with an asymmetric-distance lookup table, exact-rerank a
+# shortlist. Completes the ANN family (brute force / SRP / IVF / PQ).
+# ---------------------------------------------------------------------------
+
+
+def _pq_kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd k-means for one subspace (numpy, driver-side
+    over the bounded training sample). Empty clusters are re-seeded on
+    the point farthest from its assigned centroid — argmax, not random —
+    so the codebook is a pure function of (sample, k, iters, seed)."""
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=k, replace=len(X) < k)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = X[mask].mean(0)
+            else:
+                cent[j] = X[d[np.arange(len(X)), assign].argmax()]
+    return cent
+
+
+def pq_train(df: DataFrame, dim: int, m: int = 8, k: int = 16,
+             iters: int = 10, seed: int = 42, sample_rows: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Train the (m × k × dim/m) PQ codebooks on a BOUNDED sample.
+
+    Scale shape: the sample is a TakeOrderedAndProject on ``md5(id)``
+    (per-partition heap + driver merge — deterministic and
+    partitioning-invariant, no full sort, no unbounded collect); the
+    driver holds sample_rows × dim floats — index metadata, same
+    contract as ``ivf_index`` centers. Training cost is independent of
+    corpus size. Vectors are L2-normalized first so PQ's L2 geometry
+    orders by cosine, consistent with the rest of the family."""
+    if dim % m:
+        raise ValueError(f"pq_train: dim={dim} not divisible by m={m}")
+    rows = (
+        df.select(F.md5(F.col(id_col).cast("string")).alias("_pri"),
+                  _l2_normalized(F.col(vec_col)).alias("_nv"))
+        .where(F.col("_nv").isNotNull())
+        .orderBy("_pri").limit(sample_rows).collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: no non-null vectors to train on")
+    X = np.asarray([r["_nv"] for r in rows], dtype=np.float64)
+    dsub = dim // m
+    return [
+        _pq_kmeans(X[:, s * dsub:(s + 1) * dsub], k, iters, seed + s).tolist()
+        for s in range(m)
+    ]
+
+
+def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Append ``code_col``: the m nearest-codeword ids (array<int>).
+    One numpy argmin per Arrow batch (vectorized pandas UDF — the
+    legitimate-UDF tier, like the SRP bucketer); NULL embeddings encode
+    as NULL. At 100 TB the encoded table is what you store and scan:
+    m bytes of code per document instead of 4·dim of floats."""
+    C = np.asarray(codebooks, dtype=np.float64)          # (m, k, dsub)
+    m, k, dsub = C.shape
+    c_norm2 = (C ** 2).sum(-1)                           # (m, k)
+
+    def _enc(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna().to_numpy()
+        out = pd.Series([None] * len(vecs), dtype=object)
+        if mask.any():
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]])
+            n = np.sqrt((X * X).sum(1, keepdims=True))
+            np.divide(X, n, out=X, where=n > 0)
+            S = X.reshape(len(X), m, dsub)
+            # ||s - c||² = ||c||² - 2 s·c (+ ||s||², rank-invariant)
+            d = c_norm2[None] - 2 * np.einsum("nmd,mkd->nmk", S, C)
+            codes = d.argmin(-1).astype(np.int32)
+            out.iloc[np.flatnonzero(mask)] = list(codes)
+        return out
+
+    udf = F.pandas_udf(_enc, "array<int>")
+    return df.withColumn(code_col, udf(F.col(vec_col)))
+
+
+def pq_topk(encoded: DataFrame, codebooks: list, qvec: list, k: int = 10,
+            shortlist: int = 128, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            code_col: str = "pq_code") -> DataFrame:
+    """ADC top-k: per-subspace distances from the (normalized) query to
+    every codeword form an m×k lookup table — a LITERAL array in the
+    plan, so the candidate score is a pure JVM ``aggregate`` fold over
+    the code (whole-stage codegen, no Python, no join); the
+    ``shortlist`` best ADC rows (TakeOrderedAndProject, deterministic
+    (score, id) tie-break) get an exact cosine rerank. Same
+    shortlist→exact-rerank recall contract as ``ivf_topk``: report what
+    the quantizer shortlists, never an unreranked approximation."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, k_cb, _ = C.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    S = (q / qn).reshape(m, -1)
+    lut = ((C - S[:, None, :]) ** 2).sum(-1)             # (m, k_cb)
+    lut_lit = F.array(*[F.lit(float(x)) for x in lut.ravel()])
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, i: acc + F.element_at(
+            lut_lit, F.element_at(F.col(code_col), i + 1) + i * k_cb + 1),
+    )
+    short = (
+        encoded.where(F.col(code_col).isNotNull())
+        .select(id_col, vec_col, adc.alias("_adc"))
+        .orderBy(F.col("_adc"), F.col(id_col)).limit(shortlist)
+    )
+    return brute_force_topk(short, qvec, k, id_col, vec_col)
