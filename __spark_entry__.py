@@ -952,6 +952,16 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_readability_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + reading ease over documents — exact
+    integer word/sentence/vowel-group counts plus two single-
+    composition float scores (the text_stats determinism recipe)."""
+    from document_extractor_spark.operators.textstats import (
+        readability_grade)
+
+    return readability_grade(_docs(spark, sf_dir))
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC ANN (Jegou et al. 2011): sample-trained 8×16 codebooks,
     Arrow-batched encode, JVM literal-LUT ADC fold, shortlist-128 exact
@@ -1860,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "readability_grade": q_readability_grade,
         "pq_topk": q_pq_topk,
         "page_metadata": q_page_metadata,
         "fix_mojibake": q_fix_mojibake,
@@ -2638,6 +2649,29 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        # readability_grade: integer counts exact; each score is ONE
+        # fixed composition of IEEE mul/div/add, rounded to 4 — the
+        # text_stats recipe, hash-identical cross-engine.
+        "readability_grade": f"""
+            WITH c AS (
+              SELECT doc_id,
+                len({_TOKS}) AS nw,
+                greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+                len(regexp_extract_all(lower(text), '[aeiouy]+')) AS nsyl
+              FROM documents)
+            SELECT doc_id, nw AS n_words, ns AS n_sentences,
+              nsyl AS n_syllables,
+              round(0.39 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+                    + 11.8 * (CAST(nsyl AS DOUBLE)
+                              / nullif(CAST(nw AS DOUBLE), 0.0))
+                    - 15.59, 4) AS fk_grade,
+              round(206.835
+                    - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+                    - 84.6 * (CAST(nsyl AS DOUBLE)
+                              / nullif(CAST(nw AS DOUBLE), 0.0)),
+                    4) AS reading_ease
+            FROM c
+        """,
         # page_metadata: the fixture plants head tags as pure functions
         # of (doc_id, source) with mixed attribute orders/quote styles
         # and arithmetic omissions; the oracle states the plant.
