@@ -952,6 +952,30 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_segment_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph language segmentation over planted
+    3-paragraph documents: every doc gets two (three when unmixed)
+    paragraphs of language ``doc_id % 5`` and — when ``doc_id % 3 = 0``
+    — one of language ``(doc_id+1) % 5``, each with the per-doc noise
+    token the lang_id oracle already proves the kernel tolerates. The
+    closed form states majority lang, exact-ppm dominance, and the
+    mixed flag directly."""
+    from document_extractor_spark.operators.langseg import (
+        segment_languages)
+
+    sents = F.array(*[F.lit(s) for _, s in _LANG_SENTENCES])
+    main = F.element_at(sents, (F.col("doc_id") % 5 + 1).cast("int"))
+    other = F.element_at(sents, ((F.col("doc_id") + 1) % 5 + 1).cast("int"))
+    noise = F.concat(F.lit(" doc "), F.col("doc_id").cast("string"))
+    p_main = F.concat(main, noise)
+    third = F.when((F.col("doc_id") % 3) == 0,
+                   F.concat(other, noise)).otherwise(p_main)
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("\n", p_main, p_main, third).alias("text"))
+    return segment_languages(planted)
+
+
 def q_readability_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-Kincaid grade + reading ease over documents — exact
     integer word/sentence/vowel-group counts plus two single-
@@ -1870,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "segment_languages": q_segment_languages,
         "readability_grade": q_readability_grade,
         "pq_topk": q_pq_topk,
         "page_metadata": q_page_metadata,
@@ -2649,6 +2674,22 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        # segment_languages: the plant is 2 (or 3) paragraphs of lang
+        # doc_id%5 plus, on doc_id%3=0, one of lang (doc_id+1)%5 — the
+        # closed form states the majority verdicts directly.
+        "segment_languages": """
+            SELECT doc_id,
+              CASE CAST(doc_id % 5 AS INTEGER)
+                WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+                WHEN 3 THEN 'es' ELSE 'zh' END AS main_lang,
+              CAST(3 AS BIGINT) AS n_paras,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 3 END AS BIGINT)
+                AS n_major_paras,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 666666 ELSE 1000000 END
+                   AS BIGINT) AS major_ppm,
+              doc_id % 3 = 0 AS is_mixed
+            FROM documents
+        """,
         # readability_grade: integer counts exact; each score is ONE
         # fixed composition of IEEE mul/div/add, rounded to 4 — the
         # text_stats recipe, hash-identical cross-engine.
