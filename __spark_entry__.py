@@ -952,6 +952,53 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-item extraction: even docs become RSS 2.0 feeds
+    (CDATA titles, element-text links, guid/pubDate), odd docs Atom
+    (entity-escaped titles, href-attribute links in BOTH attribute
+    orders, id/published) — two items each, every field a pure function
+    of (doc_id, k), so one closed form covers both dialects and the
+    CDATA-vs-entity unescape paths produce identical bytes."""
+    from document_extractor_spark.sources.feeds import feed_items
+
+    did = F.col("doc_id").cast("string")
+    parts = []
+    for k in ("0", "1"):
+        t = F.concat(F.lit("Item "), did, F.lit(" & "), F.lit(k))
+        te = F.concat(F.lit("Item "), did, F.lit(" &amp; "), F.lit(k))
+        url = F.concat(F.lit("https://e.org/"), did, F.lit("/"), F.lit(k))
+        gid = F.concat(F.lit("g-"), did, F.lit("-"), F.lit(k))
+        pub = F.concat(F.lit("d"),
+                       ((F.col("doc_id") + int(k)) % 9).cast("string"))
+        rss = F.concat(
+            F.lit("<item><title><![CDATA["), t, F.lit("]]></title><link>"),
+            url, F.lit("</link><guid>"), gid, F.lit("</guid><pubDate>"),
+            pub, F.lit("</pubDate></item>"))
+        alink = (
+            F.concat(F.lit('<link rel="alternate" href="'), url,
+                     F.lit('"/>')) if k == "0" else
+            F.concat(F.lit('<link href="'), url,
+                     F.lit('" rel="alternate"/>')))
+        atom = F.concat(
+            F.lit("<entry><title>"), te, F.lit("</title>"), alink,
+            F.lit("<id>"), gid, F.lit("</id><published>"), pub,
+            F.lit("</published></entry>"))
+        parts.append(F.when((F.col("doc_id") % 2) == 0, rss).otherwise(atom))
+    xml = F.concat(
+        F.when((F.col("doc_id") % 2) == 0,
+               F.lit('<rss version="2.0"><channel><title>Feed</title>'
+                     "<link>https://chan.example.org</link>")
+               ).otherwise(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+                                 "<title>Feed</title>")),
+        *parts,
+        F.when((F.col("doc_id") % 2) == 0,
+               F.lit("</channel></rss>")).otherwise(F.lit("</feed>")))
+    feeds = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://feeds.example.org/"), did).alias("url"),
+        F.encode(xml, "UTF-8").alias("html"))
+    return feed_items(feeds)
+
+
 def q_segment_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph language segmentation over planted
     3-paragraph documents: every doc gets two (three when unmixed)
@@ -1894,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "feed_items": q_feed_items,
         "segment_languages": q_segment_languages,
         "readability_grade": q_readability_grade,
         "pq_topk": q_pq_topk,
@@ -2674,6 +2722,18 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        # feed_items: every field is a pure function of (doc_id, k);
+        # the channel/feed-level title+link sit OUTSIDE the item blocks
+        # and must not leak into any row.
+        "feed_items": """
+            SELECT 'https://feeds.example.org/' || doc_id AS feed_url,
+                   CAST(k AS INTEGER) AS pos,
+                   'Item ' || doc_id || ' & ' || k AS title,
+                   'https://e.org/' || doc_id || '/' || k AS link,
+                   'g-' || doc_id || '-' || k AS item_id,
+                   'd' || ((doc_id + k) % 9) AS published
+            FROM documents, (VALUES (0), (1)) AS t(k)
+        """,
         # segment_languages: the plant is 2 (or 3) paragraphs of lang
         # doc_id%5 plus, on doc_id%3=0, one of lang (doc_id+1)%5 — the
         # closed form states the majority verdicts directly.
