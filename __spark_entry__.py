@@ -952,6 +952,50 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap extraction: even docs become urlset sitemaps (2 <url>
+    blocks with loc/lastmod/changefreq/priority), odd docs sitemap
+    INDEX files (2 <sitemap> blocks, loc+lastmod only) — every field a
+    pure function of (doc_id, k), entity-escaped ampersands planted in
+    even locs to exercise the unescape path."""
+    from document_extractor_spark.sources.sitemaps import sitemap_urls
+
+    did = F.col("doc_id").cast("string")
+    parts = []
+    for k in ("0", "1"):
+        lastmod = F.concat(F.lit("2026-0"),
+                           ((F.col("doc_id") % 8) + 1).cast("string"),
+                           F.lit(f"-0{int(k) + 1}"))
+        url_block = F.concat(
+            F.lit("<url><loc>https://s.example.org/"), did,
+            F.lit(f"/{k}</loc><lastmod>"), lastmod,
+            F.lit("</lastmod><changefreq>"),
+            F.lit("daily" if k == "0" else "weekly"),
+            F.lit("</changefreq><priority>0."),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("</priority></url>"))
+        idx_block = F.concat(
+            F.lit("<sitemap><loc>https://maps.example.org/"), did,
+            F.lit(f"/child{k}</loc><lastmod>"), lastmod,
+            F.lit("</lastmod></sitemap>"))
+        parts.append(F.when((F.col("doc_id") % 2) == 0,
+                            url_block).otherwise(idx_block))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>'),
+        F.when((F.col("doc_id") % 2) == 0,
+               F.lit('<urlset xmlns="http://www.sitemaps.org/schemas'
+                     '/sitemap/0.9">')).otherwise(F.lit("<sitemapindex>")),
+        *parts,
+        F.when((F.col("doc_id") % 2) == 0,
+               F.lit("</urlset>")).otherwise(F.lit("</sitemapindex>")))
+    maps = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://maps.example.org/"), did).alias("url"),
+        F.encode(xml, "UTF-8").alias("html"))
+    # loc leads the name-sorted compare as the unique non-null key
+    # (the NULL-mixed optional fields then only tie-break equal rows)
+    return sitemap_urls(maps).withColumnRenamed("loc", "block_loc")
+
+
 def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed-item extraction: even docs become RSS 2.0 feeds
     (CDATA titles, element-text links, guid/pubDate), odd docs Atom
@@ -1941,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
         "segment_languages": q_segment_languages,
         "readability_grade": q_readability_grade,
@@ -2722,6 +2767,26 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        # sitemap_urls: urlset blocks for even docs, sitemapindex for
+        # odd; priority parses "0.<d>" to double (correctly-rounded
+        # strtod in both engines → hash-identical).
+        "sitemap_urls": """
+            SELECT 'https://maps.example.org/' || doc_id AS sitemap_url,
+              CAST(k AS INTEGER) AS pos,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'https://s.example.org/' || doc_id || '/' || k
+                   ELSE 'https://maps.example.org/' || doc_id
+                        || '/child' || k END AS block_loc,
+              '2026-0' || ((doc_id % 8) + 1) || '-0' || (k + 1) AS lastmod,
+              CASE WHEN doc_id % 2 = 0 THEN
+                (CASE WHEN k = 0 THEN 'daily' ELSE 'weekly' END)
+              END AS changefreq,
+              CASE WHEN doc_id % 2 = 0
+                   THEN CAST('0.' || (doc_id % 10) AS DOUBLE)
+              END AS priority,
+              doc_id % 2 = 1 AS is_index
+            FROM documents, (VALUES (0), (1)) AS t(k)
+        """,
         # feed_items: every field is a pure function of (doc_id, k);
         # the channel/feed-level title+link sit OUTSIDE the item blocks
         # and must not leak into any row.
