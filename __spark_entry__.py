@@ -952,14 +952,12 @@ def q_snapshot_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_known_duplicates_bloom(d.unionByName(clones), known)
 
 
-def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap extraction: even docs become urlset sitemaps (2 <url>
-    blocks with loc/lastmod/changefreq/priority), odd docs sitemap
-    INDEX files (2 <sitemap> blocks, loc+lastmod only) — every field a
-    pure function of (doc_id, k), entity-escaped ampersands planted in
-    even locs to exercise the unescape path."""
-    from document_extractor_spark.sources.sitemaps import sitemap_urls
-
+def _sitemap_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted sitemap corpus shared by q_sitemap_urls and
+    q_revisit_schedule: even docs urlset (2 <url> blocks with
+    loc/lastmod/changefreq/priority), odd docs sitemapindex (2
+    <sitemap> blocks, loc+lastmod only) — every field a pure function
+    of (doc_id, k)."""
     did = F.col("doc_id").cast("string")
     parts = []
     for k in ("0", "1"):
@@ -988,12 +986,34 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         *parts,
         F.when((F.col("doc_id") % 2) == 0,
                F.lit("</urlset>")).otherwise(F.lit("</sitemapindex>")))
-    maps = _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         F.concat(F.lit("https://maps.example.org/"), did).alias("url"),
         F.encode(xml, "UTF-8").alias("html"))
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap extraction over the planted urlset/sitemapindex corpus —
+    entity-escaped locs, optional-field NULLs, is_index marking."""
+    from document_extractor_spark.sources.sitemaps import sitemap_urls
+
     # loc leads the name-sorted compare as the unique non-null key
     # (the NULL-mixed optional fields then only tie-break equal rows)
-    return sitemap_urls(maps).withColumnRenamed("loc", "block_loc")
+    return sitemap_urls(_sitemap_fixture(spark, sf_dir)) \
+        .withColumnRenamed("loc", "block_loc")
+
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier revisit scheduling composed over real sitemap
+    extraction output: interval from declared changefreq (absent →
+    default weekly), next_fetch from lastmod epoch arithmetic, due
+    verdict against a FIXED now (pure function — no wall clock). The
+    oracle is a genuine relational twin recomputing the semantics."""
+    from document_extractor_spark.operators.frontier import (
+        revisit_schedule)
+    from document_extractor_spark.sources.sitemaps import sitemap_urls
+
+    rows = sitemap_urls(_sitemap_fixture(spark, sf_dir))
+    return revisit_schedule(rows, now_epoch=1_780_000_000)
 
 
 def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
         "segment_languages": q_segment_languages,
@@ -2767,6 +2788,34 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: full relational twin — same md5 feature bucketing, same
         # one-ln fixed-point λ quantization as lm_perplexity, same
         # (log w, md5) deterministic top-k as the Spark side.
+        # revisit_schedule: genuine relational twin — DuckDB recomputes
+        # the changefreq→interval table, lastmod epoch arithmetic, and
+        # the due verdict against the same fixed now.
+        "revisit_schedule": """
+            WITH s AS (
+              SELECT CASE WHEN doc_id % 2 = 0
+                     THEN 'https://s.example.org/' || doc_id || '/' || k
+                     ELSE 'https://maps.example.org/' || doc_id
+                          || '/child' || k END AS loc,
+                '2026-0' || ((doc_id % 8) + 1) || '-0' || (k + 1)
+                  AS lastmod,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  (CASE WHEN k = 0 THEN 'daily' ELSE 'weekly' END)
+                END AS changefreq
+              FROM documents, (VALUES (0), (1)) AS t(k)),
+            r AS (
+              SELECT loc,
+                CAST(CASE WHEN changefreq = 'daily' THEN 86400
+                          WHEN changefreq = 'weekly' THEN 604800
+                          ELSE 604800 END AS BIGINT) AS interval_sec,
+                CAST(epoch(TRY_CAST(lastmod AS TIMESTAMP)) AS BIGINT)
+                  AS lm_epoch
+              FROM s)
+            SELECT loc, interval_sec,
+              lm_epoch + interval_sec AS next_fetch_epoch,
+              lm_epoch + interval_sec <= 1780000000 AS fetch_due
+            FROM r
+        """,
         # sitemap_urls: urlset blocks for even docs, sitemapindex for
         # odd; priority parses "0.<d>" to double (correctly-rounded
         # strtod in both engines → hash-identical).
