@@ -1133,6 +1133,28 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "og_title", "og_site_name", "og_image")
 
 
+def q_jsonld_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org JSON-LD extraction off raw HTML bytes: an Article/
+    Product/NewsArticle block (multiline JSON, nested author object,
+    omitted on doc_id%7==0) plus a single-quoted BreadcrumbList block
+    (present on doc_id%4==0, no date/author), next to the chrome's
+    plain <script> negative control. Field values are pure functions
+    of doc_id so the closed-form oracle also proves block positions,
+    the no-block NULL row, and the missing-field NULL paths."""
+    from document_extractor_spark.operators.structdata import jsonld_records
+    from document_extractor_spark.sources.docpages import pages_with_jsonld
+
+    pages = pages_with_jsonld(spark, sf_dir)
+    # The no-block NULL position becomes -1 and the column is named to
+    # sort before the nullable fields: the driver's order-insensitive
+    # compare sorts rows lexicographically by alphabetical column order,
+    # so the (block_pos, doc_id) prefix must be non-null and unique.
+    return jsonld_records(pages).select(
+        F.coalesce("ld_pos", F.lit(-1)).alias("block_pos"),
+        doc_id_from_url("url"), "ld_type", "ld_name",
+        "ld_date_published", "ld_author")
+
+
 def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair roundtrip: every document gets a non-ASCII
     suffix (accents, em-dash, curly quote, euro — the classic cp1252
@@ -2059,6 +2081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "image_extract": q_image_extract,
         "image_items": q_image_items,
+        # --- new in r5 after the 50-row attestation prefix filled: the
+        # driver attests the first 50 keys, so these sit right behind it
+        # (attested iff the cap is larger) and are locally oracle-backed
+        # via test_oracle_parity either way ---
+        "jsonld_records": q_jsonld_records,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -2901,6 +2928,35 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'https://img.example.org/' || doc_id || '.png'
               END AS og_image
             FROM documents
+        """,
+        # jsonld_records: the fixture plants the two ld+json blocks as
+        # pure functions of doc_id (article omitted on %7, breadcrumb
+        # present on %4); the oracle states the plant per case —
+        # including the block-position arithmetic and the NULL row for
+        # block-free pages.
+        "jsonld_records": """
+            SELECT 0 AS block_pos, doc_id,
+              CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product'
+                   ELSE 'NewsArticle' END AS ld_type,
+              'Item ' || doc_id AS ld_name,
+              '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                AS ld_date_published,
+              'Author ' || (doc_id % 5) AS ld_author
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END AS block_pos,
+              doc_id,
+              'BreadcrumbList' AS ld_type, 'Trail ' || doc_id AS ld_name,
+              CAST(NULL AS VARCHAR) AS ld_date_published,
+              CAST(NULL AS VARCHAR) AS ld_author
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT -1 AS block_pos, doc_id,
+              CAST(NULL AS VARCHAR) AS ld_type,
+              CAST(NULL AS VARCHAR) AS ld_name,
+              CAST(NULL AS VARCHAR) AS ld_date_published,
+              CAST(NULL AS VARCHAR) AS ld_author
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id % 4 <> 0
         """,
         # fix_mojibake: Spark corrupts the planted text with the exact
         # UTF-8-as-cp1252 forward transform and repairs it; a correct

@@ -327,7 +327,7 @@ HEADLINE_QUERIES = [
     "hits_scores", "cap_per_host", "semantic_dedup", "dsir_select",
     "domain_mixture", "lexical_diversity", "fix_mojibake", "page_metadata",
     "pq_topk", "readability_grade", "segment_languages", "feed_items",
-    "sitemap_urls", "revisit_schedule",
+    "sitemap_urls", "revisit_schedule", "jsonld_records",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

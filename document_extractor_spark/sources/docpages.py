@@ -190,6 +190,52 @@ def pages_with_head_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JSON-LD variant for the structured-data operator: realistic
+# <script type="application/ld+json"> blocks whose field values are pure
+# functions of doc_id — an Article/Product/NewsArticle block (multiline,
+# nested author object; omitted when doc_id%7==0) and a BreadcrumbList
+# block (flat, no date/author, present when doc_id%4==0) — alongside the
+# chrome's PLAIN <script> (a negative control: no type attribute, must
+# not match). Extraction therefore has a closed-form oracle that also
+# proves the no-block and missing-field NULL paths.
+def pages_with_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    ld_type = (
+        F.when((F.col("doc_id") % 3) == 0, F.lit("Article"))
+        .when((F.col("doc_id") % 3) == 1, F.lit("Product"))
+        .otherwise(F.lit("NewsArticle")))
+    article = F.when((F.col("doc_id") % 7) != 0, F.concat(
+        F.lit('<script type="application/ld+json">\n{\n'
+              '  "@context": "https://schema.org",\n  "@type": "'),
+        ld_type,
+        F.lit('",\n  "name": "Item '), did,
+        F.lit('",\n  "datePublished": "2026-01-'),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit('",\n  "author": {"@type": "Person", "name": "Author '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('"}\n}\n</script>'),
+    )).otherwise(F.lit(""))
+    breadcrumb = F.when((F.col("doc_id") % 4) == 0, F.concat(
+        F.lit("<script type='application/ld+json'>"
+              '{"@context":"https://schema.org",'
+              '"@type":"BreadcrumbList","name":"Trail '),
+        did, F.lit('"}</script>'),
+    )).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit(_PREFIX), did, F.lit(_MID), _escaped("text"),
+        F.lit("</p></main>"), article, breadcrumb,
+        F.lit(_SUFFIX.replace("</p></main>", "", 1)),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
 # PDF variant for the position/margin operators: each document becomes a
 # deterministic one-page PDF with a FIXED layout — an 18 pt title at
 # (72, 720) and a two-line 12 pt body at (72, 680) holding the first two
