@@ -1155,6 +1155,18 @@ def q_jsonld_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ld_date_published", "ld_author")
 
 
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters at 1000 ppm (0.1% of all corpus tokens) via
+    the 2-pass Misra-Gries candidate sketch + exact verify. The oracle
+    is the plain exact GROUP BY answer — the sketch can only
+    over-generate candidates, so matching it proves both the survivor
+    guarantee and the exact second pass."""
+    from document_extractor_spark.operators.heavyhitters import (
+        frequent_tokens)
+
+    return frequent_tokens(_docs(spark, sf_dir), min_freq_ppm=1000)
+
+
 def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair roundtrip: every document gets a non-ASCII
     suffix (accents, em-dash, curly quote, euro — the classic cp1252
@@ -2086,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (attested iff the cap is larger) and are locally oracle-backed
         # via test_oracle_parity either way ---
         "jsonld_records": q_jsonld_records,
+        "frequent_tokens": q_frequent_tokens,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -2957,6 +2970,21 @@ def oracle_sql() -> dict[str, str]:
               CAST(NULL AS VARCHAR) AS ld_date_published,
               CAST(NULL AS VARCHAR) AS ld_author
             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 4 <> 0
+        """,
+        # frequent_tokens: the exact GROUP BY answer — integer-exact
+        # threshold test (cnt*10^6 >= ppm*N) and floor-div ppm, so the
+        # sketch-accelerated Spark plan must reproduce it bit-for-bit.
+        "frequent_tokens": """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                trim(lower(text)), '\\s+'), t -> t <> '')) AS token
+              FROM documents
+            ), tot AS (SELECT COUNT(*) AS n FROM toks)
+            SELECT token, COUNT(*) AS cnt,
+                   CAST(COUNT(*) * 1000000 // (SELECT n FROM tot)
+                        AS BIGINT) AS freq_ppm
+            FROM toks GROUP BY token
+            HAVING COUNT(*) * 1000000 >= 1000 * (SELECT n FROM tot)
         """,
         # fix_mojibake: Spark corrupts the planted text with the exact
         # UTF-8-as-cp1252 forward transform and repairs it; a correct
