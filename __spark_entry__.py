@@ -1155,6 +1155,22 @@ def q_jsonld_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ld_date_published", "ld_author")
 
 
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction + page-local translation-cluster
+    representative: every page at /en/{id} declares en always, de on
+    %2, fr on %3 (href-first attribute order, uppercase lang to prove
+    normalization), x-default on %5 (pointing at the en URL), next to
+    stylesheet and hreflang-less RSS negative controls. The planted
+    arithmetic makes exploded rows AND the min-href cluster key
+    closed-form."""
+    from document_extractor_spark.operators.pagemeta import (
+        hreflang_alternates)
+    from document_extractor_spark.sources.docpages import (
+        pages_with_hreflang)
+
+    return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
+
+
 def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters at 1000 ppm (0.1% of all corpus tokens) via
     the 2-pass Misra-Gries candidate sketch + exact verify. The oracle
@@ -2099,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via test_oracle_parity either way ---
         "jsonld_records": q_jsonld_records,
         "frequent_tokens": q_frequent_tokens,
+        "hreflang_clusters": q_hreflang_clusters,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -2970,6 +2987,34 @@ def oracle_sql() -> dict[str, str]:
               CAST(NULL AS VARCHAR) AS ld_date_published,
               CAST(NULL AS VARCHAR) AS ld_author
             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 4 <> 0
+        """,
+        # hreflang_clusters: the fixture's alternates are doc_id
+        # arithmetic; the oracle states the plant per language and the
+        # min-href cluster key directly (de sorts before en before fr,
+        # so cluster = /de/{id} iff doc_id is even).
+        "hreflang_clusters": """
+            WITH c AS (
+              SELECT doc_id,
+                'https://docs.example.org/en/' || doc_id AS url,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'https://docs.example.org/de/' || doc_id
+                     ELSE 'https://docs.example.org/en/' || doc_id
+                END AS cluster_url
+              FROM documents)
+            SELECT url, cluster_url, 'en' AS hreflang,
+                   'https://docs.example.org/en/' || doc_id AS href FROM c
+            UNION ALL
+            SELECT url, cluster_url, 'de',
+                   'https://docs.example.org/de/' || doc_id
+            FROM c WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT url, cluster_url, 'fr',
+                   'https://docs.example.org/fr/' || doc_id
+            FROM c WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT url, cluster_url, 'x-default',
+                   'https://docs.example.org/en/' || doc_id
+            FROM c WHERE doc_id % 5 = 0
         """,
         # frequent_tokens: the exact GROUP BY answer — integer-exact
         # threshold test (cnt*10^6 >= ppm*N) and floor-div ppm, so the

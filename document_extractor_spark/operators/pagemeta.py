@@ -49,6 +49,74 @@ def _attr_value(page: Column, tag: str, key_attr: str, key: str,
                       F.nullif(F.regexp_extract(page, b, 1), F.lit("")))
 
 
+_LNK_STAGE = "_lnk_tags"
+_LNK_TAG = "_lnk_tag"
+
+
+def _tag_attr(tag: Column, name: str) -> Column:
+    """Value of attribute ``name`` on a whole-tag string — order-free
+    by construction (each attribute is matched independently within
+    the tag, so 3-attribute tags need no permutation patterns)."""
+    pat = f"""(?i)\\b{name}\\s*=\\s*["']([^"']*)["']"""
+    return F.nullif(F.regexp_extract(tag, pat, 1), F.lit(""))
+
+
+def hreflang_alternates(df: DataFrame, html_col: str = "html",
+                        url_col: str = "url") -> DataFrame:
+    """``(url, hreflang, href, cluster_url)`` — one row per
+    ``<link rel="alternate" hreflang=... href=...>`` declaration, the
+    page-translation graph multilingual corpus construction reads
+    (every hreflang variant of a page is the same content in another
+    language; a training mix wants ONE of them, a bitext miner wants
+    the pairs). ``cluster_url`` is the page-local cluster
+    representative: the lexicographic minimum of the page's own URL
+    and every declared alternate href — computed on the staged per-page
+    array BEFORE the explode, so for a reciprocal hreflang set (the
+    spec requires reciprocity) every member page derives the SAME
+    representative with zero shuffle and no join.
+
+    Tags missing hreflang (RSS alternates) or with rel≠alternate
+    (stylesheets, canonical) never match; non-UTF-8 and NULL payloads
+    yield zero rows. All JVM whole-stage codegen: staged whole-tag
+    ``regexp_extract_all``, array filter, ``explode_outer`` of the
+    staged array, per-attribute extracts.
+    """
+    clash = {_LNK_STAGE, _LNK_TAG, "hreflang", "href",
+             "cluster_url"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with synthesized names: "
+                         f"{sorted(clash)}")
+    raw = F.col(html_col)
+    page = F.when(F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))
+
+    def _is_alt(t: Column) -> Column:
+        return ((F.lower(_tag_attr(t, "rel")) == "alternate")
+                & _tag_attr(t, "hreflang").isNotNull()
+                & _tag_attr(t, "href").isNotNull())
+
+    staged = df.withColumn(
+        _LNK_STAGE,
+        F.filter(
+            F.regexp_extract_all(page, F.lit(r"(?is)(<link\b[^>]*>)"),
+                                 F.lit(1)),
+            _is_alt))
+    staged = staged.withColumn(
+        "cluster_url",
+        F.least(F.array_min(F.transform(_LNK_STAGE,
+                                        lambda t: _tag_attr(t, "href"))),
+                F.col(url_col)))
+    return (
+        staged.select(
+            F.col(url_col).alias("url"), "cluster_url",
+            F.explode_outer(_LNK_STAGE).alias(_LNK_TAG))
+        .select("url", "cluster_url",
+                F.lower(_tag_attr(F.col(_LNK_TAG), "hreflang"))
+                .alias("hreflang"),
+                _tag_attr(F.col(_LNK_TAG), "href").alias("href"))
+        .where(F.col("hreflang").isNotNull())
+    )
+
+
 def page_metadata(df: DataFrame, html_col: str = "html",
                   og_fields: tuple[str, ...] = ("title", "site_name",
                                                 "image")) -> DataFrame:

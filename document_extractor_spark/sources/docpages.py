@@ -236,6 +236,52 @@ def pages_with_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hreflang variant for the alternate-language operator: every page
+# lives at /en/{id} and declares itself plus arithmetic alternates —
+# de on %2, fr on %3 (href-before-hreflang order), x-default on %5
+# (pointing back at the en URL, as real sites do) — next to two
+# negative controls (a stylesheet link and an RSS alternate WITHOUT
+# hreflang). Alternates are pure doc_id functions, so the exploded
+# rows and the per-page min-href cluster representative are both
+# closed-form.
+def pages_with_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+
+    def alt(lang: str):
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" '
+                  f'href="https://docs.example.org/{lang}/'),
+            did, F.lit('">'))
+
+    en_url = F.concat(F.lit("https://docs.example.org/en/"), did)
+    links = F.concat(
+        F.lit('<link rel="stylesheet" href="/main.css">'),
+        alt("en"),
+        F.when((F.col("doc_id") % 2) == 0, alt("de")).otherwise(F.lit("")),
+        F.when((F.col("doc_id") % 3) == 0, F.concat(
+            F.lit('<link href="https://docs.example.org/fr/'), did,
+            F.lit('" hreflang="FR" rel="alternate">'))).otherwise(F.lit("")),
+        F.when((F.col("doc_id") % 5) == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default" href="'),
+            en_url, F.lit('">'))).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="/feed.xml">'),
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head>"), links,
+        F.lit("</head><body><p>"), _escaped("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        en_url.alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
 # PDF variant for the position/margin operators: each document becomes a
 # deterministic one-page PDF with a FIXED layout — an 18 pt title at
 # (72, 720) and a two-line 12 pt body at (72, 680) holding the first two

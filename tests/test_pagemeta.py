@@ -1,5 +1,6 @@
 """Page-head metadata extraction (operators/pagemeta.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from document_extractor_spark.operators.pagemeta import page_metadata
@@ -94,3 +95,60 @@ def test_fixture_roundtrip_matches_closed_form(spark, sf_dir):
 def test_plan_is_jvm_only(spark):
     df = _pages(spark, [(1, "<head><title>x</title></head>")])
     assert_no_python(page_metadata(df))
+
+
+# --- hreflang alternates ---------------------------------------------------
+
+from document_extractor_spark.operators.pagemeta import hreflang_alternates
+
+
+def _hpages(spark, rows):
+    df = spark.createDataFrame(rows, "url string, page string")
+    return df.select("url", F.encode("page", "UTF-8").alias("html"))
+
+
+def test_hreflang_rows_cluster_and_negative_controls(spark):
+    rows = [
+        ("https://e.org/en/p",
+         '<html><head>'
+         '<link rel="stylesheet" href="/main.css">'                 # no
+         '<link rel="alternate" hreflang="en" href="https://e.org/en/p">'
+         '<link href="https://e.org/de/p" hreflang="DE" rel="alternate">'
+         '<link rel="alternate" type="application/rss+xml" href="/f.xml">'
+         '<link rel="canonical" href="https://e.org/en/p">'         # no
+         "</head></html>"),
+    ]
+    got = sorted(hreflang_alternates(_hpages(spark, rows)).collect(),
+                 key=lambda r: r["hreflang"])
+    assert [(r["hreflang"], r["href"]) for r in got] == [
+        ("de", "https://e.org/de/p"),      # lowercased, href-first order
+        ("en", "https://e.org/en/p"),
+    ]
+    # min(own url, hrefs): de sorts first
+    assert all(r["cluster_url"] == "https://e.org/de/p" for r in got)
+
+
+def test_hreflang_no_alternates_and_binary_yield_no_rows(spark):
+    rows = [("https://e.org/a",
+             "<html><head><link rel='stylesheet' href='/x.css'>"
+             "</head></html>")]
+    df = _hpages(spark, rows)
+    binary = spark.range(1).select(
+        F.lit("https://e.org/bin").alias("url"),
+        F.unhex(F.lit("FF00FE00")).alias("html"))
+    assert hreflang_alternates(df.unionByName(binary)).collect() == []
+
+
+def test_hreflang_cluster_is_own_url_when_it_sorts_first(spark):
+    rows = [("https://a.org/x",
+             '<html><link rel="alternate" hreflang="fr" '
+             'href="https://z.org/fr/x"></html>')]
+    got = hreflang_alternates(_hpages(spark, rows)).collect()
+    assert got[0]["cluster_url"] == "https://a.org/x"
+
+
+def test_hreflang_clash_guard_and_plan(spark):
+    df = _hpages(spark, [("u", "<html></html>")])
+    with pytest.raises(ValueError, match="clash"):
+        hreflang_alternates(df.withColumn("href", F.lit("x")))
+    assert_no_python(hreflang_alternates(df))
