@@ -1171,6 +1171,21 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type + charset sniffing over a mixed-payload
+    corpus built in Spark (PDF/gzip/PNG/JPEG magics, UTF-16LE BOM,
+    HTML root tag, bare text, empty override on %13) — the verdict is
+    a pure doc_id CASE the oracle states directly, covering every rule
+    branch including magic-beats-text precedence."""
+    from document_extractor_spark.operators.sniff import sniff_content_type
+    from document_extractor_spark.sources.docpages import (
+        pages_with_mixed_payloads)
+
+    pages = pages_with_mixed_payloads(spark, sf_dir)
+    return sniff_content_type(pages).select(
+        doc_id_from_url("url"), "sniffed_type", "sniffed_charset")
+
+
 def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters at 1000 ppm (0.1% of all corpus tokens) via
     the 2-pass Misra-Gries candidate sketch + exact verify. The oracle
@@ -2116,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_records": q_jsonld_records,
         "frequent_tokens": q_frequent_tokens,
         "hreflang_clusters": q_hreflang_clusters,
+        "sniff_types": q_sniff_types,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3015,6 +3031,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # sniff_types: payload family is doc_id arithmetic (%13 empty
+        # override, else %7 selects the magic/BOM/HTML/text family);
+        # the oracle states the expected verdict per branch.
+        "sniff_types": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0 THEN 'empty'
+                   WHEN doc_id % 7 = 0 THEN 'application/pdf'
+                   WHEN doc_id % 7 = 1 THEN 'application/gzip'
+                   WHEN doc_id % 7 = 2 THEN 'image/png'
+                   WHEN doc_id % 7 = 3 THEN 'image/jpeg'
+                   WHEN doc_id % 7 = 4 THEN 'text/plain'
+                   WHEN doc_id % 7 = 5 THEN 'text/html'
+                   ELSE 'text/plain' END AS sniffed_type,
+              CASE WHEN doc_id % 13 = 0 THEN NULL
+                   WHEN doc_id % 7 = 4 THEN 'utf-16le'
+                   WHEN doc_id % 7 IN (5, 6) THEN 'utf-8'
+                   ELSE NULL END AS sniffed_charset
+            FROM documents
         """,
         # frequent_tokens: the exact GROUP BY answer — integer-exact
         # threshold test (cnt*10^6 >= ppm*N) and floor-div ppm, so the

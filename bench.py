@@ -328,7 +328,7 @@ HEADLINE_QUERIES = [
     "domain_mixture", "lexical_diversity", "fix_mojibake", "page_metadata",
     "pq_topk", "readability_grade", "segment_languages", "feed_items",
     "sitemap_urls", "revisit_schedule", "jsonld_records",
-    "frequent_tokens", "hreflang_clusters",
+    "frequent_tokens", "hreflang_clusters", "sniff_types",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

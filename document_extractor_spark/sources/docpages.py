@@ -282,6 +282,40 @@ def pages_with_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixed-payload variant for the sniffing operator: doc_id%7 selects the
+# payload family (PDF / gzip / PNG / JPEG / UTF-16LE-BOM text / HTML /
+# plain text), doc_id%13==0 overrides to empty bytes — all built
+# JVM-side (unhex magic prefixes + encoded text), so the sniff verdict
+# is a pure doc_id CASE the oracle states directly.
+def pages_with_mixed_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    m = F.col("doc_id") % 7
+    payload = (
+        F.when((F.col("doc_id") % 13) == 0, F.encode(F.lit(""), "UTF-8"))
+        .when(m == 0, F.concat(F.encode(F.lit("%PDF-1.4\n"), "UTF-8"), body))
+        .when(m == 1, F.concat(F.unhex(F.lit("1F8B0800")), body))
+        .when(m == 2, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), body))
+        .when(m == 3, F.concat(F.unhex(F.lit("FFD8FFE0")), body))
+        .when(m == 4, F.concat(F.unhex(F.lit("FFFE")), body))
+        .when(m == 5, F.concat(
+            F.encode(F.concat(F.lit("<!DOCTYPE html><html><body><p>"),
+                              _escaped("text"),
+                              F.lit("</p></body></html>")), "UTF-8")))
+        # 'txt: ' prefix keeps the bare-text branch a closed form even
+        # if a corpus document happens to start with '<html' or is empty
+        .otherwise(F.concat(F.encode(F.lit("txt: "), "UTF-8"), body))
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        payload.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
 # PDF variant for the position/margin operators: each document becomes a
 # deterministic one-page PDF with a FIXED layout — an 18 pt title at
 # (72, 720) and a two-line 12 pt body at (72, 680) holding the first two
