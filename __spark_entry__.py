@@ -1171,6 +1171,28 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script detection over planted text: doc_id%9 selects
+    one of the nine profiled scripts, repeated 10+doc_id%5 times, plus
+    a fixed ' 123 abc' tail (digits ignored, 3 Latin letters prove
+    mixed-script counting). Counts, dominant pick, and the exact
+    integer ppm are all closed-form doc_id arithmetic."""
+    from document_extractor_spark.operators.textstats import script_profile
+
+    chars = F.array(*[F.lit(c) for c in
+                      ["a", "д", "中", "ا", "α", "한", "ひ", "カ", "द"]])
+    planted = (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.element_at(chars, (F.col("doc_id") % 9 + 1).cast("int"))
+                .alias("_ch"))
+        .select("doc_id",
+                F.concat(F.expr("repeat(_ch, int(doc_id % 5) + 10)"),
+                         F.lit(" 123 abc")).alias("text"))
+    )
+    return script_profile(planted)
+
+
 def q_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content-type + charset sniffing over a mixed-payload
     corpus built in Spark (PDF/gzip/PNG/JPEG magics, UTF-16LE BOM,
@@ -2132,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": q_frequent_tokens,
         "hreflang_clusters": q_hreflang_clusters,
         "sniff_types": q_sniff_types,
+        "script_profile": q_script_profile,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3031,6 +3054,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # script_profile: planted script char repeated 10+id%5 times
+        # plus a 3-Latin-letter tail — counts and the dominant verdict
+        # are doc_id arithmetic (chars[id%9]; the id%9==0 branch IS
+        # latin so its count absorbs the tail).
+        "script_profile": """
+            WITH c AS (
+              SELECT doc_id,
+                CASE doc_id % 9
+                  WHEN 0 THEN 'latin'    WHEN 1 THEN 'cyrillic'
+                  WHEN 2 THEN 'han'      WHEN 3 THEN 'arabic'
+                  WHEN 4 THEN 'greek'    WHEN 5 THEN 'hangul'
+                  WHEN 6 THEN 'hiragana' WHEN 7 THEN 'katakana'
+                  ELSE 'devanagari' END AS dominant_script,
+                CAST(CASE WHEN doc_id % 9 = 0 THEN 13 + doc_id % 5
+                          ELSE 10 + doc_id % 5 END AS BIGINT)
+                  AS script_chars,
+                CAST(13 + doc_id % 5 AS BIGINT) AS letter_chars
+              FROM documents)
+            SELECT doc_id, dominant_script, script_chars, letter_chars,
+                   CAST(script_chars * 1000000 // letter_chars AS BIGINT)
+                     AS dominant_ppm
+            FROM c
         """,
         # sniff_types: payload family is doc_id arithmetic (%13 empty
         # override, else %7 selects the magic/BOM/HTML/text family);

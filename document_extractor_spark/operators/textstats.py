@@ -351,3 +351,61 @@ def readability_grade(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), nw.alias("n_words"), ns.alias("n_sentences"),
         nsyl.alias("n_syllables"), grade.alias("fk_grade"),
         ease.alias("reading_ease"))
+
+
+# Unicode script classes countable in both engines' regex dialects —
+# Java (Spark) spells them \p{IsXxx}; counting is done by length-delta
+# so the whole profile is one JVM projection.
+SCRIPTS = (
+    "latin", "cyrillic", "han", "arabic", "greek",
+    "hangul", "hiragana", "katakana", "devanagari",
+)
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Dominant writing system per document — the pre-language-ID gate
+    of CCNet/OSCAR-style webtext pipelines (script is cheaper and far
+    more reliable than n-gram lang-id, and a mixed-script document is
+    itself a spam signal). Returns ``(id, dominant_script,
+    script_chars, letter_chars, dominant_ppm)`` where ``script_chars``
+    counts the dominant script's codepoints, ``letter_chars`` the sum
+    over all nine profiled scripts, and ``dominant_ppm`` their exact
+    integer ratio in parts per million.
+
+    Spark-first: each script count is ``length(text) -
+    length(regexp_replace(text, '\\p{IsXxx}', ''))`` — nine JVM
+    projections folded in one whole-stage-codegen span, no explode, no
+    shuffle, no Python. The dominant pick is the repo's deterministic
+    min-over-struct fold: ``min (−count, name)`` ⇒ ties break on
+    script name ASC, partitioning-invariant. Documents with zero
+    profiled letters (digits/punctuation only, empty, NULL) get a NULL
+    dominant and zero counts rather than an arbitrary winner.
+    """
+    c = F.col(text_col)
+    counts = {
+        s: F.coalesce(
+            F.length(c) - F.length(
+                F.regexp_replace(c, f"\\p{{Is{s.capitalize()}}}", "")),
+            F.lit(0)).cast("bigint")
+        for s in SCRIPTS
+    }
+    letter_chars = sum(counts.values(), F.lit(0).cast("bigint"))
+    best = F.least(*[
+        F.struct((-counts[s]).alias("nc"), F.lit(s).alias("s"))
+        for s in SCRIPTS
+    ])
+    dominant = F.when(letter_chars > 0, best["s"])
+    script_chars = F.when(letter_chars > 0, -best["nc"]) \
+        .otherwise(F.lit(0)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        dominant.alias("dominant_script"),
+        script_chars.alias("script_chars"),
+        letter_chars.alias("letter_chars"),
+    ).withColumn(
+        "dominant_ppm",
+        F.when(F.col("letter_chars") > 0,
+               F.expr("(script_chars * 1000000L) div letter_chars"))
+        .otherwise(F.lit(0)).cast("bigint"),
+    )

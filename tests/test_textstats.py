@@ -23,3 +23,50 @@ def test_doc_top_terms_ranking(spark):
     assert got[(3, 1)] == ("apple", 2, 2)
     assert got[(3, 2)] == ("zebra", 1, 1)
     assert len(rows) == 6
+
+
+# --- script profile ---------------------------------------------------------
+
+from document_extractor_spark.operators.textstats import (SCRIPTS,
+                                                          script_profile)
+
+
+def _sp(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {r["doc_id"]: r for r in script_profile(df).collect()}
+
+
+def test_script_profile_counts_and_dominant(spark):
+    got = _sp(spark, [
+        (1, "привет мир abc"),        # 9 cyrillic > 3 latin
+        (2, "hello мир"),             # 5 latin > 3 cyrillic
+        (3, "中文中文中 ab"),          # 5 han > 2 latin
+        (4, "12345 ... !!"),          # no profiled letters
+        (5, None),
+        (6, "αβγ한한ひカद"),           # greek 3 > hangul 2 > 1+1+1
+    ])
+    assert (got[1]["dominant_script"], got[1]["script_chars"],
+            got[1]["letter_chars"]) == ("cyrillic", 9, 12)
+    assert got[1]["dominant_ppm"] == 9 * 1_000_000 // 12
+    assert got[2]["dominant_script"] == "latin"
+    assert got[3]["dominant_script"] == "han"
+    assert got[4]["dominant_script"] is None
+    assert (got[4]["script_chars"], got[4]["letter_chars"],
+            got[4]["dominant_ppm"]) == (0, 0, 0)
+    assert got[5]["dominant_script"] is None
+    assert got[6]["dominant_script"] == "greek"
+    assert got[6]["letter_chars"] == 8
+
+
+def test_script_profile_tie_breaks_name_asc(spark):
+    # 2 cyrillic vs 2 latin: 'cyrillic' < 'latin' wins the tie
+    got = _sp(spark, [(1, "ab дд")])
+    assert got[1]["dominant_script"] == "cyrillic"
+    assert got[1]["script_chars"] == 2
+
+
+def test_script_profile_plan_is_jvm_only(spark):
+    from document_extractor_spark.plans import assert_no_python
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    assert_no_python(script_profile(df))
+    assert len(SCRIPTS) == 9
