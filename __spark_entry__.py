@@ -1171,6 +1171,18 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis exactly-100 weighted sample of documents,
+    length-proportional (w = char count). The oracle recomputes the
+    identical deterministic formula — md5-seeded uniform, ln(u)/w
+    ordering, doc_id tie-break — so the sampled SET must match
+    row-for-row."""
+    from document_extractor_spark.operators.curation import weighted_sample
+
+    docs = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return weighted_sample(docs, 100, "n_chars").select("doc_id", "n_chars")
+
+
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script detection over planted text: doc_id%9 selects
     one of the nine profiled scripts, repeated 10+doc_id%5 times, plus
@@ -2155,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "sniff_types": q_sniff_types,
         "script_profile": q_script_profile,
+        "weighted_sample": q_weighted_sample,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3054,6 +3067,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # weighted_sample: the genuine relational twin — identical
+        # md5-hex uniform (0x-cast in DuckDB, conv in Spark; 60-bit so
+        # both are IEEE-exact through the double conversion), identical
+        # ln(u)/w ordering, identical tie-break.
+        "weighted_sample": """
+            WITH s AS (
+              SELECT doc_id, length(text) AS n_chars,
+                ln((CAST('0x' || substr(
+                      md5('es1' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) + 1) / 1152921504606846976.0)
+                / CAST(length(text) AS DOUBLE) AS o
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, n_chars FROM s
+            ORDER BY o DESC, doc_id LIMIT 100
         """,
         # script_profile: planted script char repeated 10+id%5 times
         # plus a 3-Latin-letter tail — counts and the dominant verdict

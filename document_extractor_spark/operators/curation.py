@@ -216,6 +216,61 @@ def sample_mix_table(docs: DataFrame, weights: DataFrame,
     )
 
 
+def weighted_sample(docs: DataFrame, k: int, weight_col: str,
+                    key_col: str = "doc_id",
+                    seed: str = "es1") -> DataFrame:
+    """Exactly-``k`` weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets the key ``ln(u)/w`` for a
+    deterministic per-row uniform ``u`` and weight ``w``; the k largest
+    keys are the sample, and the inclusion distribution is exactly
+    successive weight-proportional draws. This is the length-/quality-
+    proportional subsample a mix builder wants when ``sample_mix``'s
+    per-source fractions are too coarse (e.g. "100k documents, longer
+    ones proportionally more likely").
+
+    Determinism & cross-engine: ``u = (conv(md5 prefix) + 1) / 2^60``
+    is a pure (seed, key) function; int64→double conversion and
+    division are IEEE-exact in both engines, ``ln`` is ≤1-ulp in both
+    — an ordering flip would need two keys within ~1e-15 relative,
+    impossible in practice and in any case FIXED for a given dataset
+    (ties beyond that break on key ASC). Stable under repartitioning
+    and retries, unlike ``df.sample``.
+
+    Scale shape: the ordering runs on a NARROW (key, weight) projection
+    — Spark compiles ``orderBy().limit(k)`` to TakeOrderedAndProject
+    (per-partition top-k, merge on driver; no global sort, no full
+    shuffle) — and the k winners broadcast-semi-join back, so payloads
+    never move. Rows with NULL or non-positive weight can never be
+    drawn (P=0 mass), mirroring ``sample_mix_table``'s clamp.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    clash = {"_es_key", "_es_w", "_es_o"} & set(docs.columns)
+    if clash:
+        raise ValueError(f"input columns clash with synthesized names: "
+                         f"{sorted(clash)}")
+    narrow = (
+        docs.select(F.col(key_col).alias("_es_key"),
+                    F.col(weight_col).cast("double").alias("_es_w"))
+        .where(F.col("_es_w") > 0)
+    )
+    u = (
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(seed),
+                           F.col("_es_key").cast("string"))), 1, 15),
+            16, 10).cast("bigint") + F.lit(1)).cast("double")
+        / F.lit(float(2 ** 60)))
+    picked = (
+        narrow.withColumn("_es_o", F.log(u) / F.col("_es_w"))
+        .orderBy(F.col("_es_o").desc(), F.col("_es_key").asc())
+        .limit(k)
+        .select("_es_key")
+    )
+    return docs.join(
+        F.broadcast(picked),
+        docs[key_col] == F.col("_es_key"), "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # URL triage (RefinedWeb/CCNet-style pre-fetch filtering)
 # ---------------------------------------------------------------------------

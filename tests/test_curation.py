@@ -724,3 +724,74 @@ def test_cap_per_host_no_python_and_narrow_window(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(_host[^\n]*", plan):
         assert "text" not in m.group(0)
+
+
+# --- Efraimidis-Spirakis weighted sampling ----------------------------------
+
+import hashlib
+import math
+
+from document_extractor_spark.operators.curation import weighted_sample
+
+
+def _es_expected(pairs, k, seed="es1"):
+    """Pure-python recompute of the operator's exact formula."""
+    keyed = []
+    for key, w in pairs:
+        if w is None or w <= 0:
+            continue
+        h = hashlib.md5((seed + str(key)).encode()).hexdigest()[:15]
+        u = (int(h, 16) + 1) / 2.0 ** 60
+        keyed.append((math.log(u) / float(w), key))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return {key for _, key in keyed[:k]}
+
+
+def _es_df(spark, pairs, parts=4):
+    return spark.createDataFrame(
+        [(key, w, f"payload {key}") for key, w in pairs],
+        "doc_id bigint, w double, text string").repartition(parts)
+
+
+def test_weighted_sample_matches_exact_formula(spark):
+    pairs = [(i, float(1 + (i * 37) % 100)) for i in range(200)]
+    df = _es_df(spark, pairs)
+    got = {r["doc_id"] for r in weighted_sample(df, 25, "w").collect()}
+    assert got == _es_expected(pairs, 25)
+
+
+def test_weighted_sample_partition_invariant_and_weight_rules(spark):
+    pairs = ([(i, 5.0) for i in range(30)]
+             + [(100, 0.0), (101, -3.0), (102, None)])
+    out = {p: {r["doc_id"] for r in weighted_sample(
+        _es_df(spark, pairs, parts=p), 10, "w").collect()}
+        for p in (1, 8)}
+    assert out[1] == out[8]
+    assert not out[1] & {100, 101, 102}          # P=0 mass never drawn
+    # k beyond eligible rows returns every eligible row
+    allrows = weighted_sample(_es_df(spark, pairs), 1000, "w")
+    assert {r["doc_id"] for r in allrows.collect()} == set(range(30))
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    # 20 heavy (w=200) vs 200 light (w=1): heavy mass = 4000/4200 ≈ 95%,
+    # so a 40-draw sample must be mostly heavy ids across any seed.
+    pairs = [(i, 200.0) for i in range(20)] + \
+            [(1000 + i, 1.0) for i in range(200)]
+    df = _es_df(spark, pairs)
+    heavy = sum(
+        1 for r in weighted_sample(df, 40, "w", seed="s2").collect()
+        if r["doc_id"] < 1000)
+    assert heavy >= 15      # all 20 heavy are near-certain picks
+
+
+def test_weighted_sample_guards_and_plan(spark):
+    import pytest as _pt
+    from document_extractor_spark.plans import physical_plan
+    df = _es_df(spark, [(1, 1.0)])
+    with _pt.raises(ValueError, match="positive"):
+        weighted_sample(df, 0, "w")
+    with _pt.raises(ValueError, match="clash"):
+        weighted_sample(df.withColumn("_es_w", F.lit(1)), 1, "w")
+    plan = physical_plan(weighted_sample(df, 3, "w"))
+    assert "TakeOrderedAndProject" in plan      # top-k, not a full sort
