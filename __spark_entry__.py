@@ -1171,6 +1171,32 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap template mining over planted URL families (calendar
+    dates, product ids, hex session ids, a static page, tag/pagination)
+    on the h{id%37} host scheme. The oracle is a genuine relational
+    twin: DuckDB derives the same planted URLs and runs the identical
+    host-extract + hex/digit-collapse + distinct-count chain."""
+    from document_extractor_spark.operators.urlpatterns import url_templates
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 37).cast("string"), F.lit(".example.org"),
+        F.when(d % 5 == 0, F.concat(
+            F.lit("/cal/"), (2020 + d % 7).cast("string"),
+            F.lit("/"), (1 + d % 12).cast("string"),
+            F.lit("/"), (1 + d % 28).cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("/p/"), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("/s?sid="),
+                                   F.md5(d.cast("string"))))
+        .when(d % 5 == 3, F.lit("/about"))
+        .otherwise(F.concat(F.lit("/tag/"), (d % 3).cast("string"),
+                            F.lit("/page/"), (d % 50).cast("string"))),
+    )
+    planted = _docs(spark, sf_dir).select(url.alias("url"))
+    return url_templates(planted, trap_min_urls=25)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis exactly-100 weighted sample of documents,
     length-proportional (w = char count). The oracle recomputes the
@@ -2168,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sniff_types": q_sniff_types,
         "script_profile": q_script_profile,
         "weighted_sample": q_weighted_sample,
+        "url_templates": q_url_templates,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3067,6 +3094,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # url_templates: relational twin — same planted URLs, same
+        # host extract, same hex-then-digit collapse (DuckDB needs the
+        # explicit 'g' flag Spark applies by default), same counts.
+        "url_templates": """
+            WITH u AS (
+              SELECT 'https://h' || (doc_id % 37) || '.example.org' ||
+                CASE
+                  WHEN doc_id % 5 = 0 THEN '/cal/' || (2020 + doc_id % 7)
+                       || '/' || (1 + doc_id % 12) || '/'
+                       || (1 + doc_id % 28)
+                  WHEN doc_id % 5 = 1 THEN '/p/' || doc_id
+                  WHEN doc_id % 5 = 2 THEN '/s?sid='
+                       || md5(CAST(doc_id AS VARCHAR))
+                  WHEN doc_id % 5 = 3 THEN '/about'
+                  ELSE '/tag/' || (doc_id % 3) || '/page/'
+                       || (doc_id % 50)
+                END AS url
+              FROM documents),
+            t AS (
+              SELECT url,
+                lower(regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                regexp_replace(regexp_replace(
+                  CASE WHEN regexp_extract(url,
+                    '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1) = ''
+                    THEN '/'
+                    ELSE regexp_extract(url,
+                      '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1) END,
+                  '[0-9a-fA-F]{16,}', '{hex}', 'g'),
+                  '[0-9]+', '{n}', 'g') AS template
+              FROM u)
+            SELECT host, template,
+                   COUNT(DISTINCT url) AS n_urls,
+                   COUNT(*) AS n_fetches,
+                   COUNT(DISTINCT url) >= 25 AS is_trap
+            FROM t GROUP BY host, template
         """,
         # weighted_sample: the genuine relational twin — identical
         # md5-hex uniform (0x-cast in DuckDB, conv in Spark; 60-bit so

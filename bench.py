@@ -329,7 +329,7 @@ HEADLINE_QUERIES = [
     "pq_topk", "readability_grade", "segment_languages", "feed_items",
     "sitemap_urls", "revisit_schedule", "jsonld_records",
     "frequent_tokens", "hreflang_clusters", "sniff_types",
-    "script_profile", "weighted_sample",
+    "script_profile", "weighted_sample", "url_templates",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N
