@@ -1171,6 +1171,27 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning over planted embeddings: two axis
+    clusters (cell = doc_id%2), perturbation 0.25·(doc_id%5) — every
+    intermediate double (p, p², 1+p²) is EXACTLY representable, so
+    proto_sim = 1/sqrt(1+p²) is bit-identical cross-engine and the
+    DuckDB twin recomputes assignment, similarity, percent_rank, and
+    the keep band directly."""
+    from document_extractor_spark.operators.similarity import (
+        prototypicality_prune)
+
+    d = F.col("doc_id")
+    p = (d % 5).cast("double") * F.lit(0.25)
+    emb = F.when(d % 2 == 0,
+                 F.array(F.lit(1.0), F.lit(0.0), p, F.lit(0.0))) \
+        .otherwise(F.array(F.lit(0.0), F.lit(1.0), F.lit(0.0), p))
+    planted = _docs(spark, sf_dir).select("doc_id", emb.alias("embedding"))
+    return prototypicality_prune(
+        planted, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        keep_low=0.2, keep_high=0.8)
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap template mining over planted URL families (calendar
     dates, product ids, hex session ids, a static page, tag/pagination)
@@ -2195,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "weighted_sample": q_weighted_sample,
         "url_templates": q_url_templates,
+        "prototype_prune": q_prototype_prune,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3094,6 +3116,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # prototype_prune: relational twin over the exact-double plant
+        # — same assignment arithmetic, same 1/sqrt(1+p*p) similarity
+        # (all intermediates exactly representable), same percent_rank
+        # window and band filter.
+        "prototype_prune": """
+            WITH s AS (
+              SELECT doc_id, CAST(doc_id % 2 AS INT) AS cell,
+                     1.0 / sqrt(1.0 + (0.25 * (doc_id % 5))
+                                * (0.25 * (doc_id % 5))) AS proto_sim
+              FROM documents),
+            r AS (
+              SELECT doc_id, cell, proto_sim,
+                     percent_rank() OVER (PARTITION BY cell
+                                          ORDER BY proto_sim) AS pr
+              FROM s)
+            SELECT doc_id, cell, proto_sim FROM r
+            WHERE pr >= 0.2 AND pr <= 0.8
         """,
         # url_templates: relational twin — same planted URLs, same
         # host extract, same hex-then-digit collapse (DuckDB needs the

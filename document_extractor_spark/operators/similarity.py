@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -483,3 +483,60 @@ def pq_topk(encoded: DataFrame, codebooks: list, qvec: list, k: int = 10,
         .orderBy(F.col("_adc"), F.col(id_col)).limit(shortlist)
     )
     return brute_force_topk(short, qvec, k, id_col, vec_col)
+
+
+def prototypicality_prune(df: DataFrame, centroids: list,
+                          keep_low: float = 0.2, keep_high: float = 0.8,
+                          id_col: str = "doc_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): assign every embedding to its nearest
+    centroid by cosine, rank each cluster by prototypicality (cosine
+    to the assigned centroid), and keep only the middle quantile band
+    — the canonical "drop the too-easy AND the too-hard examples"
+    selection a data-constrained training run applies after SemDeDup.
+
+    ``centroids`` are driver-side literals (caller-trained, e.g. via
+    ``ivf_index``'s sampled KMeans, or fixed prototypes) — so cell
+    assignment and similarity are pure whole-stage-codegen JVM
+    expressions: one dot/norm fold per centroid, argmax via the repo's
+    deterministic least-over-struct fold (ties → lowest cell id). The
+    quantile rank is ``percent_rank`` over a NARROW (id, cell, sim)
+    projection — per-cell partitions, so like ``shuffle_shards``'
+    documented knob the cluster count must scale with the corpus
+    (SemDeDup-style runs use tens of thousands of cells; per-cell rows
+    = corpus/cells stay task-sized). Payloads never enter the window;
+    callers semi-join the verdict back on the id.
+
+    Returns ``(id, cell, proto_sim)`` for KEPT rows; NULL/zero-norm
+    embeddings are unrankable and dropped (P=0 prototypicality).
+    """
+    import math as _math
+
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if not 0.0 <= keep_low <= keep_high <= 1.0:
+        raise ValueError(f"bad quantile band [{keep_low}, {keep_high}]")
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = _norm(F.col(vec_col))
+    sims = []
+    for j, c in enumerate(centroids):
+        cn = _math.sqrt(sum(x * x for x in c)) or float("nan")
+        sims.append((_dot(v, list(c)) / F.lit(cn))
+                    / F.nullif(vnorm, F.lit(0.0)))
+    structs = [F.struct((-s).alias("ns"), F.lit(j).alias("c"))
+               for j, s in enumerate(sims)]
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    narrow = (
+        df.select(F.col(id_col), best["c"].alias("cell"),
+                  (-best["ns"]).alias("proto_sim"))
+        .where(F.col("proto_sim").isNotNull())
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("cell").orderBy("proto_sim"))
+    return (
+        narrow.withColumn("_pp_pr", pr)
+        .where((F.col("_pp_pr") >= F.lit(float(keep_low)))
+               & (F.col("_pp_pr") <= F.lit(float(keep_high))))
+        .drop("_pp_pr")
+    )

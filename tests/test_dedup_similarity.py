@@ -601,3 +601,63 @@ def test_semantic_dedup_tolerates_zero_vector(spark):
                           cluster_col="label").collect()}
     assert out[1] is True
     assert sorted([out[2], out[3]]) == [False, True]
+
+
+# --- prototypicality pruning -------------------------------------------------
+
+from document_extractor_spark.operators.similarity import (
+    prototypicality_prune)
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+
+
+def test_prototypicality_assign_rank_and_band(spark):
+    # cluster 0 along x, cluster 1 along y; within each cluster,
+    # prototypicality decreases with the planted perturbation
+    rows = []
+    for i in range(10):
+        p = 0.25 * (i % 5)
+        rows.append((i, [1.0, 0.0, p, 0.0] if i % 2 == 0
+                     else [0.0, 1.0, 0.0, p]))
+    df = _emb_df(spark, rows)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {r["doc_id"]: r for r in prototypicality_prune(
+        df, cents, keep_low=0.0, keep_high=1.0).collect()}
+    assert len(got) == 10
+    assert all(r["cell"] == (i % 2) for i, r in got.items())
+    # perturbation 0 → sim exactly 1.0; largest perturbation → smallest sim
+    import math
+    assert got[0]["proto_sim"] == 1.0
+    assert abs(got[4]["proto_sim"] - 1 / math.sqrt(2)) < 1e-12
+    # middle band drops the extreme ranks per cluster: per cluster the
+    # perturbations are {0, .25, .5, .75, 1.0} so pr=1.0 hits the
+    # unperturbed rows (0 and 5) and pr=0.0 the max-perturbed (4 and 9)
+    band = prototypicality_prune(df, cents, keep_low=0.2, keep_high=0.8)
+    kept = {r["doc_id"] for r in band.collect()}
+    assert kept == {1, 2, 3, 6, 7, 8}
+
+
+def test_prototypicality_degenerate_rows_dropped_and_guards(spark):
+    import pytest as _pt
+    df = _emb_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)])
+    got = prototypicality_prune(df, [[1.0, 0.0]],
+                                keep_low=0.0, keep_high=1.0).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    with _pt.raises(ValueError, match="non-empty"):
+        prototypicality_prune(df, [])
+    with _pt.raises(ValueError, match="band"):
+        prototypicality_prune(df, [[1.0, 0.0]], keep_low=0.9, keep_high=0.1)
+
+
+def test_prototypicality_plan_narrow_and_jvm(spark):
+    from document_extractor_spark.plans import assert_no_python, physical_plan
+    df = _emb_df(spark, [(1, [1.0, 0.0])]).withColumn(
+        "text", F.lit("payload"))
+    out = prototypicality_prune(df, [[1.0, 0.0], [0.0, 1.0]])
+    assert_no_python(out)
+    # the exchange below the window must not carry the payload column
+    plan = physical_plan(out)
+    exchange = plan[plan.index("Exchange"):]
+    assert "text" not in exchange.split("Scan")[0]
