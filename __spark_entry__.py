@@ -1171,6 +1171,22 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney ROC-AUC over planted (score, label) pairs —
+    score = (id·7)%100 with heavy ties, label correlated with score so
+    the AUC is non-trivial. The oracle recomputes the identical
+    integer pair-count formula; only the final division is float, so
+    the match is bit-exact."""
+    from document_extractor_spark.operators.metrics import roc_auc
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        ((d * 7) % 100).cast("double").alias("score"),
+        F.when((d * 13) % 100 < (d * 7) % 100, F.lit(1))
+        .otherwise(F.lit(0)).alias("label"))
+    return roc_auc(planted)
+
+
 def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSL-prototypes pruning over planted embeddings: two axis
     clusters (cell = doc_id%2), perturbation 0.25·(doc_id%5) — every
@@ -2217,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "url_templates": q_url_templates,
         "prototype_prune": q_prototype_prune,
+        "roc_auc": q_roc_auc,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3116,6 +3133,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # roc_auc: relational twin — same per-score collapse, same
+        # cumulative-negatives window, same all-BIGINT pair count,
+        # same single final division.
+        "roc_auc": """
+            WITH d AS (
+              SELECT CAST((doc_id * 7) % 100 AS DOUBLE) AS s,
+                     CASE WHEN (doc_id * 13) % 100 < (doc_id * 7) % 100
+                          THEN 1 ELSE 0 END AS l
+              FROM documents),
+            per AS (
+              SELECT s,
+                     SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS p,
+                     SUM(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS n
+              FROM d GROUP BY s),
+            cum AS (
+              SELECT p, n,
+                     COALESCE(SUM(n) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS nb
+              FROM per)
+            SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                   CAST(SUM(n) AS BIGINT) AS n_neg,
+                   CAST(2 * SUM(p * nb) + SUM(p * n) AS BIGINT)
+                     AS pairs_won_x2,
+                   CAST(2 * SUM(p * nb) + SUM(p * n) AS DOUBLE)
+                     / (2.0 * SUM(p) * SUM(n)) AS auc
+            FROM cum
         """,
         # prototype_prune: relational twin over the exact-double plant
         # — same assignment arithmetic, same 1/sqrt(1+p*p) similarity

@@ -1,0 +1,66 @@
+"""Classifier evaluation metrics over corpus-scale score tables.
+
+A curation stack ships quality/toxicity/language classifiers (this
+repo: ``nb.py``, ``lm.py``, Gopher/C4 rule scores) and needs to
+evaluate them on labeled holdouts measured in millions of rows — on
+the cluster, not by collecting scores to a driver notebook. The core
+metric is ROC-AUC, computed EXACTLY via the Mann-Whitney pair count
+with the standard tie correction (each (positive, negative) pair
+contributes 1 if the positive scores higher, ½ if tied):
+
+    AUC = [ Σ_s P(s)·N(<s) + ½·Σ_s P(s)·N(s) ] / (n_pos · n_neg)
+
+where P(s)/N(s) count positives/negatives AT score s and N(<s) the
+negatives strictly below. Everything is BIGINT until one final
+division, so the result is bit-identical across engines and
+partitionings — no sampling, no sketch.
+
+Spark shape: one map-side-combinable ``groupBy(score)`` collapses the
+corpus to its DISTINCT score values; the cumulative-negatives window
+then runs over that collapsed table. An unpartitioned window is a
+single-task sort, which is exactly right here: after collapse the
+cardinality is the score grid, not the corpus (classifier scores are
+quantized in practice — for genuinely continuous scores, quantize
+first; the ``n_shards``-style knob documented on the function). Label
+semantics: 1/true = positive, 0/false = negative, NULL score or label
+rows are excluded (they have no rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(df: DataFrame, score_col: str = "score",
+            label_col: str = "label") -> DataFrame:
+    """One-row ``(n_pos, n_neg, pairs_won_x2, auc)`` — ``pairs_won_x2``
+    is the exact integer 2·Σ[pos>neg] + Σ[pos==neg] over all
+    positive×negative pairs, and ``auc = pairs_won_x2 / (2·n_pos·
+    n_neg)``. Degenerate inputs (no positives or no negatives) yield
+    NULL auc rather than a division error."""
+    lab = F.col(label_col).cast("int")
+    per = (
+        df.where(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(F.sum(F.when(lab == 1, 1).otherwise(0)).alias("_p"),
+             F.sum(F.when(lab == 0, 1).otherwise(0)).alias("_n"))
+    )
+    below = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = per.withColumn(
+        "_nb", F.coalesce(F.sum("_n").over(below), F.lit(0)))
+    return (
+        cum.agg(
+            F.sum("_p").cast("bigint").alias("n_pos"),
+            F.sum("_n").cast("bigint").alias("n_neg"),
+            (F.lit(2) * F.sum(F.col("_p") * F.col("_nb"))
+             + F.sum(F.col("_p") * F.col("_n")))
+            .cast("bigint").alias("pairs_won_x2"))
+        .select(
+            "n_pos", "n_neg", "pairs_won_x2",
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                   F.col("pairs_won_x2").cast("double")
+                   / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")))
+            .alias("auc"))
+    )

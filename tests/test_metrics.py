@@ -1,0 +1,53 @@
+"""Exact ROC-AUC (operators/metrics.py) vs sklearn-free references."""
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.metrics import roc_auc
+from document_extractor_spark.plans import assert_no_python
+
+
+def _auc(spark, pairs, parts=4):
+    df = spark.createDataFrame(pairs, "score double, label int") \
+        .repartition(parts)
+    return roc_auc(df).collect()[0]
+
+
+def _brute(pairs):
+    pos = [s for s, l in pairs if l == 1 and s is not None]
+    neg = [s for s, l in pairs if l == 0 and s is not None]
+    won2 = sum(2 if p > n else (1 if p == n else 0)
+               for p in pos for n in neg)
+    return won2 / (2 * len(pos) * len(neg))
+
+
+def test_perfect_random_and_inverted(spark):
+    perfect = [(float(s), 1 if s >= 5 else 0) for s in range(10)]
+    assert _auc(spark, perfect)["auc"] == 1.0
+    inverted = [(float(s), 0 if s >= 5 else 1) for s in range(10)]
+    assert _auc(spark, inverted)["auc"] == 0.0
+    # all scores tied → every pair is a half-win → 0.5 exactly
+    tied = [(1.0, i % 2) for i in range(20)]
+    assert _auc(spark, tied)["auc"] == 0.5
+
+
+def test_matches_brute_force_with_ties(spark):
+    pairs = [(float((i * 7) % 5), 1 if (i * 13) % 3 == 0 else 0)
+             for i in range(60)]
+    got = _auc(spark, pairs)
+    assert got["auc"] == _brute(pairs)
+    assert got["n_pos"] == sum(1 for _, l in pairs if l == 1)
+    # partition invariance
+    assert _auc(spark, pairs, parts=1) == got
+
+
+def test_null_rows_excluded_and_degenerate_null_auc(spark):
+    pairs = [(1.0, 1), (0.0, 0), (None, 1), (5.0, None)]
+    got = _auc(spark, pairs)
+    assert (got["n_pos"], got["n_neg"], got["auc"]) == (1, 1, 1.0)
+    only_pos = [(1.0, 1), (2.0, 1)]
+    assert _auc(spark, only_pos)["auc"] is None
+
+
+def test_plan_jvm_only(spark):
+    df = spark.createDataFrame([(1.0, 1)], "score double, label int")
+    assert_no_python(roc_auc(df))
