@@ -1171,6 +1171,44 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index → fetch plan over planted capture lines built IN
+    SPARK: every doc gets a 2025 capture (hour = id%24), id%3==0 docs
+    a second 2026 capture, id%7==0 are 404s, id%11==0 are PDFs. The
+    operator parses real CDXJ text and plans latest-HTML-200 fetches;
+    the closed-form oracle states the surviving (url, ts, filename,
+    offset, length) per arithmetic case."""
+    from document_extractor_spark.sources.cdx import (cdx_fetch_plan,
+                                                      cdx_lines_to_captures)
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    mime = F.when(d % 11 == 0, F.lit("application/pdf")) \
+        .otherwise(F.lit("text/html"))
+    status = F.when(d % 7 == 0, F.lit("404")).otherwise(F.lit("200"))
+
+    def line(ts, offset, length, fname):
+        return F.concat(
+            F.lit("org,example)/"), did, F.lit(" "), ts,
+            F.lit(' {"url": "https://example.org/'), did,
+            F.lit('", "mime": "'), mime, F.lit('", "status": "'), status,
+            F.lit('", "digest": "sha1:'), F.md5(did),
+            F.lit('", "length": "'), length,
+            F.lit('", "offset": "'), offset,
+            F.lit('", "filename": "'), fname, F.lit('"}'))
+
+    docs = _docs(spark, sf_dir)
+    ts_a = F.concat(F.lit("20250101"),
+                    F.lpad((d % 24).cast("string"), 2, "0"), F.lit("0000"))
+    a = docs.select(line(
+        ts_a, (d * 1000).cast("string"), F.lit("100"),
+        F.concat(F.lit("w"), (d % 4).cast("string"), F.lit(".warc.gz"))
+    ).alias("value"))
+    b = docs.where(d % 3 == 0).select(line(
+        F.lit("20260101000000"), (d * 1000 + 500).cast("string"),
+        F.lit("120"), F.lit("w9.warc.gz")).alias("value"))
+    return cdx_fetch_plan(cdx_lines_to_captures(a.unionByName(b), "value"))
+
+
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney ROC-AUC over planted (score, label) pairs —
     score = (id·7)%100 with heavy ties, label correlated with score so
@@ -2234,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "prototype_prune": q_prototype_prune,
         "roc_auc": q_roc_auc,
+        "cdx_fetch_plan": q_cdx_fetch_plan,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3133,6 +3172,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # cdx_fetch_plan: the plant is doc_id arithmetic; the oracle
+        # states the surviving fetch plan per case — 404s (%7) and
+        # PDFs (%11) dropped, the 2026 recrawl (%3) beating the 2025
+        # capture everywhere it exists.
+        "cdx_fetch_plan": """
+            SELECT 'https://example.org/' || doc_id AS url,
+              CASE WHEN doc_id % 3 = 0 THEN '20260101000000'
+                   ELSE '20250101' || lpad(CAST(doc_id % 24 AS VARCHAR),
+                                           2, '0') || '0000'
+              END AS ts_raw,
+              CASE WHEN doc_id % 3 = 0 THEN 'w9.warc.gz'
+                   ELSE 'w' || (doc_id % 4) || '.warc.gz'
+              END AS filename,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 1000 + 500
+                        ELSE doc_id * 1000 END AS BIGINT) AS offset,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 120 ELSE 100 END
+                   AS BIGINT) AS length
+            FROM documents
+            WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
         """,
         # roc_auc: relational twin — same per-score collapse, same
         # cumulative-negatives window, same all-BIGINT pair count,
