@@ -1171,6 +1171,21 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph triangle counting + local clustering over the
+    arithmetic circulant plant (h{id%37} → h{(id·3+1)%37}): Spark runs
+    the degree-ordered node-iterator, DuckDB the straightforward
+    3-way self-join — two different exact algorithms, one answer."""
+    from document_extractor_spark.operators.links import triangle_counts
+
+    d = F.col("doc_id")
+    edges = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 37).cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), ((d * 3 + 1) % 37).cast("string"))
+        .alias("dst_host"))
+    return triangle_counts(edges)
+
+
 def q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDXJ index → fetch plan over planted capture lines built IN
     SPARK: every doc gets a 2025 capture (hour = id%24), id%3==0 docs
@@ -2273,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototype_prune": q_prototype_prune,
         "roc_auc": q_roc_auc,
         "cdx_fetch_plan": q_cdx_fetch_plan,
+        "triangle_counts": q_triangle_counts,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3172,6 +3188,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # triangle_counts: genuine algorithmic cross-check — DuckDB
+        # enumerates triangles by 3-way self-join over id-ordered
+        # canonical edges, Spark by degree-ordered wedges; the exact
+        # per-vertex counts must agree.
+        "triangle_counts": """
+            WITH raw AS (
+              SELECT 'h' || (doc_id % 37) AS s,
+                     'h' || ((doc_id * 3 + 1) % 37) AS t
+              FROM documents),
+            e AS (
+              SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM raw WHERE s <> t),
+            deg AS (
+              SELECT x, COUNT(*) AS degree FROM (
+                SELECT a AS x FROM e UNION ALL SELECT b FROM e)
+              GROUP BY x),
+            tri AS (
+              SELECT e1.a AS x1, e1.b AS x2, e2.b AS x3
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            credit AS (
+              SELECT x, COUNT(*) AS triangles FROM (
+                SELECT x1 AS x FROM tri UNION ALL SELECT x2 FROM tri
+                UNION ALL SELECT x3 FROM tri) GROUP BY x)
+            SELECT deg.x AS host, degree,
+                   CAST(COALESCE(triangles, 0) AS BIGINT) AS triangles,
+                   CAST(CASE WHEN degree >= 2
+                        THEN (COALESCE(triangles, 0) * 2000000)
+                             // (degree * (degree - 1))
+                        ELSE 0 END AS BIGINT) AS clustering_ppm
+            FROM deg LEFT JOIN credit ON credit.x = deg.x
         """,
         # cdx_fetch_plan: the plant is doc_id arithmetic; the oracle
         # states the surviving fetch plan per case — 404s (%7) and

@@ -331,3 +331,79 @@ def host_link_graph(links: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy(src.alias("src_host"), F.col("dst_host"))
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src_host",
+                    dst: str = "dst_host") -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient over
+    an undirected graph given as (possibly duplicated, possibly
+    directed) edge rows — the community-structure signal link-spam
+    detection reads on the host graph: organic neighborhoods close
+    triangles (friends of friends link each other), link farms are
+    near-bipartite blasts that close almost none, so a high-degree
+    host with near-zero clustering is a classic spam shape.
+
+    Algorithm: the node-iterator with DEGREE ORDERING (Suri &
+    Vassilvitskii, WWW 2011): canonicalize + dedupe edges, direct each
+    edge from its lower to its higher endpoint in the (degree, id)
+    total order, build wedges by self-joining directed edges on their
+    low endpoint, and close them against the directed edge set. Every
+    triangle is found exactly once, and — the scale story — wedge
+    fan-out per key is the OUT-degree in degree order, which is
+    O(sqrt(m)) even for celebrity vertices, so the wedge join cannot
+    blow up on the web graph's power-law hubs the way a naive
+    neighbor-join does.
+
+    Spark shape: three narrow shuffles (degree agg; wedge self-join on
+    the low endpoint; closing join on the (b, c) pair) plus the final
+    credit agg — all on 2-3 column host rows, map-side combinable.
+    Output: ``(host, degree, triangles, clustering_ppm)`` with the
+    exact integer local coefficient ``2·T·10^6 div (d·(d-1))`` (0 for
+    degree < 2), one row per vertex including triangle-free ones.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("x"))
+        .unionByName(e.select(F.col("b").alias("x")))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # direct each edge from lower to higher (degree, id) — join the
+    # degree table twice, then swap endpoints where needed
+    da = deg.select(F.col("x").alias("a"), F.col("degree").alias("_dega"))
+    db = deg.select(F.col("x").alias("b"), F.col("degree").alias("_degb"))
+    keyed = e.join(da, "a").join(db, "b")
+    a_first = (F.struct("_dega", "a") < F.struct("_degb", "b"))
+    directed = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"))
+    # wedges around each low endpoint; b < c in plain id order makes
+    # each unordered candidate pair appear once
+    w1 = directed.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    w2 = directed.select(F.col("lo").alias("p"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "p").where(F.col("b") < F.col("c"))
+    closing = directed.select(
+        F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    credit = (
+        tris.withColumn("_verts", F.array("p", "b", "c"))
+        .select(F.explode_outer("_verts").alias("x"))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(credit, "x", "left")
+        .select(
+            F.col("x").alias("host"), "degree",
+            F.coalesce("triangles", F.lit(0)).cast("bigint")
+            .alias("triangles"))
+        .withColumn(
+            "clustering_ppm",
+            F.when(F.col("degree") >= 2,
+                   F.expr("(triangles * 2000000L) div "
+                          "(degree * (degree - 1L))"))
+            .otherwise(F.lit(0)).cast("bigint"))
+    )

@@ -343,3 +343,56 @@ def test_pagerank_tol_zero_runs_all_iterations(spark):
     stats = {}
     pagerank(df, iterations=4, tol=0, stats=stats).collect()
     assert stats["iterations"] == 4 and stats["l1_delta"] is None
+
+
+# --- triangle counting -------------------------------------------------------
+
+from document_extractor_spark.operators.links import triangle_counts
+
+
+def _tc(spark, edges):
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    return {r["host"]: r for r in triangle_counts(df).collect()}
+
+
+def test_triangles_on_known_graph(spark):
+    # K4 on a,b,c,d (4 triangles, every vertex in 3) plus a pendant e
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    got = _tc(spark, k4 + [("d", "e")])
+    for h in "abc":
+        assert (got[h]["degree"], got[h]["triangles"]) == (3, 3)
+        assert got[h]["clustering_ppm"] == 1_000_000      # fully clustered
+    assert (got["d"]["degree"], got["d"]["triangles"]) == (4, 3)
+    assert got["d"]["clustering_ppm"] == 3 * 2_000_000 // 12
+    assert (got["e"]["degree"], got["e"]["triangles"],
+            got["e"]["clustering_ppm"]) == (1, 0, 0)
+
+
+def test_duplicate_reversed_and_self_edges_canonicalized(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "b"),       # one edge
+             ("b", "c"), ("c", "a"), ("a", "a"),        # self loop dropped
+             (None, "a"), ("a", None)]
+    got = _tc(spark, edges)
+    assert all(r["triangles"] == 1 and r["degree"] == 2
+               for r in got.values())
+    assert set(got) == {"a", "b", "c"}
+
+
+def test_matches_brute_force_on_arithmetic_graph(spark):
+    import itertools
+    edges = [(f"h{i % 13}", f"h{(i * 3 + 1) % 13}") for i in range(60)]
+    got = _tc(spark, edges)
+    # brute force over the canonical undirected edge set
+    eset = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = {x for e in eset for x in e}
+    tri = {v: 0 for v in verts}
+    for a, b, c in itertools.combinations(sorted(verts), 3):
+        if {tuple(sorted((a, b))), tuple(sorted((a, c))),
+                tuple(sorted((b, c)))} <= eset:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    for v in verts:
+        assert got[v]["triangles"] == tri[v], v
+        deg = sum(1 for e in eset if v in e)
+        assert got[v]["degree"] == deg
