@@ -1171,6 +1171,16 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token passage windows (32 tokens, 8 overlap) over the real
+    documents table; the DuckDB twin recomputes the identical
+    tokenize → stride-range → slice → rejoin chain, so boundaries,
+    overlap, tails, and the empty-doc rule all cross-check."""
+    from document_extractor_spark.operators.chunking import chunk_passages
+
+    return chunk_passages(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph triangle counting + local clustering over the
     arithmetic circulant plant (h{id%37} → h{(id·3+1)%37}): Spark runs
@@ -2289,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": q_roc_auc,
         "cdx_fetch_plan": q_cdx_fetch_plan,
         "triangle_counts": q_triangle_counts,
+        "chunk_passages": q_chunk_passages,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3188,6 +3199,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # chunk_passages: relational twin — same tokenizer, stride
+        # starts via range(0, n, 24), same 1-based 32-token slice and
+        # single-space rejoin.
+        "chunk_passages": """
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                trim(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks), 24)) AS st
+              FROM t WHERE len(toks) > 0)
+            SELECT doc_id, CAST(st // 24 AS INT) AS chunk_id,
+                   CAST(len(list_slice(toks, st + 1, st + 32))
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(toks, st + 1, st + 32), ' ')
+                     AS chunk_text
+            FROM s
         """,
         # triangle_counts: genuine algorithmic cross-check — DuckDB
         # enumerates triangles by 3-way self-join over id-ordered
