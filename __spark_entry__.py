@@ -1171,6 +1171,30 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT key generation over planted mixed-shape URLs (uppercase
+    www host with unsorted params, deep ccTLD host, ported host,
+    unparseable junk). The DuckDB twin recomputes the identical
+    lower/strip/reverse/sort chain with its own list functions."""
+    from document_extractor_spark.sources.cdx import surt_key
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    url = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("https://WWW.Example"), (d % 9).cast("string"),
+            F.lit(".ORG/Path/"), did, F.lit("?b="),
+            (d % 3).cast("string"), F.lit("&a="), (d % 5).cast("string")))
+        .when(d % 4 == 1, F.concat(
+            F.lit("https://sub"), (d % 7).cast("string"),
+            F.lit(".site"), (d % 9).cast("string"), F.lit(".co.uk/")))
+        .when(d % 4 == 2, F.concat(
+            F.lit("https://example"), (d % 9).cast("string"),
+            F.lit(".org:8080/x/"), did))
+        .otherwise(F.concat(F.lit("nota url "), did)))
+    planted = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return surt_key(planted).select("doc_id", "surt")
+
+
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token passage windows (32 tokens, 8 overlap) over the real
     documents table; the DuckDB twin recomputes the identical
@@ -2300,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_plan": q_cdx_fetch_plan,
         "triangle_counts": q_triangle_counts,
         "chunk_passages": q_chunk_passages,
+        "surt_keys": q_surt_keys,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3199,6 +3224,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # surt_keys: relational twin — DuckDB rebuilds the same planted
+        # URLs and runs the identical lower / port-strip / www-strip /
+        # label-reverse / param-sort chain with its own list functions.
+        "surt_keys": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 4 = 0 THEN 'https://WWW.Example'
+                    || (doc_id % 9) || '.ORG/Path/' || doc_id
+                    || '?b=' || (doc_id % 3) || '&a=' || (doc_id % 5)
+                  WHEN doc_id % 4 = 1 THEN 'https://sub' || (doc_id % 7)
+                    || '.site' || (doc_id % 9) || '.co.uk/'
+                  WHEN doc_id % 4 = 2 THEN 'https://example'
+                    || (doc_id % 9) || '.org:8080/x/' || doc_id
+                  ELSE 'nota url ' || doc_id
+                END AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(lower(regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), ':.*$', ''),
+                  '^www\\.', '') AS host,
+                lower(regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1)) AS pathq
+              FROM u)
+            SELECT doc_id,
+              CASE WHEN host = '' THEN NULL
+                ELSE array_to_string(list_reverse(
+                       string_split(host, '.')), ',') || ')'
+                  || CASE WHEN pathq = '' THEN '/'
+                          ELSE regexp_replace(pathq, '\\?.*$', '') END
+                  || CASE WHEN regexp_extract(pathq, '\\?(.*)$', 1) = ''
+                          THEN ''
+                          ELSE '?' || array_to_string(list_sort(
+                            string_split(regexp_extract(pathq,
+                              '\\?(.*)$', 1), '&')), '&') END
+              END AS surt
+            FROM h
         """,
         # chunk_passages: relational twin — same tokenizer, stride
         # starts via range(0, n, 24), same 1-based 32-token slice and

@@ -84,3 +84,43 @@ def cdx_fetch_plan(captures: DataFrame,
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATHQ_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)"
+
+
+def surt_key(df: DataFrame, url_col: str = "url",
+             out_col: str = "surt") -> DataFrame:
+    """Append the SURT key (Sort-friendly URI Reordering Transform) —
+    the canonical form every web-archive index sorts by and the key
+    column of CDXJ lines: host labels lowercased, a leading ``www.``
+    dropped, labels REVERSED and comma-joined, then ``)`` and the
+    lowercased path with query parameters sorted byte-wise
+    (``org,example)/a?b=1&a=2`` for ``https://www.Example.ORG/A?b=1&
+    a=2``). Generating the key locally is what lets a pipeline join
+    its own URL lists against a crawl's CDX index without fetching
+    anything. Ports are dropped (the CC urlkey convention for standard
+    ports; documented simplification for the rest). URLs with no
+    parseable host get a NULL key.
+
+    All JVM: regexp extracts, a staged split/reverse/sort/join chain —
+    whole-stage codegen, no shuffle, and every list op has an exact
+    DuckDB twin (string_split / list_reverse / list_sort)."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.regexp_replace(F.regexp_replace(host, ":.*$", ""),
+                            r"^www\.", "")
+    labels = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.lower(F.regexp_extract(u, _PATHQ_RE, 1))
+    path = F.when(pathq == "", F.lit("/")).otherwise(
+        F.regexp_replace(pathq, r"\?.*$", ""))
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    key = F.concat(
+        labels, F.lit(")"), path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)))
+    return df.withColumn(
+        out_col, F.when(host != "", key))
+

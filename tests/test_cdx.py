@@ -56,3 +56,46 @@ def test_fetch_plan_tie_breaks_on_offset(spark):
 
 def test_plan_is_jvm_only(spark):
     assert_no_python(cdx_fetch_plan(_caps(spark, [_L1])))
+
+
+# --- SURT key ----------------------------------------------------------------
+
+from document_extractor_spark.sources.cdx import surt_key
+
+
+def _surts(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["surt"] for r in surt_key(df).collect()]
+
+
+def test_surt_canonical_form(spark):
+    got = _surts(spark, [
+        "https://www.Example.ORG/A/B?b=1&a=2",
+        "http://sub.site.co.uk/",
+        "https://example.org",                 # bare host → '/'
+        "https://example.org:8080/x",          # port dropped
+        "not a url",                           # no host → NULL
+    ])
+    assert got[0] == "org,example)/a/b?a=2&b=1"   # params sorted, www gone
+    assert got[1] == "uk,co,site,sub)/"
+    assert got[2] == "org,example)/"
+    assert got[3] == "org,example)/x"
+    assert got[4] is None
+
+
+def test_surt_matches_cdx_key_roundtrip(spark):
+    # the key this generator emits equals the surt column the parser
+    # reads from a CDXJ line for the same URL
+    line = ('org,example)/a/b?a=2&b=1 20260101120000 '
+            '{"url": "https://www.Example.ORG/A/B?b=1&a=2", '
+            '"mime": "text/html", "status": "200", "digest": "d", '
+            '"length": "1", "offset": "0", "filename": "w.warc.gz"}')
+    caps = cdx_lines_to_captures(
+        spark.createDataFrame([(line,)], "value string"), "value")
+    row = surt_key(caps).collect()[0]
+    assert row["surt"] == row[0]                  # equals parsed surt col
+
+
+def test_surt_plan_jvm_only(spark):
+    df = spark.createDataFrame([("https://a.org/x",)], "url string")
+    assert_no_python(surt_key(df))
