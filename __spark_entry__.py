@@ -1171,6 +1171,31 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots directive extraction over planted heads: %4 selects
+    the tag shape (noindex+nofollow / attribute-swapped uppercase
+    NOFOLLOW / content="all" / no tag), %13 overrides the payload with
+    invalid UTF-8 (verdict NULL — unknown, not allowed). Closed-form
+    oracle per arithmetic case."""
+    from document_extractor_spark.operators.pagemeta import (
+        robots_directives)
+
+    d = F.col("doc_id")
+    head = (
+        F.when(d % 4 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 4 == 1, F.lit("<meta content='NOFOLLOW' name='robots'>"))
+        .when(d % 4 == 2, F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body><p>hi</p></body></html>"))
+    payload = F.when(d % 13 == 0, F.unhex(F.lit("FF00"))) \
+        .otherwise(F.encode(html, "UTF-8"))
+    planted = _docs(spark, sf_dir).select("doc_id", payload.alias("html"))
+    return robots_directives(planted).select(
+        "doc_id", "meta_noindex", "meta_nofollow", "meta_noarchive")
+
+
 def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT key generation over planted mixed-shape URLs (uppercase
     www host with unsorted params, deep ccTLD host, ported host,
@@ -2325,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "chunk_passages": q_chunk_passages,
         "surt_keys": q_surt_keys,
+        "meta_robots": q_meta_robots,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3224,6 +3250,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # meta_robots: the head shape is doc_id%4 arithmetic with a
+        # %13 invalid-UTF-8 override; the oracle states the boolean
+        # verdicts (NULL for undecodable) per case.
+        "meta_robots": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0 THEN NULL
+                   ELSE doc_id % 4 = 0 END AS meta_noindex,
+              CASE WHEN doc_id % 13 = 0 THEN NULL
+                   ELSE doc_id % 4 IN (0, 1) END AS meta_nofollow,
+              CASE WHEN doc_id % 13 = 0 THEN NULL
+                   ELSE FALSE END AS meta_noarchive
+            FROM documents
         """,
         # surt_keys: relational twin — DuckDB rebuilds the same planted
         # URLs and runs the identical lower / port-strip / www-strip /

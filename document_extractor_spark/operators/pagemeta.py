@@ -117,6 +117,51 @@ def hreflang_alternates(df: DataFrame, html_col: str = "html",
     )
 
 
+def robots_directives(df: DataFrame, html_col: str = "html",
+                      directives: tuple[str, ...] = (
+                          "noindex", "nofollow", "noarchive")) -> DataFrame:
+    """Page-level robots directives — one boolean ``meta_<d>`` column
+    per requested directive from every ``<meta name="robots"
+    content=...>`` tag on the page (the spec says directives UNION
+    across tags). robots.txt (``robots.py``) governs FETCHING; these
+    meta directives govern what may be indexed/derived from a fetched
+    page — the signal a compliance-minded corpus build filters on
+    before text ever reaches training shards.
+
+    Same whole-tag staging as :func:`hreflang_alternates` (attribute
+    order free), token-bounded matching (``noindexing`` or ``nofollow-
+    me`` never match), case-insensitive values. Decodable pages
+    without a directive get ``false``; non-UTF-8/NULL payloads get
+    NULL (unknown, not "allowed") — the caller decides the safe
+    default. All JVM: regexp_extract_all, array filter/transform,
+    ``exists`` folds.
+    """
+    clash = ({_LNK_STAGE} | {f"meta_{d}" for d in directives}) \
+        & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with synthesized names: "
+                         f"{sorted(clash)}")
+    raw = F.col(html_col)
+    page = F.when(F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))
+    tags = F.filter(
+        F.regexp_extract_all(page, F.lit(r"(?is)(<meta\b[^>]*>)"),
+                             F.lit(1)),
+        lambda t: F.lower(_tag_attr(t, "name")) == "robots")
+    staged = df.withColumn(
+        _LNK_STAGE,
+        F.transform(tags, lambda t: F.lower(_tag_attr(t, "content"))))
+    def _has(pat):
+        # closure (not a default arg): a 2-arg lambda would make the
+        # HOF bind the element INDEX to the second parameter
+        return lambda c: F.coalesce(c.rlike(pat), F.lit(False))
+
+    cols = {}
+    for d in directives:
+        cols[f"meta_{d}"] = F.exists(
+            F.col(_LNK_STAGE), _has(rf"(^|[\s,]){d}([\s,]|$)"))
+    return staged.withColumns(cols).drop(_LNK_STAGE)
+
+
 def page_metadata(df: DataFrame, html_col: str = "html",
                   og_fields: tuple[str, ...] = ("title", "site_name",
                                                 "image")) -> DataFrame:

@@ -152,3 +152,44 @@ def test_hreflang_clash_guard_and_plan(spark):
     with pytest.raises(ValueError, match="clash"):
         hreflang_alternates(df.withColumn("href", F.lit("x")))
     assert_no_python(hreflang_alternates(df))
+
+
+# --- meta robots directives --------------------------------------------------
+
+from document_extractor_spark.operators.pagemeta import robots_directives
+
+
+def test_meta_robots_union_case_order_and_token_bounds(spark):
+    rows = [
+        (1, '<html><head><meta name="robots" content="noindex, nofollow">'
+            "</head></html>"),
+        (2, "<html><meta content='NOFOLLOW' name='robots'></html>"),
+        (3, '<html><meta name="robots" content="all"></html>'),
+        (4, "<html>no meta at all</html>"),
+        (5, '<html><meta name="robots" content="noindexing">'
+            '<meta name="robots" content="noarchive"></html>'),  # union
+        (6, '<html><meta name="keywords" content="noindex"></html>'),
+    ]
+    got = {r["id"]: r for r in robots_directives(
+        _pages(spark, rows)).collect()}
+    assert (got[1]["meta_noindex"], got[1]["meta_nofollow"]) == (True, True)
+    assert (got[2]["meta_noindex"], got[2]["meta_nofollow"]) == (False, True)
+    assert got[3]["meta_noindex"] is False
+    assert got[4]["meta_noindex"] is False
+    assert got[5]["meta_noindex"] is False      # 'noindexing' ≠ noindex
+    assert got[5]["meta_noarchive"] is True     # union across tags
+    assert got[6]["meta_noindex"] is False      # wrong meta name
+
+
+def test_meta_robots_undecodable_is_null_not_allowed(spark):
+    binary = spark.range(1).select(
+        F.lit(7).alias("id"), F.unhex(F.lit("FF00FE00")).alias("html"))
+    got = robots_directives(binary).collect()[0]
+    assert got["meta_noindex"] is None
+
+
+def test_meta_robots_plan_and_guard(spark):
+    df = _pages(spark, [(1, "<html></html>")])
+    with pytest.raises(ValueError, match="clash"):
+        robots_directives(df.withColumn("meta_noindex", F.lit(True)))
+    assert_no_python(robots_directives(df))
