@@ -1171,6 +1171,59 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-delay lanes over the h{id%37} plan: hosts h0-h19
+    carry a planted Crawl-delay (100·(1+h%5) ms), the rest fall back to
+    the 250 ms default. The DuckDB twin recomputes the same row_number
+    lanes and drain maxima."""
+    from document_extractor_spark.operators.frontier import (
+        politeness_schedule)
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    plan = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (d % 37).cast("string"),
+                 F.lit(".example.org/p/"), did).alias("url"))
+    delays = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        (100 * (1 + F.col("id") % 5)).cast("bigint").alias("delay_ms"))
+    return politeness_schedule(plan, delays)
+
+
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate pairs over a planted multilingual corpus: en
+    pages always (len 50+i%37), de on %2 with length scaled by
+    (1+i%3) — so the factor-2 ratio bound keeps i%3∈{0,1} including
+    the exact-2.0 boundary — fr on %3 (len +10, always kept); the en
+    page declares the alternates. Closed-form oracle per case."""
+    from document_extractor_spark.operators.bitext import bitext_candidates
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    base = _docs(spark, sf_dir).select("doc_id",
+                                       (50 + d % 37).alias("en_len"))
+
+    def url(lang):
+        return F.concat(F.lit(f"https://docs.example.org/{lang}/"), did)
+
+    en = base.select(url("en").alias("url"), F.lit("en").alias("lang"),
+                     F.col("en_len").alias("n_tokens"))
+    de = base.where(d % 2 == 0).select(
+        url("de").alias("url"), F.lit("de").alias("lang"),
+        (F.col("en_len") * (1 + d % 3)).alias("n_tokens"))
+    fr = base.where(d % 3 == 0).select(
+        url("fr").alias("url"), F.lit("fr").alias("lang"),
+        (F.col("en_len") + 10).alias("n_tokens"))
+    corpus = en.unionByName(de).unionByName(fr)
+    alts = (
+        base.where(d % 2 == 0)
+        .select(url("en").alias("url"), url("de").alias("href"))
+        .unionByName(
+            base.where(d % 3 == 0)
+            .select(url("en").alias("url"), url("fr").alias("href")))
+    )
+    return bitext_candidates(corpus, alts)
+
+
 def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-robots directive extraction over planted heads: %4 selects
     the tag shape (noindex+nofollow / attribute-swapped uppercase
@@ -2351,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_passages": q_chunk_passages,
         "surt_keys": q_surt_keys,
         "meta_robots": q_meta_robots,
+        "bitext_candidates": q_bitext_candidates,
+        "politeness_schedule": q_politeness_schedule,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3250,6 +3305,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # politeness_schedule: relational twin — same host extract,
+        # same delay lookup with default, same url-ordered row_number
+        # lanes and per-host drain maxima, all integers.
+        "politeness_schedule": """
+            WITH plan AS (
+              SELECT 'https://h' || (doc_id % 37)
+                       || '.example.org/p/' || doc_id AS url,
+                     'h' || (doc_id % 37) || '.example.org' AS host,
+                     doc_id % 37 AS hh
+              FROM documents),
+            k AS (
+              SELECT url, host,
+                CAST(CASE WHEN hh < 20 THEN 100 * (1 + hh % 5)
+                          ELSE 250 END AS BIGINT) AS delay_ms
+              FROM plan),
+            s AS (
+              SELECT url, host, delay_ms,
+                (ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1)
+                  * delay_ms AS slot_ms
+              FROM k)
+            SELECT url, host, delay_ms,
+                   CAST(slot_ms AS BIGINT) AS slot_ms,
+                   CAST(MAX(slot_ms + delay_ms)
+                        OVER (PARTITION BY host) AS BIGINT)
+                     AS host_drain_ms
+            FROM s
+        """,
+        # bitext_candidates: the plant is doc_id arithmetic; the oracle
+        # states surviving declared pairs per case (de kept when the
+        # (1+i%3) scale is <= 2 — boundary inclusive — fr always).
+        "bitext_candidates": """
+            WITH b AS (
+              SELECT doc_id, 50 + doc_id % 37 AS en_len FROM documents)
+            SELECT 'https://docs.example.org/en/' || doc_id AS src_url,
+                   'https://docs.example.org/de/' || doc_id AS dst_url,
+                   'en' AS src_lang, 'de' AS dst_lang,
+                   CAST(en_len AS BIGINT) AS src_tokens,
+                   CAST(en_len * (1 + doc_id % 3) AS BIGINT) AS dst_tokens
+            FROM b WHERE doc_id % 2 = 0 AND doc_id % 3 <> 2
+            UNION ALL
+            SELECT 'https://docs.example.org/en/' || doc_id,
+                   'https://docs.example.org/fr/' || doc_id,
+                   'en', 'fr',
+                   CAST(en_len AS BIGINT),
+                   CAST(en_len + 10 AS BIGINT)
+            FROM b WHERE doc_id % 3 = 0
         """,
         # meta_robots: the head shape is doc_id%4 arithmetic with a
         # %13 invalid-UTF-8 override; the oracle states the boolean

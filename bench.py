@@ -331,7 +331,8 @@ HEADLINE_QUERIES = [
     "frequent_tokens", "hreflang_clusters", "sniff_types",
     "script_profile", "weighted_sample", "url_templates",
     "prototype_prune", "roc_auc", "cdx_fetch_plan", "triangle_counts",
-    "chunk_passages", "surt_keys", "meta_robots",
+    "chunk_passages", "surt_keys", "meta_robots", "bitext_candidates",
+    "politeness_schedule",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -66,3 +66,54 @@ def revisit_schedule(df: DataFrame, now_epoch: int,
         .otherwise((last_epoch + interval) <= F.lit(int(now_epoch)))
         .alias("fetch_due"),
     )
+
+
+def politeness_schedule(plan: DataFrame, delays: DataFrame,
+                        url_col: str = "url",
+                        default_delay_ms: int = 250) -> DataFrame:
+    """Per-host serialized fetch slots — the last mile between a fetch
+    plan (e.g. ``cdx_fetch_plan`` output, or ``revisit_schedule``'s
+    due rows) and the fetcher fleet: RFC 9309 implementations honor a
+    per-host Crawl-delay, so a host's fetches must run SERIALLY spaced
+    by its delay while different hosts run in parallel. Each URL gets
+    ``slot_ms`` (its start offset inside the host's lane) and every
+    host a drain time, so the scheduler can see which hosts bound the
+    crawl's wall-clock (a million-URL host at 1 fetch/s is 11 days —
+    that host needs negotiation or trimming, and this operator is
+    where it shows up).
+
+    ``delays`` is a (host, delay_ms) table (from robots.txt
+    Crawl-delay parsing); absent hosts get ``default_delay_ms``. The
+    slot assignment is a per-host ``row_number`` ordered by url —
+    deterministic, and the window rows are fetch-plan metadata whose
+    per-host cardinality is exactly the thing the operator exists to
+    expose (the drain report IS the skew report). All integer
+    arithmetic.
+
+    Output: plan columns + ``host``, ``delay_ms``, ``slot_ms``,
+    ``host_drain_ms`` (identical on every row of a host).
+    """
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    host = F.nullif(
+        F.lower(F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)),
+        F.lit(""))
+    d = delays.select(F.col("host").alias("_ph_host"),
+                      F.col("delay_ms").cast("bigint").alias("_ph_delay"))
+    keyed = (
+        plan.withColumn("host", host)
+        .join(F.broadcast(d), F.col("host") == F.col("_ph_host"), "left")
+        .withColumn("delay_ms",
+                    F.coalesce("_ph_delay",
+                               F.lit(int(default_delay_ms)).cast("bigint")))
+        .drop("_ph_host", "_ph_delay")
+    )
+    w = Window.partitionBy("host").orderBy(u.asc())
+    lane = Window.partitionBy("host")
+    return (
+        keyed.withColumn("slot_ms",
+                         (F.row_number().over(w) - 1) * F.col("delay_ms"))
+        .withColumn("host_drain_ms",
+                    F.max(F.col("slot_ms") + F.col("delay_ms")).over(lane))
+    )

@@ -57,3 +57,46 @@ def test_due_verdicts_and_epoch_arithmetic(spark):
 def test_plan_is_jvm_only(spark):
     df = spark.createDataFrame([("l", "2026-01-01", "daily")], SCHEMA)
     assert_no_python(revisit_schedule(df, now_epoch=NOW))
+
+
+# --- politeness scheduling ---------------------------------------------------
+
+from document_extractor_spark.operators.frontier import politeness_schedule
+
+
+def _sched(spark, urls, delays):
+    plan = spark.createDataFrame([(u,) for u in urls], "url string")
+    d = spark.createDataFrame(delays, "host string, delay_ms bigint")
+    return {r["url"]: r for r in politeness_schedule(plan, d).collect()}
+
+
+def test_slots_serialize_per_host_and_default_delay(spark):
+    got = _sched(
+        spark,
+        ["https://a.org/1", "https://a.org/2", "https://a.org/3",
+         "https://b.org/x", "https://nodelay.org/y"],
+        [("a.org", 1000), ("b.org", 50)])
+    # a.org lane: url-ordered slots 0, 1000, 2000; drain 3000
+    assert [got[f"https://a.org/{i}"]["slot_ms"] for i in (1, 2, 3)] \
+        == [0, 1000, 2000]
+    assert got["https://a.org/1"]["host_drain_ms"] == 3000
+    assert got["https://b.org/x"]["slot_ms"] == 0
+    assert got["https://b.org/x"]["host_drain_ms"] == 50
+    # missing host → default 250
+    assert got["https://nodelay.org/y"]["delay_ms"] == 250
+    assert got["https://nodelay.org/y"]["host_drain_ms"] == 250
+
+
+def test_ported_host_and_unparseable(spark):
+    got = _sched(spark, ["https://a.org:8080/p", "junk"],
+                 [("a.org", 100)])
+    assert got["https://a.org:8080/p"]["host"] == "a.org"   # port stripped
+    assert got["https://a.org:8080/p"]["delay_ms"] == 100
+    assert got["junk"]["host"] is None                      # NULL lane
+
+
+def test_politeness_plan_jvm_only(spark):
+    from document_extractor_spark.plans import assert_no_python
+    plan = spark.createDataFrame([("https://a.org/1",)], "url string")
+    d = spark.createDataFrame([("a.org", 10)], "host string, delay_ms bigint")
+    assert_no_python(politeness_schedule(plan, d))
