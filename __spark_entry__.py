@@ -1171,6 +1171,24 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_host_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report over the REAL documents table —
+    genuine relational twin (same md5-of-normalized-text key, same
+    corpus-wide dup verdict, same per-host rollup)."""
+    from document_extractor_spark.operators.dedup import host_dup_stats
+
+    return host_dup_stats(_docs(spark, sf_dir))
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram novelty over the REAL documents table — genuine
+    relational twin of the staged-shingle explode, corpus-wide
+    uniqueness verdict, and exact-ppm rollup."""
+    from document_extractor_spark.operators.dedup import shingle_novelty
+
+    return shingle_novelty(_docs(spark, sf_dir), n=5)
+
+
 def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-delay lanes over the h{id%37} plan: hosts h0-h19
     carry a planted Crawl-delay (100·(1+h%5) ms), the rest fall back to
@@ -2406,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "bitext_candidates": q_bitext_candidates,
         "politeness_schedule": q_politeness_schedule,
+        "host_dup_stats": q_host_dup_stats,
+        "shingle_novelty": q_shingle_novelty,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3305,6 +3325,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # host_dup_stats / shingle_novelty: genuine relational twins
+        # over the real corpus — same normalization, same corpus-wide
+        # verdicts, same integer-ppm rollups.
+        "host_dup_stats": f"""
+            WITH k AS (
+              SELECT source AS host, md5({_NORM}) AS h FROM documents),
+            c AS (SELECT h, COUNT(*) > 1 AS isdup FROM k GROUP BY h)
+            SELECT host, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs,
+                   CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END)
+                        * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+            FROM k JOIN c USING (h) GROUP BY host
+        """,
+        "shingle_novelty": r"""
+            WITH sh AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(regexp_split_to_array(
+                    lower(trim(text)), '\s+')) - 4, 1) + 1),
+                  i -> array_to_string((regexp_split_to_array(
+                    lower(trim(text)), '\s+'))[i:i+4], ' ')
+                )) AS s
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (
+              SELECT id, tok FROM (
+                SELECT id, unnest(s) AS tok FROM sh) WHERE tok <> ''),
+            cnt AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+            per AS (
+              SELECT id, COUNT(*) AS n_shingles,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_unique
+              FROM ex JOIN cnt USING (tok) GROUP BY id)
+            SELECT id AS doc_id,
+                   CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(n_unique AS BIGINT) AS n_unique,
+                   CAST(n_unique * 1000000 // n_shingles AS BIGINT)
+                     AS novelty_ppm
+            FROM per
         """,
         # politeness_schedule: relational twin — same host extract,
         # same delay lookup with default, same url-ordered row_number

@@ -332,7 +332,7 @@ HEADLINE_QUERIES = [
     "script_profile", "weighted_sample", "url_templates",
     "prototype_prune", "roc_auc", "cdx_fetch_plan", "triangle_counts",
     "chunk_passages", "surt_keys", "meta_robots", "bitext_candidates",
-    "politeness_schedule",
+    "politeness_schedule", "host_dup_stats", "shingle_novelty",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

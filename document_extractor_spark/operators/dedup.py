@@ -569,3 +569,82 @@ def drop_known_duplicates(new_docs: DataFrame, known: DataFrame,
         fresh.join(survivors, on=["_fp", id_col], how="left_semi")
         .drop("_fp")
     )
+
+
+def host_dup_stats(df: DataFrame, group_col: str = "source",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-host duplication report ``(host, n_docs, n_dup_docs,
+    dup_ppm)`` — the template-farm radar a curation run reads next to
+    `url_templates`' trap report: a host where most documents are
+    corpus-wide exact clones is mirrored/boilerplate content whose
+    budget should be cut BEFORE the expensive near-dup tiers run.
+    ``n_dup_docs`` counts documents whose content hash occurs more
+    than once ANYWHERE in the corpus (cross-host mirrors count — the
+    interesting case), ``dup_ppm`` the exact integer rate.
+
+    Scale shape: the verdict travels on the 16-byte content hash only
+    — one map-side-combinable count per hash, a narrow (hash,
+    verdict) join back keyed by the hash (AQE shuffled-hash), then a
+    map-side-combinable host rollup. Document text is hashed in place
+    and never shuffles.
+    """
+    from ..functions.text import content_hash
+
+    keyed = df.select(F.col(group_col).alias("host"),
+                      content_hash(text_col).alias("_hash"))
+    per_hash = keyed.groupBy("_hash").agg(
+        (F.count(F.lit(1)) > 1).alias("_is_dup"))
+    return (
+        keyed.join(per_hash, "_hash")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(F.col("_is_dup"), 1).otherwise(0))
+             .cast("bigint").alias("n_dup_docs"))
+        .withColumn("dup_ppm",
+                    F.expr("(n_dup_docs * 1000000L) div n_docs")
+                    .cast("bigint"))
+    )
+
+
+def shingle_novelty(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 5) -> DataFrame:
+    """Per-document novelty score ``(id, n_shingles, n_unique,
+    novelty_ppm)`` — the fraction of a document's distinct n-gram
+    shingles that occur in NO other document. The inverse of the dedup
+    family's question: near-dup tiers drop what repeats; novelty ranks
+    what remains by how much genuinely new n-gram mass each document
+    contributes, the signal data-selection recipes weight toward when
+    filling a token budget (a listings page scores near zero even if
+    it is nobody's duplicate; original prose scores high).
+
+    Scale shape: the staged shingle array (`shingles_df`, the
+    O(n)-safe projection) explodes to (id, md5(shingle)) — 16-byte
+    keys, shingle TEXT never crosses the exchange; one map-side-
+    combinable count per shingle hash; a narrow verdict join back on
+    the hash; one final per-doc rollup. Exact integer ppm. Documents
+    with NULL or empty text have no shingles and are absent.
+    """
+    from ..functions.text import shingles_df
+
+    sh = shingles_df(df.select(F.col(id_col), F.col(text_col)),
+                     text_col, n=n)
+    rows = (
+        sh.select(F.col(id_col), F.explode_outer("sh").alias("_sh"))
+        # NULL/empty text degenerates to a single '' shingle through
+        # concat_ws — treat as "no shingles", not a scorable document
+        .where(F.col("_sh").isNotNull() & (F.col("_sh") != ""))
+        .select(F.col(id_col), F.md5(F.col("_sh")).alias("_h"))
+    )
+    per_hash = rows.groupBy("_h").agg(
+        (F.count(F.lit(1)) == 1).alias("_uniq"))
+    return (
+        rows.join(per_hash, "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.when(F.col("_uniq"), 1).otherwise(0))
+             .cast("bigint").alias("n_unique"))
+        .withColumn("novelty_ppm",
+                    F.expr("(n_unique * 1000000L) div n_shingles")
+                    .cast("bigint"))
+    )

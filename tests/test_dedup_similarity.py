@@ -661,3 +661,45 @@ def test_prototypicality_plan_narrow_and_jvm(spark):
     plan = physical_plan(out)
     exchange = plan[plan.index("Exchange"):]
     assert "text" not in exchange.split("Scan")[0]
+
+
+# --- host dup stats + shingle novelty ----------------------------------------
+
+from document_extractor_spark.operators.dedup import (host_dup_stats,
+                                                      shingle_novelty)
+
+
+def test_host_dup_stats_cross_host_mirrors_count(spark):
+    rows = [
+        (1, "a.org", "same text"), (2, "a.org", "same text"),   # in-host dup
+        (3, "a.org", "unique one"),
+        (4, "b.org", "Same   TEXT"),      # cross-host mirror (normalized)
+        (5, "b.org", "another unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {r["host"]: r for r in host_dup_stats(df).collect()}
+    assert (got["a.org"]["n_docs"], got["a.org"]["n_dup_docs"]) == (3, 2)
+    assert got["a.org"]["dup_ppm"] == 2 * 1_000_000 // 3
+    assert (got["b.org"]["n_docs"], got["b.org"]["n_dup_docs"]) == (2, 1)
+
+
+def test_shingle_novelty_shared_vs_unique(spark):
+    shared = "w1 w2 w3 w4 w5"                       # one 5-shingle, shared
+    rows = [(1, shared), (2, shared),
+            (3, "u1 u2 u3 u4 u5 u6"),               # 2 shingles, both unique
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in shingle_novelty(df, n=5).collect()}
+    assert set(got) == {1, 2, 3}                    # NULL text absent
+    assert (got[1]["n_shingles"], got[1]["n_unique"],
+            got[1]["novelty_ppm"]) == (1, 0, 0)
+    assert (got[3]["n_shingles"], got[3]["n_unique"],
+            got[3]["novelty_ppm"]) == (2, 2, 1_000_000)
+
+
+def test_novelty_and_dupstats_plans_jvm_only(spark):
+    from document_extractor_spark.plans import assert_no_python
+    df = spark.createDataFrame([(1, "s", "t u v w x")],
+                               "doc_id bigint, source string, text string")
+    assert_no_python(host_dup_stats(df))
+    assert_no_python(shingle_novelty(df))
