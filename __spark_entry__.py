@@ -1171,6 +1171,28 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_title_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title↔body overlap over planted titles: %7 → NULL title (ppm
+    NULL), %5 → disjoint keyword-stuffed title (ppm 0), else the
+    body's own first 3 tokens plus a guaranteed-absent marker. The
+    DuckDB twin rebuilds the same titles and recomputes the identical
+    set intersection."""
+    from document_extractor_spark.operators.textstats import (
+        title_content_overlap)
+    from document_extractor_spark.functions.text import tokens
+
+    d = F.col("doc_id")
+    first3 = F.array_join(
+        F.slice(tokens(F.lower(F.col("text"))), 1, 3), " ")
+    title = (
+        F.when(d % 7 == 0, F.lit(None).cast("string"))
+        .when(d % 5 == 0, F.lit("zzqx1 zzqx2"))
+        .otherwise(F.concat(first3, F.lit(" zzupdate"))))
+    planted = _docs(spark, sf_dir).select(
+        "doc_id", title.alias("title"), "text")
+    return title_content_overlap(planted)
+
+
 def q_host_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication report over the REAL documents table —
     genuine relational twin (same md5-of-normalized-text key, same
@@ -2426,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": q_politeness_schedule,
         "host_dup_stats": q_host_dup_stats,
         "shingle_novelty": q_shingle_novelty,
+        "title_overlap": q_title_overlap,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3325,6 +3348,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # title_overlap: twin rebuilds the same planted titles and
+        # recomputes the identical distinct-token set intersection.
+        "title_overlap": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                CASE WHEN doc_id % 7 = 0 THEN NULL
+                     WHEN doc_id % 5 = 0 THEN 'zzqx1 zzqx2'
+                     ELSE array_to_string(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')[1:3], ' ') || ' zzupdate'
+                END AS title
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                list_distinct(list_filter(regexp_split_to_array(
+                  trim(lower(title)), '\s+'), x -> x <> '')) AS tt,
+                list_distinct(list_filter(regexp_split_to_array(
+                  trim(lower(text)), '\s+'), x -> x <> '')) AS bt
+              FROM t)
+            SELECT doc_id,
+              CAST(COALESCE(len(tt), 0) AS BIGINT) AS n_title_tokens,
+              CAST(CASE WHEN COALESCE(len(tt), 0) > 0
+                   THEN len(list_intersect(tt, bt)) ELSE 0 END
+                   AS BIGINT) AS n_overlap,
+              CAST(CASE WHEN COALESCE(len(tt), 0) > 0
+                   THEN len(list_intersect(tt, bt)) * 1000000 // len(tt)
+                   END AS BIGINT) AS overlap_ppm
+            FROM d
         """,
         # host_dup_stats / shingle_novelty: genuine relational twins
         # over the real corpus — same normalization, same corpus-wide

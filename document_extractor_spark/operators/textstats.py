@@ -409,3 +409,39 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
                F.expr("(script_chars * 1000000L) div letter_chars"))
         .otherwise(F.lit(0)).cast("bigint"),
     )
+
+
+def title_content_overlap(df: DataFrame, id_col: str = "doc_id",
+                          title_col: str = "title",
+                          text_col: str = "text") -> DataFrame:
+    """Title↔body lexical agreement ``(id, n_title_tokens, n_overlap,
+    overlap_ppm)`` — the clickbait/SEO-mismatch signal: a title whose
+    tokens barely appear in the body is keyword-stuffed or misleading
+    (search-spam pipelines score this; so do quality classifiers for
+    training corpora). ``overlap_ppm`` = |distinct title tokens present
+    in the body| · 10⁶ div |distinct title tokens|, exact integers,
+    NULL when the title has no tokens (nothing to judge — distinct
+    from 0, which means "title present but disjoint from the body").
+
+    Spark-first: two staged token arrays, ``array_distinct`` +
+    ``array_intersect`` + ``size`` — one whole-stage-codegen
+    projection, zero shuffle, no explode at all (the token sets stay
+    inside their row)."""
+    from ..functions.text import tokens
+
+    staged = df.withColumns({
+        "_tt": F.array_distinct(tokens(F.lower(F.col(title_col)))),
+        "_bt": F.array_distinct(tokens(F.lower(F.col(text_col)))),
+    })
+    n_t = F.coalesce(F.size("_tt"), F.lit(0))
+    n_o = F.coalesce(F.size(F.array_intersect("_tt", "_bt")), F.lit(0))
+    return staged.select(
+        F.col(id_col),
+        n_t.cast("bigint").alias("n_title_tokens"),
+        F.when(n_t > 0, n_o).otherwise(F.lit(0))
+        .cast("bigint").alias("n_overlap"),
+    ).withColumn(
+        "overlap_ppm",
+        F.when(F.col("n_title_tokens") > 0,
+               F.expr("(n_overlap * 1000000L) div n_title_tokens"))
+        .cast("bigint"))

@@ -70,3 +70,37 @@ def test_script_profile_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     assert_no_python(script_profile(df))
     assert len(SCRIPTS) == 9
+
+
+# --- title/content overlap ---------------------------------------------------
+
+from document_extractor_spark.operators.textstats import (
+    title_content_overlap)
+
+
+def test_title_overlap_cases(spark):
+    rows = [
+        (1, "Big News Today", "today the big news broke"),   # full overlap
+        (2, "Weird Trick Doctors Hate", "an article about gardening"),
+        (3, None, "some body"),                              # no title
+        (4, "", "some body"),                                # empty title
+        (5, "Hello hello WORLD", "hello planet"),            # dedup + case
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, title string, text string")
+    got = {r["doc_id"]: r for r in title_content_overlap(df).collect()}
+    assert (got[1]["n_title_tokens"], got[1]["n_overlap"],
+            got[1]["overlap_ppm"]) == (3, 3, 1_000_000)
+    assert got[2]["overlap_ppm"] == 0                        # disjoint ≠ NULL
+    assert got[3]["overlap_ppm"] is None
+    assert got[4]["overlap_ppm"] is None
+    assert (got[5]["n_title_tokens"], got[5]["n_overlap"]) == (2, 1)
+    assert got[5]["overlap_ppm"] == 500_000
+
+
+def test_title_overlap_plan_no_shuffle(spark):
+    from document_extractor_spark.plans import assert_no_python, physical_plan
+    df = spark.createDataFrame([(1, "t", "b")],
+                               "doc_id bigint, title string, text string")
+    out = title_content_overlap(df)
+    assert_no_python(out)
+    assert "Exchange" not in physical_plan(out)
