@@ -1171,6 +1171,18 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over the real
+    corpus — the oracle evaluates the identical md5-prefix bucket
+    comparisons (thresholds injected from the SAME Python function the
+    operator uses, so the engines cannot drift)."""
+    from document_extractor_spark.operators.curation import assign_splits
+
+    return assign_splits(
+        _docs(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1}).select("doc_id", "split")
+
+
 def q_title_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Title↔body overlap over planted titles: %7 → NULL title (ppm
     NULL), %5 → disjoint keyword-stuffed title (ppm 0), else the
@@ -2449,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_dup_stats": q_host_dup_stats,
         "shingle_novelty": q_shingle_novelty,
         "title_overlap": q_title_overlap,
+        "assign_splits": q_assign_splits,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3349,6 +3362,19 @@ def oracle_sql() -> dict[str, str]:
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
         """,
+        # assign_splits: thresholds come from the SAME Python helper
+        # the operator uses (mix_threshold_hex), so the hex-string
+        # bucket comparisons are engine-identical by construction.
+        "assign_splits": (
+            "SELECT doc_id, CASE"
+            " WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{mix_threshold_hex(0.8)}' THEN 'train'"
+            " WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{mix_threshold_hex(0.9)}' THEN 'val'"
+            " WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{mix_threshold_hex(1.0)}' THEN 'test'"
+            " END AS split FROM documents"
+        ),
         # title_overlap: twin rebuilds the same planted titles and
         # recomputes the identical distinct-token set intersection.
         "title_overlap": r"""

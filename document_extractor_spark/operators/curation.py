@@ -787,3 +787,42 @@ def stratified_sample(docs: DataFrame, group_col: str, k: int,
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def assign_splits(docs: DataFrame, splits: dict | None = None,
+                  key_col: str = "doc_id",
+                  seed: str = "split1") -> DataFrame:
+    """Deterministic train/val/test assignment — every corpus release
+    needs one, and it must be a PURE FUNCTION of (seed, key): stable
+    under repartitioning, retries, engine, and incremental re-runs (a
+    document added next month cannot move any existing document across
+    splits, which ``randomSplit`` cannot promise). Mechanism: the
+    first 8 md5 hex chars of ``seed‖key`` land in [0, 16^8); cumulative
+    fraction thresholds — the ``mix_threshold_hex`` convention, plain
+    hex-string comparisons identical in Spark and DuckDB — carve the
+    range into one bucket per split, in the dict's insertion order.
+
+    ``splits`` maps name → fraction; fractions must sum to ≤ 1 (a
+    shortfall leaves a holdout residue assigned NULL — explicitly
+    unselected data). Appends a ``split`` column; narrow projection,
+    no shuffle, no RNG state anywhere.
+    """
+    splits = {"train": 0.98, "val": 0.01, "test": 0.01} \
+        if splits is None else splits
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    if any(f < 0 for f in splits.values()):
+        raise ValueError(f"negative split fraction: {splits}")
+    if sum(splits.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum past 1: {splits}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8)
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bounds = []
+    for name, frac in splits.items():
+        cum += frac
+        bounds.append((name, mix_threshold_hex(cum)))
+    for name, hi in reversed(bounds):
+        expr = F.when(h < F.lit(hi), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)

@@ -795,3 +795,60 @@ def test_weighted_sample_guards_and_plan(spark):
         weighted_sample(df.withColumn("_es_w", F.lit(1)), 1, "w")
     plan = physical_plan(weighted_sample(df, 3, "w"))
     assert "TakeOrderedAndProject" in plan      # top-k, not a full sort
+
+
+# --- deterministic split assignment -------------------------------------------
+
+from document_extractor_spark.operators.curation import (assign_splits,
+                                                         mix_threshold_hex)
+
+
+def test_assign_splits_matches_hash_formula_and_is_stable(spark):
+    import hashlib
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"]
+           for r in assign_splits(df, splits).collect()}
+
+    def expected(i):
+        h = hashlib.md5(f"split1{i}".encode()).hexdigest()[:8]
+        if h < mix_threshold_hex(0.8):
+            return "train"
+        if h < mix_threshold_hex(0.9):
+            return "val"
+        if h < mix_threshold_hex(1.0):
+            return "test"
+        return None
+
+    assert got == {i: expected(i) for i in range(500)}
+    # proportions roughly honored
+    from collections import Counter
+    c = Counter(got.values())
+    assert c["train"] > 350 and c["val"] > 20 and c["test"] > 20
+    # repartition-stable
+    got2 = {r["doc_id"]: r["split"] for r in assign_splits(
+        df.repartition(7), splits).collect()}
+    assert got2 == got
+
+
+def test_assign_splits_holdout_residue_and_guards(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    got = [r["split"] for r in assign_splits(
+        df, {"train": 0.5}).collect()]
+    assert any(s is None for s in got)          # residue unselected
+    assert any(s == "train" for s in got)
+    with _pt.raises(ValueError, match="sum past 1"):
+        assign_splits(df, {"a": 0.9, "b": 0.2})
+    with _pt.raises(ValueError, match="non-empty"):
+        assign_splits(df, {})
+    with _pt.raises(ValueError, match="negative"):
+        assign_splits(df, {"a": -0.1})
+
+
+def test_assign_splits_plan_no_shuffle(spark):
+    from document_extractor_spark.plans import assert_no_python, physical_plan
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    out = assign_splits(df)
+    assert_no_python(out)
+    assert "Exchange" not in physical_plan(out)
