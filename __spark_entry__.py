@@ -1171,6 +1171,29 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing over planted files: a wildcard group (two
+    path rules + Crawl-delay), an arithmetic second group on %3, a
+    global Sitemap line, comments and CRLF noise. The closed-form
+    oracle states every (agent, rule_type, value) row per case."""
+    from document_extractor_spark.operators.robots import parse_robots_txt
+
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("# generated\r\nUser-agent: *\nDisallow: /private"),
+        (d % 5).cast("string"),
+        F.lit("/\nAllow: /public/  # keep\nCrawl-Delay: "),
+        (1 + d % 4).cast("string"), F.lit("\n\n"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("User-agent: badbot"), (d % 7).cast("string"),
+            F.lit("\nDisallow: /\n"))).otherwise(F.lit("")),
+        F.lit("Sitemap: https://h"), (d % 37).cast("string"),
+        F.lit(".example.org/sitemap.xml\n"))
+    planted = _docs(spark, sf_dir).select(
+        "doc_id", txt.alias("robots_txt"))
+    return parse_robots_txt(planted)
+
+
 def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment over the real
     corpus — the oracle evaluates the identical md5-prefix bucket
@@ -2462,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "title_overlap": q_title_overlap,
         "assign_splits": q_assign_splits,
+        "parse_robots": q_parse_robots,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3361,6 +3385,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # parse_robots: the plant is doc_id arithmetic; the oracle
+        # states every parsed rule row per case.
+        "parse_robots": """
+            SELECT doc_id, '*' AS agent, 'disallow' AS rule_type,
+                   '/private' || (doc_id % 5) || '/' AS value
+            FROM documents
+            UNION ALL
+            SELECT doc_id, '*', 'allow', '/public/' FROM documents
+            UNION ALL
+            SELECT doc_id, '*', 'crawl_delay',
+                   CAST(1 + doc_id % 4 AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT doc_id, 'badbot' || (doc_id % 7), 'disallow', '/'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, '', 'sitemap',
+                   'https://h' || (doc_id % 37)
+                     || '.example.org/sitemap.xml'
+            FROM documents
         """,
         # assign_splits: thresholds come from the SAME Python helper
         # the operator uses (mix_threshold_hex), so the hex-string

@@ -333,7 +333,7 @@ HEADLINE_QUERIES = [
     "prototype_prune", "roc_auc", "cdx_fetch_plan", "triangle_counts",
     "chunk_passages", "surt_keys", "meta_robots", "bitext_candidates",
     "politeness_schedule", "host_dup_stats", "shingle_novelty",
-    "title_overlap", "assign_splits",
+    "title_overlap", "assign_splits", "parse_robots",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -75,3 +75,65 @@ def apply_robots_policy(pages: DataFrame, rules: DataFrame,
     # a NULL url can't equi-join its own verdict row — still allowed
     return joined.withColumn(
         "allowed", F.coalesce("allowed", F.lit(True)))
+
+
+def parse_robots_txt(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "robots_txt") -> DataFrame:
+    """Parse raw robots.txt text into rule rows ``(id, agent,
+    rule_type, value)`` — the missing front half of this module:
+    :func:`apply_robots_policy` consumes per-host rule tables, and
+    ``frontier.politeness_schedule`` consumes Crawl-delays; this
+    produces both from the fetched robots.txt payloads themselves.
+
+    RFC 9309 group semantics: consecutive ``User-agent`` lines form
+    ONE group header and every rule in the group body applies to each
+    named agent (so the output fans rules out per agent); a later
+    ``User-agent`` run starts a new group. ``Sitemap`` is a standalone
+    directive outside groups — emitted with ``agent=''`` (never NULL —
+    a global row, not an unknown one). Comments (``#…``), blank lines,
+    and unknown directives are dropped; directive names are
+    case-insensitive; CRLF tolerated.
+
+    Spark shape: staged line split + ``posexplode_outer``; group ids
+    are the classic gaps-and-islands cumulative sum of group-boundary
+    flags over a per-document window (line-number rows — metadata
+    width, thousands per host at most); agents join rules within
+    (id, group) — a narrow self-join whose fan-out is the group's
+    agent count (single digits in real files). All JVM.
+    """
+    from pyspark.sql import Window
+
+    line0 = F.trim(F.regexp_replace(F.col("_rb_line"), "#.*$", ""))
+    directive = F.lower(F.regexp_extract(line0, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(line0, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    staged = (
+        df.select(F.col(id_col),
+                  F.split(F.col(payload_col), r"\r?\n").alias("_rb_ls"))
+        .select(id_col, F.posexplode_outer("_rb_ls")
+                .alias("_rb_pos", "_rb_line"))
+        .withColumns({"_rb_dir": directive, "_rb_val": value})
+        .where(F.col("_rb_dir").isin("user-agent", "allow", "disallow",
+                                     "crawl-delay", "sitemap")
+               & (F.col("_rb_val") != ""))
+    )
+    w = Window.partitionBy(id_col).orderBy("_rb_pos")
+    is_ua = (F.col("_rb_dir") == "user-agent")
+    boundary = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = staged.withColumn(
+        "_rb_grp",
+        F.sum(boundary.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = grouped.where(is_ua).select(
+        F.col(id_col), F.col("_rb_grp"), F.col("_rb_val").alias("agent"))
+    rules = grouped.where(
+        F.col("_rb_dir").isin("allow", "disallow", "crawl-delay")).select(
+        F.col(id_col), F.col("_rb_grp"),
+        F.replace(F.col("_rb_dir"), F.lit("-"), F.lit("_"))
+        .alias("rule_type"),
+        F.col("_rb_val").alias("value"))
+    grouped_rules = agents.join(rules, [id_col, "_rb_grp"]).drop("_rb_grp")
+    sitemaps = grouped.where(F.col("_rb_dir") == "sitemap").select(
+        F.col(id_col), F.lit("").alias("agent"),
+        F.lit("sitemap").alias("rule_type"),
+        F.col("_rb_val").alias("value"))
+    return grouped_rules.unionByName(sitemaps)

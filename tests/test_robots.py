@@ -89,3 +89,63 @@ def test_robots_arbitrary_page_schemas(spark):
     with _pytest.raises(ValueError, match="allowed"):
         apply_robots_policy(
             pages.withColumnRenamed("allow", "allowed"), rules)
+
+
+# --- robots.txt parsing -------------------------------------------------------
+
+from document_extractor_spark.operators.robots import parse_robots_txt
+
+
+def _parse(spark, txt):
+    df = spark.createDataFrame([(1, txt)], "doc_id bigint, robots_txt string")
+    return sorted((r["agent"], r["rule_type"], r["value"])
+                  for r in parse_robots_txt(df).collect())
+
+
+def test_groups_shared_headers_and_sitemap(spark):
+    txt = (
+        "# a comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok  # trailing comment\n"
+        "Crawl-Delay: 2\n"
+        "\r\n"
+        "User-agent: botA\n"
+        "User-Agent: botB\n"          # shared group header
+        "Disallow: /\n"
+        "\n"
+        "Sitemap: https://e.org/s.xml\n"
+        "Weird-Directive: ignored\n"
+    )
+    got = _parse(spark, txt)
+    assert got == sorted([
+        ("*", "disallow", "/private/"),
+        ("*", "allow", "/private/ok"),
+        ("*", "crawl_delay", "2"),
+        ("botA", "disallow", "/"),
+        ("botB", "disallow", "/"),
+        ("", "sitemap", "https://e.org/s.xml"),
+    ])
+
+
+def test_new_ua_run_starts_new_group(spark):
+    txt = ("User-agent: a\nDisallow: /x\n"
+           "User-agent: b\nDisallow: /y\n")
+    got = _parse(spark, txt)
+    assert got == sorted([("a", "disallow", "/x"), ("b", "disallow", "/y")])
+
+
+def test_rules_before_any_group_and_empty_payloads(spark):
+    # a rule with no preceding User-agent has no group → dropped
+    assert _parse(spark, "Disallow: /orphan\n") == []
+    assert _parse(spark, "") == []
+    df = spark.createDataFrame([(1, None)],
+                               "doc_id bigint, robots_txt string")
+    assert parse_robots_txt(df).collect() == []
+
+
+def test_parse_plan_jvm_only(spark):
+    from document_extractor_spark.plans import assert_no_python
+    df = spark.createDataFrame([(1, "User-agent: *\nDisallow: /")],
+                               "doc_id bigint, robots_txt string")
+    assert_no_python(parse_robots_txt(df))
