@@ -1171,6 +1171,26 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect resolution over per-document planted chains of length
+    1+doc_id%4 (self-contained per doc, so the closed-form oracle
+    never assumes corpus id contiguity): every non-terminal hop must
+    resolve to the chain tail with the exact remaining hop count."""
+    from document_extractor_spark.operators.links import resolve_redirects
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    staged = _docs(spark, sf_dir).select(
+        "doc_id", F.sequence(F.lit(0), (d % 4).cast("int")).alias("_js"))
+    hops = staged.select(
+        "doc_id", F.posexplode_outer("_js").alias("_p", "_j"))
+    edges = hops.select(
+        F.concat(F.lit("https://r.example.org/"), did, F.lit("/"),
+                 F.col("_j").cast("string")).alias("src_url"),
+        F.concat(F.lit("https://r.example.org/"), did, F.lit("/"),
+                 (F.col("_j") + 1).cast("string")).alias("dst_url"))
+    return resolve_redirects(edges)
+
+
 def q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing over planted files: a wildcard group (two
     path rules + Crawl-delay), an arithmetic second group on %3, a
@@ -2486,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_overlap": q_title_overlap,
         "assign_splits": q_assign_splits,
         "parse_robots": q_parse_robots,
+        "resolve_redirects": q_resolve_redirects,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3385,6 +3406,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # resolve_redirects: per-doc chain of 1+doc_id%4 edges; every
+        # hop j resolves to the tail with exactly (len - j) hops.
+        "resolve_redirects": """
+            WITH j AS (
+              SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS hop,
+                     1 + doc_id % 4 AS len
+              FROM documents)
+            SELECT 'https://r.example.org/' || doc_id || '/' || hop
+                     AS url,
+                   'https://r.example.org/' || doc_id || '/' || len
+                     AS final_url,
+                   CAST(len - hop AS BIGINT) AS hops,
+                   TRUE AS resolved
+            FROM j
         """,
         # parse_robots: the plant is doc_id arithmetic; the oracle
         # states every parsed rule row per case.

@@ -407,3 +407,60 @@ def triangle_counts(edges: DataFrame, src: str = "src_host",
                           "(degree * (degree - 1L))"))
             .otherwise(F.lit(0)).cast("bigint"))
     )
+
+
+def resolve_redirects(edges: DataFrame, src: str = "src_url",
+                      dst: str = "dst_url",
+                      max_hops: int = 16) -> DataFrame:
+    """Resolve redirect chains to their terminal URLs — the crawl-graph
+    canonicalization every dedup/link pass wants BEFORE keying on URLs
+    (http→https hops, www variants, shorteners: keying on the chain's
+    head splits one page's signals across aliases). Input: one (src →
+    dst) row per observed redirect. Output: one row per redirecting
+    URL — ``(url, final_url, hops, resolved)`` where ``resolved`` is
+    false for chains still unterminated after ``max_hops`` (i.e.
+    redirect CYCLES or absurd chains — flagged, never looped forever).
+
+    Algorithm: pointer doubling (the ``dup_clusters`` connected-
+    components trick applied to functional graphs): each round joins
+    the mapping with itself, so reach doubles — ``ceil(log2(max_hops))``
+    narrow url-keyed self-joins total, each carrying (url, next, hops).
+    At 100 TB that is 4-5 shuffles of 3-column rows instead of a
+    per-hop iterative walk. Multiple contradictory redirects from one
+    URL collapse deterministically to the lexicographically smallest
+    target.
+    """
+    import math as _math
+
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1: {max_hops}")
+    m = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                    & (F.col(src) != F.col(dst)))
+        .groupBy(F.col(src).alias("url"))
+        .agg(F.min(F.col(dst)).alias("next"))
+        .withColumn("hops", F.lit(1).cast("bigint"))
+    )
+    rounds = max(1, _math.ceil(_math.log2(max_hops)))
+    for _ in range(rounds):
+        b = m.select(F.col("url").alias("_b_url"),
+                     F.col("next").alias("_b_next"),
+                     F.col("hops").alias("_b_hops"))
+        m = (
+            m.join(b, m["next"] == b["_b_url"], "left")
+            .select(
+                "url",
+                F.coalesce("_b_next", "next").alias("next"),
+                (F.col("hops") + F.coalesce("_b_hops", F.lit(0)))
+                .alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    srcs = m.select(F.col("url").alias("_s")).distinct()
+    return (
+        m.join(srcs, m["next"] == srcs["_s"], "left")
+        .select(
+            "url", F.col("next").alias("final_url"),
+            F.col("hops"),
+            (F.col("_s").isNull() & (F.col("hops") <= max_hops))
+            .alias("resolved"))
+    )

@@ -396,3 +396,45 @@ def test_matches_brute_force_on_arithmetic_graph(spark):
         assert got[v]["triangles"] == tri[v], v
         deg = sum(1 for e in eset if v in e)
         assert got[v]["degree"] == deg
+
+
+# --- redirect resolution -------------------------------------------------------
+
+from document_extractor_spark.operators.links import resolve_redirects
+
+
+def _rr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    return {r["url"]: r for r in resolve_redirects(df, **kw).collect()}
+
+
+def test_chains_resolve_with_hop_counts(spark):
+    got = _rr(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("q", "d")])
+    assert (got["a"]["final_url"], got["a"]["hops"],
+            got["a"]["resolved"]) == ("d", 3, True)
+    assert (got["b"]["final_url"], got["b"]["hops"]) == ("d", 2)
+    assert (got["c"]["final_url"], got["c"]["hops"]) == ("d", 1)
+    assert got["q"]["final_url"] == "d"
+    assert "d" not in got                         # terminals don't redirect
+
+
+def test_cycles_flagged_not_looped(spark):
+    got = _rr(spark, [("x", "y"), ("y", "x"), ("a", "x")])
+    assert got["x"]["resolved"] is False
+    assert got["y"]["resolved"] is False
+    assert got["a"]["resolved"] is False          # chain INTO a cycle
+    # a long but terminating chain still resolves
+    chain = [(f"u{i}", f"u{i+1}") for i in range(12)]
+    got2 = _rr(spark, chain)
+    assert (got2["u0"]["final_url"], got2["u0"]["hops"],
+            got2["u0"]["resolved"]) == ("u12", 12, True)
+
+
+def test_contradictory_and_self_edges(spark):
+    got = _rr(spark, [("a", "c"), ("a", "b"), ("s", "s")])
+    assert got["a"]["final_url"] == "b"           # min target wins
+    assert "s" not in got                         # self-edge dropped
+    import pytest as _pt
+    df = spark.createDataFrame([("a", "b")], "src_url string, dst_url string")
+    with _pt.raises(ValueError, match="max_hops"):
+        resolve_redirects(df, max_hops=0)
