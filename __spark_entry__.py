@@ -1171,6 +1171,22 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram buckets over planted (score, label) pairs —
+    integer-grid scores on [0,100) into 10 bins, label correlated with
+    score so rates climb by bin; the twin recomputes the identical
+    clamp/bin/rate arithmetic."""
+    from document_extractor_spark.operators.metrics import (
+        calibration_buckets)
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        ((d * 7) % 100).cast("double").alias("score"),
+        F.when((d * 31) % 100 < (d * 7) % 100, F.lit(1))
+        .otherwise(F.lit(0)).alias("label"))
+    return calibration_buckets(planted, n_buckets=10, lo=0.0, hi=100.0)
+
+
 def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect resolution over per-document planted chains of length
     1+doc_id%4 (self-contained per doc, so the closed-form oracle
@@ -2507,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits": q_assign_splits,
         "parse_robots": q_parse_robots,
         "resolve_redirects": q_resolve_redirects,
+        "calibration_buckets": q_calibration_buckets,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3406,6 +3423,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # calibration_buckets: twin recomputes the identical
+        # clamp/bin arithmetic over the integer-grid plant.
+        "calibration_buckets": """
+            WITH d AS (
+              SELECT CAST((doc_id * 7) % 100 AS DOUBLE) AS s,
+                     CASE WHEN (doc_id * 31) % 100 < (doc_id * 7) % 100
+                          THEN 1 ELSE 0 END AS l
+              FROM documents)
+            SELECT CAST(least(greatest(
+                     floor((s - 0.0) / 100.0 * 10), 0), 9) AS INT)
+                     AS bucket,
+                   COUNT(*) AS n,
+                   CAST(SUM(l) AS BIGINT) AS n_pos,
+                   CAST(SUM(l) * 1000000 // COUNT(*) AS BIGINT)
+                     AS pos_ppm
+            FROM d GROUP BY 1
         """,
         # resolve_redirects: per-doc chain of 1+doc_id%4 edges; every
         # hop j resolves to the tail with exactly (len - j) hops.

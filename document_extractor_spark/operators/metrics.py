@@ -64,3 +64,40 @@ def roc_auc(df: DataFrame, score_col: str = "score",
                    / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")))
             .alias("auc"))
     )
+
+
+def calibration_buckets(df: DataFrame, score_col: str = "score",
+                        label_col: str = "label", n_buckets: int = 10,
+                        lo: float = 0.0, hi: float = 1.0) -> DataFrame:
+    """Reliability-diagram table for a probabilistic quality classifier
+    — ``(bucket, n, n_pos, pos_ppm)`` over ``n_buckets`` equal-width
+    score bins on [lo, hi): a calibrated classifier's positive rate
+    tracks the bin midpoint; quality-threshold pickers read this table
+    to translate "keep the top X%" into a score cutoff with known
+    purity. Scores outside the range clamp into the edge bins (sort
+    safety + nothing silently dropped); NULL score/label rows are
+    excluded like :func:`roc_auc`.
+
+    Same scale shape as ``roc_auc``'s first stage alone: one map-side-
+    combinable groupBy on the bucket id — n_buckets keys, no window,
+    no sort anywhere. ``pos_ppm`` is the exact integer positive rate.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    if not hi > lo:
+        raise ValueError(f"empty score range [{lo}, {hi})")
+    lab = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    raw = F.floor((s - F.lit(float(lo)))
+                  / F.lit(float(hi - lo)) * F.lit(int(n_buckets)))
+    bucket = F.least(F.greatest(raw, F.lit(0)),
+                     F.lit(int(n_buckets) - 1)).cast("int")
+    return (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(lab == 1, 1).otherwise(0))
+             .cast("bigint").alias("n_pos"))
+        .withColumn("pos_ppm",
+                    F.expr("(n_pos * 1000000L) div n").cast("bigint"))
+    )

@@ -51,3 +51,34 @@ def test_null_rows_excluded_and_degenerate_null_auc(spark):
 def test_plan_jvm_only(spark):
     df = spark.createDataFrame([(1.0, 1)], "score double, label int")
     assert_no_python(roc_auc(df))
+
+
+# --- calibration buckets -------------------------------------------------------
+
+import pytest
+
+from document_extractor_spark.operators.metrics import calibration_buckets
+
+
+def test_calibration_bucket_edges_clamp_and_rates(spark):
+    rows = [(0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1),
+            (1.7, 1),            # above hi → clamps into top bucket
+            (-0.3, 0),           # below lo → clamps into bottom bucket
+            (None, 1), (0.5, None)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bucket"]: r for r in calibration_buckets(df).collect()}
+    assert (got[0]["n"], got[0]["n_pos"]) == (3, 1)      # two 0.05 + clamp
+    assert got[0]["pos_ppm"] == 1_000_000 // 3
+    assert (got[9]["n"], got[9]["n_pos"], got[9]["pos_ppm"]) == (
+        3, 3, 1_000_000)
+    assert set(got) == {0, 9}                            # empty bins absent
+
+
+def test_calibration_guards_and_plan(spark):
+    from document_extractor_spark.plans import assert_no_python
+    df = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    with pytest.raises(ValueError, match="n_buckets"):
+        calibration_buckets(df, n_buckets=0)
+    with pytest.raises(ValueError, match="range"):
+        calibration_buckets(df, lo=1.0, hi=1.0)
+    assert_no_python(calibration_buckets(df))
