@@ -1171,6 +1171,27 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_alternates(pages_with_hreflang(spark, sf_dir))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote detection: 12-token excerpts of the first 40
+    documents join the sub-120 corpus as new docs (id+200000); each
+    excerpt's shingles sit inside its parent, so containment ≈ 1.0
+    where symmetric Jaccard is ≈ 0. The DuckDB twin recomputes the
+    identical shingle self-join and min-side normalization."""
+    from document_extractor_spark.operators.dedup import containment_pairs
+    from document_extractor_spark.functions.text import tokens
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") < 120) \
+        .select("doc_id", "text")
+    excerpt = (
+        _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+        .select((F.col("doc_id") + 200000).alias("doc_id"),
+                F.array_join(
+                    F.slice(tokens(F.lower(F.col("text"))), 1, 12), " ")
+                .alias("text")))
+    return containment_pairs(base.unionByName(excerpt), n=3,
+                             threshold_ppm=800_000)
+
+
 def q_calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram buckets over planted (score, label) pairs —
     integer-grid scores on [0,100) into 10 bins, label correlated with
@@ -2524,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_robots": q_parse_robots,
         "resolve_redirects": q_resolve_redirects,
         "calibration_buckets": q_calibration_buckets,
+        "containment_pairs": q_containment_pairs,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -3423,6 +3445,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_url, 'x-default',
                    'https://docs.example.org/en/' || doc_id
             FROM c WHERE doc_id % 5 = 0
+        """,
+        # containment_pairs: relational twin — same augmented corpus,
+        # same 3-shingle self-join, same min-side exact-ppm verdict.
+        "containment_pairs": r"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 120
+              UNION ALL
+              SELECT doc_id + 200000,
+                array_to_string(list_filter(regexp_split_to_array(
+                  trim(lower(text)), '\s+'), x -> x <> '')[1:12], ' ')
+              FROM documents WHERE doc_id < 40),
+            sh AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(regexp_split_to_array(
+                    lower(trim(text)), '\s+')) - 2, 1) + 1),
+                  i -> array_to_string((regexp_split_to_array(
+                    lower(trim(text)), '\s+'))[i:i+2], ' ')
+                )) AS s
+              FROM aug),
+            ex AS (SELECT id, len(s) AS n_sh, unnest(s) AS tok FROM sh),
+            exf AS (SELECT * FROM ex WHERE tok <> ''),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS n_common
+              FROM exf a JOIN exf b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+                   CAST(n_common * 1000000 // least(na, nb) AS BIGINT)
+                     AS containment_ppm
+            FROM p
+            WHERE n_common * 1000000 // least(na, nb) >= 800000
         """,
         # calibration_buckets: twin recomputes the identical
         # clamp/bin arithmetic over the integer-grid plant.

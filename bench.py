@@ -334,7 +334,7 @@ HEADLINE_QUERIES = [
     "chunk_passages", "surt_keys", "meta_robots", "bitext_candidates",
     "politeness_schedule", "host_dup_stats", "shingle_novelty",
     "title_overlap", "assign_splits", "parse_robots",
-    "resolve_redirects", "calibration_buckets",
+    "resolve_redirects", "calibration_buckets", "containment_pairs",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

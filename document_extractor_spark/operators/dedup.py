@@ -648,3 +648,58 @@ def shingle_novelty(df: DataFrame, id_col: str = "doc_id",
                     F.expr("(n_unique * 1000000L) div n_shingles")
                     .cast("bigint"))
     )
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold_ppm: int = 800_000) -> DataFrame:
+    """Asymmetric containment pairs — quote/excerpt detection, the case
+    symmetric Jaccard structurally misses: a 20-token excerpt inside a
+    2,000-token article has Jaccard ≈ 0.01 but containment ≈ 1.0. The
+    score is ``|A∩B| / min(|A|,|B|)`` over distinct n-gram shingles
+    (Broder's containment, normalized by the smaller side so the
+    verdict reads "the smaller document is this fraction inside the
+    larger"), exact integer ppm. Curation uses it to drop or link
+    syndicated excerpts, pull-quote pages, and abstract-only mirrors
+    that survive every symmetric near-dup tier.
+
+    Scale shape: the same staged-shingle machinery as
+    ``ngram_jaccard_pairs`` — (id, md5(shingle)) narrow rows, shingle
+    self-join keyed on the 16-byte hash (candidate fan-out bounded by
+    shingle document frequency — corpus-hot shingles are boilerplate
+    the upstream C4/boilerplate pass already strips), one
+    map-side-combinable pair count. Text never shuffles.
+    """
+    from ..functions.text import shingles_df
+
+    if not 0 < threshold_ppm <= 1_000_000:
+        raise ValueError(f"threshold_ppm must be in (0, 10^6]: "
+                         f"{threshold_ppm}")
+    sh = shingles_df(df.select(F.col(id_col), F.col(text_col)),
+                     text_col, n=n)
+    ex = (
+        sh.withColumn("_n_sh", F.size("sh"))
+        .select(F.col(id_col).alias("_id"), "_n_sh",
+                F.explode_outer("sh").alias("_t"))
+        .where(F.col("_t").isNotNull() & (F.col("_t") != ""))
+        .select("_id", "_n_sh", F.md5("_t").alias("_h"))
+    )
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_n_sh").alias("_na"),
+                  F.col("_h"))
+    b = ex.select(F.col("_id").alias("id_b"), F.col("_n_sh").alias("_nb"),
+                  F.col("_h"))
+    pairs = (
+        a.join(b, "_h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.withColumn(
+            "containment_ppm",
+            F.expr("(n_common * 1000000L) div least(_na, _nb)")
+            .cast("bigint"))
+        .where(F.col("containment_ppm") >= F.lit(int(threshold_ppm)))
+        .select("id_a", "id_b", F.col("n_common").cast("bigint")
+                .alias("n_common"), "containment_ppm")
+    )

@@ -703,3 +703,41 @@ def test_novelty_and_dupstats_plans_jvm_only(spark):
                                "doc_id bigint, source string, text string")
     assert_no_python(host_dup_stats(df))
     assert_no_python(shingle_novelty(df))
+
+
+# --- containment pairs ---------------------------------------------------------
+
+from document_extractor_spark.operators.dedup import containment_pairs
+
+
+def test_excerpt_contained_despite_low_jaccard(spark):
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(50, 60))   # 10-token quote
+    unrelated = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, unrelated)],
+        "doc_id bigint, text string")
+    got = containment_pairs(df, n=3, threshold_ppm=900_000).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    # all 8 of the excerpt's 3-shingles occur in the long doc
+    assert got[0]["n_common"] == 8
+    assert got[0]["containment_ppm"] == 1_000_000
+
+
+def test_containment_threshold_and_guard(spark):
+    import pytest as _pt
+    half = "a b c d e f x1 x2 x3 x4 x5 x6"     # half shared with other
+    other = "a b c d e f y1 y2 y3 y4 y5 y6"
+    df = spark.createDataFrame([(1, half), (2, other)],
+                               "doc_id bigint, text string")
+    got = containment_pairs(df, n=3, threshold_ppm=300_000).collect()
+    assert len(got) == 1 and got[0]["n_common"] == 4   # 'a b c'..'d e f'
+    assert containment_pairs(df, n=3, threshold_ppm=500_000).collect() == []
+    with _pt.raises(ValueError, match="threshold_ppm"):
+        containment_pairs(df, threshold_ppm=0)
+
+
+def test_containment_plan_jvm_only(spark):
+    from document_extractor_spark.plans import assert_no_python
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    assert_no_python(containment_pairs(df))
