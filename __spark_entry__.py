@@ -140,6 +140,22 @@ def q_extract_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe-style per-block scoring rows (north-rule "block scoring
+    over a flattened DOM node array" as auditable data): one row per DOM
+    block of the chrome fixture with the word-count / link-density
+    features and the classifier's verdict. The chrome's 8-block layout
+    is a closed form; only the main ``<p>``'s word count (and, through
+    the heading-attachment rule, the ``<h1>``'s verdict) depends on the
+    document text."""
+    from document_extractor_spark.operators.blocks import block_profile
+
+    pages = pages_from_documents(spark, sf_dir)
+    return block_profile(pages).select(
+        doc_id_from_url("url"), "block_idx", "tag", "n_words",
+        "n_link_words", "link_density", "is_content", "parse_error")
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis family
 # ---------------------------------------------------------------------------
@@ -2464,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their original order.
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        "block_profile": q_block_profile,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -2628,6 +2645,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 2 AS n_spans, 'header,paragraph' AS span_types,"
             " CAST(NULL AS VARCHAR) AS parse_error FROM documents"
         ),
+        # The chrome fixture flattens to a FIXED 8-block sequence
+        # (header / 3 nav li / h1 / main p / aside p / footer p); only
+        # the main <p>'s n_words is text-dependent, and blocks after it
+        # renumber if the text is wordless (the flattener skips empty
+        # blocks). h1 verdict = heading-attachment to the following
+        # kept block (html_extract.py:765-770).
+        "block_profile": f"""
+            WITH d AS (SELECT doc_id, len({_TOKS}) AS nw FROM documents),
+            b AS (
+              SELECT doc_id, 0 AS block_idx, 'header' AS tag,
+                     2 AS n_words, 2 AS n_link_words,
+                     1.0 AS link_density, FALSE AS is_content FROM d
+              UNION ALL SELECT doc_id, 1, 'li', 2, 2, 1.0, FALSE FROM d
+              UNION ALL SELECT doc_id, 2, 'li', 2, 2, 1.0, FALSE FROM d
+              UNION ALL SELECT doc_id, 3, 'li', 2, 2, 1.0, FALSE FROM d
+              UNION ALL SELECT doc_id, 4, 'h1', 2, 0, 0.0, nw > 0 FROM d
+              UNION ALL SELECT doc_id, 5, 'p', nw, 0, 0.0, TRUE
+                FROM d WHERE nw > 0
+              UNION ALL SELECT doc_id, CASE WHEN nw > 0 THEN 6 ELSE 5 END,
+                'p', 4, 2, 0.5, FALSE FROM d
+              UNION ALL SELECT doc_id, CASE WHEN nw > 0 THEN 7 ELSE 6 END,
+                'p', 4, 1, 0.25, FALSE FROM d)
+            SELECT doc_id, CAST(block_idx AS INTEGER) AS block_idx, tag,
+                   CAST(n_words AS INTEGER) AS n_words,
+                   CAST(n_link_words AS INTEGER) AS n_link_words,
+                   CAST(link_density AS DOUBLE) AS link_density,
+                   is_content, CAST(NULL AS VARCHAR) AS parse_error
+            FROM b
+        """,
         "text_stats": f"""
             SELECT doc_id,
               length(text) AS n_chars,
