@@ -1608,6 +1608,49 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_tokens(_docs(spark, sf_dir), min_freq_ppm=1000)
 
 
+# CM-sketch point-query words: two corpus-frequent, one corpus-absent
+# ('zebra' — exercises the pure-collision path where est > 0, exact = 0),
+# plus mid-frequency fillers. Width 16 over the small fixture vocabulary
+# FORCES collisions so the one-sided overcount guarantee is actually
+# exercised, not vacuously equal.
+_CMS_WORDS = ["join", "hash", "zebra", "spark", "query", "the"]
+_CMS_DEPTH, _CMS_WIDTH = 3, 16
+
+
+def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + point queries vs exact counts. The
+    DuckDB oracle rebuilds the IDENTICAL sketch (counters are exact
+    sums of md5-derived bucket assignments — partitioning-independent),
+    so the estimates match cell-for-cell, and ``overcount = est -
+    exact`` is certified ≥ 0 by construction."""
+    from document_extractor_spark.functions.text import exploded_tokens
+    from document_extractor_spark.operators.countmin import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    toks = exploded_tokens(_docs(spark, sf_dir), "doc_id", "text")
+    sketch = count_min_build(toks, "tok", depth=_CMS_DEPTH,
+                             width=_CMS_WIDTH)
+    keys = spark.createDataFrame([(w,) for w in _CMS_WORDS], "word string")
+    est = count_min_estimate(sketch, keys, "word",
+                             depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = (
+        toks.join(F.broadcast(keys), toks["tok"] == keys["word"], "inner")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.withColumnRenamed("key", "word")
+        .join(exact, "word", "left")
+        .select(
+            "word", F.col("est").cast("bigint").alias("est"),
+            F.coalesce("exact", F.lit(0)).cast("bigint").alias("exact"),
+            (F.col("est") - F.coalesce("exact", F.lit(0)))
+            .cast("bigint").alias("overcount"),
+        )
+    )
+
+
 def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair roundtrip: every document gets a non-ASCII
     suffix (accents, em-dash, curly quote, euro — the classic cp1252
@@ -2481,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
         "block_profile": q_block_profile,
+        "count_min_freq": q_count_min_freq,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4508,6 +4552,35 @@ def oracle_sql() -> dict[str, str]:
         # of the exact distinct set — identical to the merged
         # distributed sketch because k-smallest is a semilattice.
         # 281474976710656 = 16^12 (the 48-bit hash-prefix fraction).
+        "count_min_freq": f"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+              FROM documents),
+            rows_ AS (SELECT unnest(range({_CMS_DEPTH})) AS i),
+            sketch AS (
+              SELECT r.i AS row,
+                     ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || tok),
+                      1, 12))::UBIGINT % {_CMS_WIDTH} AS bucket,
+                     count(*) AS cnt
+              FROM toks, rows_ r GROUP BY 1, 2),
+            keys AS (SELECT unnest({_CMS_WORDS!r}) AS word),
+            fan AS (
+              SELECT word, r.i AS row,
+                     ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || word),
+                      1, 12))::UBIGINT % {_CMS_WIDTH} AS bucket
+              FROM keys, rows_ r),
+            est AS (
+              SELECT word, min(coalesce(cnt, 0)) AS est
+              FROM fan LEFT JOIN sketch USING (row, bucket) GROUP BY word),
+            exact AS (
+              SELECT word, count(*) AS n FROM keys
+              JOIN toks ON tok = word GROUP BY word)
+            SELECT word, CAST(est AS BIGINT) AS est,
+                   CAST(coalesce(n, 0) AS BIGINT) AS exact,
+                   CAST(est - coalesce(n, 0) AS BIGINT) AS overcount
+            FROM est LEFT JOIN exact USING (word)
+        """,
         "kmv_distinct": """
             WITH d AS (SELECT DISTINCT event_type AS key,
                               md5(CAST(user_id AS VARCHAR)) AS h
