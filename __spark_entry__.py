@@ -1651,6 +1651,28 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-wrap hyphenation repair roundtrip: every document is
+    line-wrapped IN SPARK with the exact typographic forward transform
+    (a hyphen+newline inside lowercase letter pairs), plus a planted
+    'twenty-\\nThree' (wrap before a capital — hyphen must SURVIVE,
+    break must not) and a planted 'state-of-the-art' (lexical hyphens
+    untouched). The oracle is the original text plus the two planted
+    constants' repaired forms — a closed-form identity that the repair
+    chain inverts the wrap exactly, cross-engine."""
+    from document_extractor_spark.operators.textnorm import dehyphenate
+
+    wrapped = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"([a-z])([mnop])", "$1-\n$2"),
+            F.lit(" twenty-\nThree state-of-the-art"),
+        ).alias("text"),
+    )
+    return dehyphenate(wrapped).select(
+        "doc_id", F.col("text").alias("fixed"))
+
+
 def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair roundtrip: every document gets a non-ASCII
     suffix (accents, em-dash, curly quote, euro — the classic cp1252
@@ -2525,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- no driver attestation row yet (r4 tail + r5 additions) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
+        "dehyphenate": q_dehyphenate,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4552,6 +4575,10 @@ def oracle_sql() -> dict[str, str]:
         # of the exact distinct set — identical to the merged
         # distributed sketch because k-smallest is a semilattice.
         # 281474976710656 = 16^12 (the 48-bit hash-prefix fraction).
+        "dehyphenate": (
+            "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
+            " AS fixed FROM documents"
+        ),
         "count_min_freq": f"""
             WITH toks AS (
               SELECT unnest(list_filter(regexp_split_to_array(

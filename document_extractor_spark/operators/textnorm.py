@@ -41,3 +41,31 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     ``text_col``. NULL passes through."""
     udf = F.pandas_udf(_norm_batch, "string")
     return df.withColumn(out_col or text_col, udf(F.col(text_col)))
+
+
+def dehyphenate(df: DataFrame, text_col: str = "text",
+                out_col: str | None = None) -> DataFrame:
+    """Repair typographic line-wrap hyphenation in extracted PDF/print
+    text — 'exam-\\nple' → 'example'. Layout engines break words at
+    line ends with a hyphen the author never wrote (the reference's
+    per-page PDF text inherits them verbatim, pdf_processor.py — it
+    ships each page image to GPT-4V, which re-joins words invisibly;
+    the deterministic replacement needs the rule stated):
+
+    1. lowercase-letter '-' newline lowercase-letter → join bare
+       (the canonical soft wrap; the hyphen was typographic);
+    2. any remaining '-' newline → keep the hyphen, drop the break
+       ('Wall-\\nStreet' → 'Wall-Street': before a capital the hyphen
+       is plausibly lexical, so only the wrap is repaired);
+    3. real intra-word hyphens without a break ('state-of-the-art')
+       are untouched.
+
+    Entirely JVM ``regexp_replace`` (two passes, codegen'd, narrow —
+    zero shuffle at any scale); ``\\p{Ll}`` so accented lowercase
+    joins too. NULL passes through. The DuckDB twin uses the same
+    RE2-compatible classes, so the repair has an exact cross-engine
+    oracle."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(\p{Ll})-\n(\p{Ll})", r"$1$2")
+    c = F.regexp_replace(c, r"-\n", "-")
+    return df.withColumn(out_col or text_col, c)

@@ -41,3 +41,37 @@ def test_nfc_idempotent_and_dedup_use_case(spark):
 def test_nfc_plan_is_arrow_batched(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     assert_vectorized_python_only(normalize_text(df, "text"))
+
+
+def test_dehyphenate_rules(spark):
+    from document_extractor_spark.operators.textnorm import dehyphenate
+
+    df = spark.createDataFrame(
+        [
+            (0, "exam-\nple of a wrapped word"),   # soft wrap: join bare
+            (1, "Wall-\nStreet before a capital"),  # keep hyphen, drop break
+            (2, "state-of-the-art untouched"),      # lexical hyphens stay
+            (3, "café-\néclair joins accented lowercase"),
+            (4, "plain\nnewline without hyphen stays"),
+            (5, None),
+            (6, "trailing-\n"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in dehyphenate(df).collect()}
+    assert got[0] == "example of a wrapped word"
+    assert got[1] == "Wall-Street before a capital"
+    assert got[2] == "state-of-the-art untouched"
+    assert got[3] == "cafééclair joins accented lowercase"
+    assert got[4] == "plain\nnewline without hyphen stays"
+    assert got[5] is None
+    assert got[6] == "trailing-"
+
+
+def test_dehyphenate_pure_jvm(spark):
+    from document_extractor_spark.operators.textnorm import dehyphenate
+    from document_extractor_spark.plans import assert_no_python
+
+    df = spark.createDataFrame([(1, "a-\nb")], "doc_id bigint, text string")
+    assert_no_python(dehyphenate(df))
