@@ -1651,6 +1651,72 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact two-sided 95% normal quantile — shared literal so both engines
+#: square the identical double
+_WILSON_Z = 1.959963984540054
+
+
+def q_wilson_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson lower-bound ranking of sources by share of long (≥40
+    token) documents — the small-sample-honest quality ranking. Exact
+    integers until one sqrt per GROUP (IEEE-identical cross-engine),
+    rounded to 6."""
+    from document_extractor_spark.operators.metrics import (
+        wilson_lower_bound)
+
+    d = _docs(spark, sf_dir).select(
+        "source", (token_count("text") >= 40).alias("good"))
+    return wilson_lower_bound(d, "source", "good", z=_WILSON_Z).select(
+        F.col("group").alias("source"), "n", "n_pos", "wilson_lb")
+
+
+def q_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification of planted candidate pairs: per doc a
+    variant by doc_id%3 — first-char substitution / 19-char append /
+    full reverse — and a NULL variant on %13 (NULL-safe verdict path).
+    Both engines run the same DP on the same strings, so distance,
+    integer-ppm similarity, and verdict match exactly."""
+    from document_extractor_spark.operators.dedup import (
+        verify_pairs_editdistance)
+
+    d = _docs(spark, sf_dir)
+    variant = F.when((F.col("doc_id") % 13) == 0,
+                     F.lit(None).cast("string")) \
+        .when((F.col("doc_id") % 3) == 0,
+              F.concat(F.lit("x"), F.substring("text", 2, 1 << 30))) \
+        .when((F.col("doc_id") % 3) == 1,
+              F.concat(F.col("text"), F.lit(" appended tail here"))) \
+        .otherwise(F.reverse("text"))
+    pairs = d.select("doc_id", F.col("text").alias("text_a"),
+                     variant.alias("text_b"))
+    out = verify_pairs_editdistance(pairs)
+    # NULL-propagated verdicts surface as 'unverifiable' (the compare
+    # harness sorts rowsets, so numeric columns must not mix NULLs)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("distance"), F.lit(-1)).cast("int")
+        .alias("distance"),
+        F.coalesce(F.col("sim_ppm"), F.lit(-1)).cast("bigint")
+        .alias("sim_ppm"),
+        F.when(F.col("is_dup").isNull(), "unverifiable")
+        .when(F.col("is_dup"), "dup").otherwise("distinct")
+        .alias("verdict"),
+    )
+
+
+_BM25_TERMS = ["stream", "vector", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 against three corpus terms. Exact-integer tf/df/
+    doclen until the final score; the per-term ln quantizes identically
+    under MILLI fixed-point and ties break on doc_id, so both engines
+    return the identical ranked set."""
+    from document_extractor_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=15)
+
+
 def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-wrap hyphenation repair roundtrip: every document is
     line-wrapped IN SPARK with the exact typographic forward transform
@@ -2548,6 +2614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
         "dehyphenate": q_dehyphenate,
+        "bm25_topk": q_bm25_topk,
+        "wilson_host_rank": q_wilson_host_rank,
+        "edit_near_dups": q_edit_near_dups,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4579,6 +4648,70 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "wilson_host_rank": f"""
+            WITH g AS (
+              SELECT source,
+                     CASE WHEN len({_TOKS}) >= 40 THEN 1 ELSE 0 END AS s
+              FROM documents),
+            a AS (SELECT source, count(*) AS n, sum(s) AS n_pos
+                  FROM g GROUP BY source),
+            w AS (SELECT source, n, n_pos,
+                         n::DOUBLE AS nd, n_pos::DOUBLE / n::DOUBLE AS p,
+                         {_WILSON_Z!r}::DOUBLE AS z,
+                         {_WILSON_Z * _WILSON_Z!r}::DOUBLE AS z2
+                  FROM a)
+            SELECT source, n, CAST(n_pos AS BIGINT) AS n_pos,
+                   round((p + z2 / (2 * nd)
+                          - z * sqrt(p * (1 - p) / nd
+                                     + z2 / (4 * nd * nd)))
+                         / (1 + z2 / nd), 6) AS wilson_lb
+            FROM w
+        """,
+        "edit_near_dups": """
+            WITH pairs AS (
+              SELECT doc_id, text AS a,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          WHEN doc_id % 3 = 0 THEN 'x' || substr(text, 2)
+                          WHEN doc_id % 3 = 1
+                            THEN text || ' appended tail here'
+                          ELSE reverse(text) END AS b
+              FROM documents),
+            d AS (SELECT doc_id, levenshtein(a, b) AS distance,
+                         greatest(length(a), length(b)) AS longest
+                  FROM pairs)
+            SELECT doc_id,
+                   CAST(coalesce(distance, -1) AS INT) AS distance,
+                   CAST(coalesce(CASE WHEN longest = 0 THEN 1000000
+                        ELSE ((longest - distance) * 1000000) // longest
+                        END, -1) AS BIGINT) AS sim_ppm,
+                   CASE WHEN distance IS NULL THEN 'unverifiable'
+                        WHEN (CASE WHEN longest = 0 THEN 1000000
+                              ELSE ((longest - distance) * 1000000)
+                                   // longest END) >= 900000 THEN 'dup'
+                        ELSE 'distinct' END AS verdict
+            FROM d
+        """,
+        "bm25_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+              FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ({", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))})
+                   GROUP BY doc_id, tok),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            sc AS (SELECT t.doc_id,
+                     ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+                     AS w
+                   FROM tf t JOIN dfq USING (tok) JOIN dl USING (doc_id), st)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
+                   CAST(round(sum(w) * 1000, 0) AS BIGINT) AS score_milli
+            FROM sc GROUP BY doc_id
+            ORDER BY score_milli DESC, doc_id LIMIT 15
+        """,
         "count_min_freq": f"""
             WITH toks AS (
               SELECT unnest(list_filter(regexp_split_to_array(

@@ -101,3 +101,41 @@ def calibration_buckets(df: DataFrame, score_col: str = "score",
         .withColumn("pos_ppm",
                     F.expr("(n_pos * 1000000L) div n").cast("bigint"))
     )
+
+
+def wilson_lower_bound(df: DataFrame, group_col: str, success_col: str,
+                       z: float = 1.959963984540054) -> DataFrame:
+    """Per-group Wilson score interval lower bound on the success
+    proportion — the small-sample-honest way to RANK groups by a binary
+    quality rate (hosts by share of keepable docs, sources by rule pass
+    rate): a host with 2/2 good pages must not outrank one with 180/200,
+    which the naive ratio does and the Wilson bound (Wilson 1927, the
+    classic "sort by lower bound" ranking fix) does not.
+
+        lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Returns ``(group, n, n_pos, wilson_lb)``; default z is the exact
+    two-sided 95% normal quantile. NULL successes are excluded (no
+    verdict ≠ failure); groups surviving with n = 0 cannot occur.
+
+    Scale shape: ONE map-side-combinable groupBy over narrow (group,
+    0/1) pairs; the bound is arithmetic + one IEEE sqrt per GROUP
+    (both engines' sqrt is correctly rounded, so cross-engine parity
+    is exact before the defensive round-to-6)."""
+    s = F.col(success_col).cast("int")
+    agg = (
+        df.where(s.isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(s).cast("bigint").alias("n_pos"))
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_pos").cast("double") / n
+    z2 = F.lit(z * z)
+    lb = (
+        (p + z2 / (2 * n)
+         - F.lit(z) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+        / (1 + z2 / n)
+    )
+    return agg.select("group", "n", "n_pos",
+                      F.round(lb, 6).alias("wilson_lb"))

@@ -741,3 +741,41 @@ def test_containment_plan_jvm_only(spark):
     from document_extractor_spark.plans import assert_no_python
     df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
     assert_no_python(containment_pairs(df))
+
+
+def test_verify_pairs_editdistance(spark):
+    from document_extractor_spark.operators.dedup import (
+        verify_pairs_editdistance)
+
+    rows = [
+        (1, "kitten", "sitting"),      # classic: distance 3
+        (2, "same text", "same text"),  # identical
+        (3, "abcdefghij", "abcdefghiX"),  # 1 sub over 10 → 900000 ppm
+        (4, "", ""),                   # both empty: similarity 1
+        (5, "left", None),             # NULL-safe verdict
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text_a string, text_b string")
+    got = {r["id"]: r for r in verify_pairs_editdistance(df).collect()}
+    assert got[1]["distance"] == 3 and not got[1]["is_dup"]
+    assert got[2]["distance"] == 0 and got[2]["sim_ppm"] == 1000000
+    assert got[3]["sim_ppm"] == 900000 and got[3]["is_dup"]
+    assert got[4]["sim_ppm"] == 1000000 and got[4]["is_dup"]
+    assert got[5]["distance"] is None and got[5]["is_dup"] is None
+
+
+def test_verify_pairs_editdistance_capped(spark):
+    from document_extractor_spark.operators.dedup import (
+        verify_pairs_editdistance)
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaa", "bbbbbbbbbb"),
+         (2, "abcdefghijklmnopqrst", "abcdefghijklmnopqrsX")],
+        "id bigint, text_a string, text_b string")
+    got = {r["id"]: r for r in
+           verify_pairs_editdistance(df, max_distance=3).collect()}
+    # beyond the cap: distance reads cap+1, verdict stays exact (not dup)
+    assert got[1]["distance"] == 4 and not got[1]["is_dup"]
+    assert got[2]["distance"] == 1 and got[2]["is_dup"]
+    with pytest.raises(ValueError):
+        verify_pairs_editdistance(df, max_distance=-1)

@@ -82,3 +82,27 @@ def test_calibration_guards_and_plan(spark):
     with pytest.raises(ValueError, match="range"):
         calibration_buckets(df, lo=1.0, hi=1.0)
     assert_no_python(calibration_buckets(df))
+
+
+def test_wilson_lower_bound_ranking_fix(spark):
+    """2/2 must NOT outrank 180/200 — the whole point of the bound."""
+    from document_extractor_spark.operators.metrics import wilson_lower_bound
+
+    rows = ([("tiny", True)] * 2
+            + [("big", True)] * 180 + [("big", False)] * 20
+            + [("nulls", True), ("nulls", None)])
+    df = spark.createDataFrame(rows, "host string, good boolean")
+    got = {r["group"]: r for r in
+           wilson_lower_bound(df, "host", "good").collect()}
+    assert got["tiny"]["n"] == 2 and got["tiny"]["n_pos"] == 2
+    assert got["big"]["wilson_lb"] > got["tiny"]["wilson_lb"]
+    # NULL verdicts excluded, not counted as failures
+    assert got["nulls"]["n"] == 1 and got["nulls"]["n_pos"] == 1
+    # closed form for tiny: p=1, n=2
+    import math
+    z = 1.959963984540054
+    n, p = 2.0, 1.0
+    lb = (p + z * z / (2 * n)
+          - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) \
+        / (1 + z * z / n)
+    assert abs(got["tiny"]["wilson_lb"] - round(lb, 6)) < 1e-12
