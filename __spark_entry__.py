@@ -1651,6 +1651,16 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document in micro-nat
+    fixed point: per-char c·ln c terms quantize to integers before the
+    (order-independent, exact) sum, so Spark and DuckDB agree to the
+    last digit."""
+    from document_extractor_spark.operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 #: exact two-sided 95% normal quantile — shared literal so both engines
 #: square the identical double
 _WILSON_Z = 1.959963984540054
@@ -2617,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "wilson_host_rank": q_wilson_host_rank,
         "edit_near_dups": q_edit_near_dups,
+        "char_entropy": q_char_entropy,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4648,6 +4659,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ''),
+                       c -> c <> '')) AS c
+              FROM documents WHERE text IS NOT NULL),
+            cnts AS (SELECT doc_id, c, count(*) AS cnt
+                     FROM ch GROUP BY doc_id, c),
+            s AS (SELECT doc_id, sum(cnt) AS n, count(*) AS k,
+                         sum(CAST(round(cnt * ln(cnt::DOUBLE) * 1000000,
+                                        0) AS BIGINT)) AS sl
+                  FROM cnts GROUP BY doc_id)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   CAST(k AS INT) AS n_distinct_chars,
+                   CAST(round(ln(n::DOUBLE) * 1000000 - sl / n::DOUBLE,
+                              0) AS BIGINT) AS entropy_micro
+            FROM s
+        """,
         "wilson_host_rank": f"""
             WITH g AS (
               SELECT source,

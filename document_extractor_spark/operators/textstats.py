@@ -445,3 +445,53 @@ def title_content_overlap(df: DataFrame, id_col: str = "doc_id",
         F.when(F.col("n_title_tokens") > 0,
                F.expr("(n_overlap * 1000000L) div n_title_tokens"))
         .cast("bigint"))
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 max_chars: int | None = None) -> DataFrame:
+    """Per-document Shannon entropy of the character unigram
+    distribution — the classic two-sided gibberish detector the
+    ratio-based quality rules (Gopher/C4) can't replace: base64 blobs
+    and keyboard mash score HIGH (near-uniform chars), while template
+    spam, repeated-char padding, and single-char floods score LOW;
+    natural prose sits in a narrow band (~2.9-4.2 nats for English).
+    Gates the tails before heavier dedup/classifier stages run.
+
+    Returns ``(id, n_chars, n_distinct_chars, entropy_micro)`` with
+    H = ln n − (Σ c·ln c)/n in MICRO-nat fixed point: the per-char
+    ``c·ln c`` terms quantize to integers BEFORE the sum (the
+    ``invindex.MILLI`` discipline), so the aggregate is an exact
+    integer sum — independent of partitioning and summation order,
+    identical in the DuckDB twin. Zero-length texts yield no row
+    (no distribution to measure); NULL likewise.
+
+    Scale shape: one staged char explode (same fan-out class as the
+    winnowing shingler) into two map-side-combinable groupBys on
+    ``(id, char)`` then ``(id)`` — narrow keys, never the payload.
+    ``max_chars`` caps the explode per document (entropy stabilizes
+    within a few KB of prose; at 100 TB cap it)."""
+    c = F.col(text_col)
+    if max_chars is not None:
+        if max_chars < 1:
+            raise ValueError(f"max_chars must be >= 1: {max_chars}")
+        c = F.substring(c, 1, int(max_chars))
+    staged = df.select(F.col(id_col), F.split(c, "").alias("_cs"))
+    chars = (
+        staged.select(id_col, F.explode_outer("_cs").alias("ch"))
+        .where(F.col("ch").isNotNull() & (F.col("ch") != ""))
+    )
+    cnts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    term = F.round(F.col("cnt") * F.log(F.col("cnt").cast("double"))
+                   * F.lit(1_000_000), 0).cast("bigint")
+    agg = cnts.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+        F.sum(term).alias("_sl"),
+    )
+    n = F.col("n_chars").cast("double")
+    return agg.select(
+        id_col, "n_chars", "n_distinct_chars",
+        F.round(F.log(n) * F.lit(1_000_000) - F.col("_sl") / n, 0)
+        .cast("bigint").alias("entropy_micro"),
+    )

@@ -104,3 +104,46 @@ def test_title_overlap_plan_no_shuffle(spark):
     out = title_content_overlap(df)
     assert_no_python(out)
     assert "Exchange" not in physical_plan(out)
+
+
+def test_char_entropy_closed_forms(spark):
+    import math
+
+    from document_extractor_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # degenerate: H = 0
+            (2, "abab"),          # uniform over 2: H = ln 2
+            (3, "abcd"),          # uniform over 4: H = ln 4
+            (4, ""),              # no distribution → no row
+            (5, None),            # NULL → no row
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["entropy_micro"] == 0
+    assert got[1]["n_distinct_chars"] == 1 and got[1]["n_chars"] == 4
+    assert got[2]["entropy_micro"] == round(math.log(2) * 1e6)
+    assert got[3]["entropy_micro"] == round(math.log(4) * 1e6)
+
+
+def test_char_entropy_cap_and_ordering_signal(spark):
+    import pytest
+
+    from document_extractor_spark.operators.textstats import char_entropy
+
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, prose), (2, "zzzzzzzzzzzzzzzzzzzzzz" * 3),
+         (3, "qwe8 zx0v 1m,p 9jk2 47tu b5ry")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["entropy_micro"]
+           for r in char_entropy(df).collect()}
+    # padding << prose < near-uniform mash: the two-sided signal
+    assert got[2] < got[1] < got[3]
+    capped = char_entropy(df, max_chars=10)
+    assert all(r["n_chars"] == 10 for r in capped.collect())
+    with pytest.raises(ValueError):
+        char_entropy(df, max_chars=0)
