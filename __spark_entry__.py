@@ -1651,6 +1651,27 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extraction_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-quality evaluation: micro P/R/F1 of the block
+    classifier against gold content labels on the adversarial eval
+    fixture, where gold and classifier DISAGREE by construction on two
+    blocks per page (a link-list reference paragraph the author wrote →
+    FN; a 45-word cookie banner outside main → FP). Closed form:
+    tp=2, fp=1, fn=1 per page → 666666 ppm across the board — a
+    non-vacuous pin on the NumWords rule set's behavior."""
+    from document_extractor_spark.operators.blocks import block_profile
+    from document_extractor_spark.operators.metrics import (
+        classification_prf)
+    from document_extractor_spark.sources.docpages import (
+        pages_with_eval_blocks)
+
+    prof = block_profile(pages_with_eval_blocks(spark, sf_dir))
+    labeled = prof.select(
+        F.col("is_content").alias("pred"),
+        F.col("block_idx").isin(4, 5, 6).alias("gold"))
+    return classification_prf(labeled, "pred", "gold")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-unigram Shannon entropy per document in micro-nat
     fixed point: per-char c·ln c terms quantize to integers before the
@@ -2628,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_host_rank": q_wilson_host_rank,
         "edit_near_dups": q_edit_near_dups,
         "char_entropy": q_char_entropy,
+        "extraction_prf": q_extraction_prf,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4659,6 +4681,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "extraction_prf": """
+            SELECT CAST(9 * count(*) AS BIGINT) AS n,
+                   CAST(2 * count(*) AS BIGINT) AS tp,
+                   CAST(count(*) AS BIGINT) AS fp,
+                   CAST(count(*) AS BIGINT) AS fn,
+                   CAST(666666 AS BIGINT) AS precision_ppm,
+                   CAST(666666 AS BIGINT) AS recall_ppm,
+                   CAST(666666 AS BIGINT) AS f1_ppm
+            FROM documents
+        """,
         "char_entropy": """
             WITH ch AS (
               SELECT doc_id, unnest(list_filter(string_split(text, ''),

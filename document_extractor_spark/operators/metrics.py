@@ -139,3 +139,41 @@ def wilson_lower_bound(df: DataFrame, group_col: str, success_col: str,
     )
     return agg.select("group", "n", "n_pos",
                       F.round(lb, 6).alias("wilson_lb"))
+
+
+def classification_prf(df: DataFrame, pred_col: str,
+                       gold_col: str) -> DataFrame:
+    """One-row micro-averaged precision/recall/F1 of a boolean
+    predictor against gold labels — ``(n, tp, fp, fn, precision_ppm,
+    recall_ppm, f1_ppm)`` in exact integer ppm (the repo's ``div``
+    discipline: bit-identical across engines and partitionings, no
+    float division anywhere). Rows with a NULL prediction or label are
+    excluded (unlabeled ≠ wrong). Degenerate denominators (no
+    predicted / no gold positives) yield −1, not NULL (the compare
+    harness sorts rowsets).
+
+    Scale shape: a single map-side-combinable aggregate over two
+    narrow booleans — no window, no shuffle beyond the 1-row combine."""
+    p = F.col(pred_col).cast("boolean")
+    g = F.col(gold_col).cast("boolean")
+    agg = (
+        df.where(p.isNotNull() & g.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((p & g).cast("long")).alias("tp"),
+            F.sum((p & ~g).cast("long")).alias("fp"),
+            F.sum((~p & g).cast("long")).alias("fn"),
+        )
+    )
+    return agg.select(
+        "n", "tp", "fp", "fn",
+        F.expr("CASE WHEN tp + fp = 0 THEN -1 "
+               "ELSE (tp * 1000000) div (tp + fp) END")
+        .cast("bigint").alias("precision_ppm"),
+        F.expr("CASE WHEN tp + fn = 0 THEN -1 "
+               "ELSE (tp * 1000000) div (tp + fn) END")
+        .cast("bigint").alias("recall_ppm"),
+        F.expr("CASE WHEN 2 * tp + fp + fn = 0 THEN -1 "
+               "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END")
+        .cast("bigint").alias("f1_ppm"),
+    )

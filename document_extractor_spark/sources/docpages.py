@@ -369,3 +369,51 @@ def pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"),
         )
     )
+
+
+# Evaluation variant for extraction-quality metrics: pages where the
+# GOLD content labels and the classifier's verdicts deliberately
+# DISAGREE on two planted blocks, so precision/recall of the block
+# classifier have non-vacuous closed forms:
+#   - main <p> reference-link list: gold CONTENT (author's references),
+#     classifier drops it (link_density 1.0) → one FN per page;
+#   - 45-word cookie-banner <div> outside main/chrome: gold BOILERPLATE,
+#     the NumWords rule keeps it (>40 words after a link-heavy
+#     predecessor) → one FP per page;
+#   - h1 + main text <p>: gold content, kept → two TP per page;
+#   - header/nav/footer chrome: gold boilerplate, dropped → TN.
+_EVAL_BANNER = (
+    "This website uses cookies to improve your browsing experience and "
+    "to analyze our traffic in detail so we may remember your settings "
+    "and preferences across repeat visits while sharing aggregate usage "
+    "data with our trusted advertising and analytics partners as "
+    "described in the policy"
+)
+
+
+def pages_with_eval_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    refs = F.concat(
+        F.lit("<p>"),
+        *[
+            F.concat(F.lit(f"<a href='/ref/{k}-"), did,
+                     F.lit(f"'>Reference {k}</a> "))
+            for k in (1, 2, 3)
+        ],
+        F.lit("</p>"),
+    )
+    html = F.concat(
+        F.lit(_PREFIX), did, F.lit(_MID), _escaped("text"), F.lit("</p>"),
+        refs, F.lit("</main><div><p>" + _EVAL_BANNER + "</p></div>"),
+        F.lit(_SUFFIX.replace("</p></main>", "", 1)
+              .replace("<aside><p>Related: <a href='/x'>one</a>, "
+                       "<a href='/y'>two</a></p></aside>", "", 1)),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )

@@ -106,3 +106,20 @@ def test_wilson_lower_bound_ranking_fix(spark):
           - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) \
         / (1 + z * z / n)
     assert abs(got["tiny"]["wilson_lb"] - round(lb, 6)) < 1e-12
+
+
+def test_classification_prf_exact_and_degenerate(spark):
+    from document_extractor_spark.operators.metrics import classification_prf
+
+    rows = [(True, True)] * 3 + [(True, False)] * 1 + [(False, True)] * 2 \
+        + [(False, False)] * 4 + [(None, True), (True, None)]
+    df = spark.createDataFrame(rows, "pred boolean, gold boolean")
+    r = classification_prf(df, "pred", "gold").collect()[0]
+    assert (r["n"], r["tp"], r["fp"], r["fn"]) == (10, 3, 1, 2)
+    assert r["precision_ppm"] == 750000
+    assert r["recall_ppm"] == 600000
+    assert r["f1_ppm"] == (2 * 3 * 1000000) // (2 * 3 + 1 + 2)
+    # degenerate: nothing predicted positive → -1 sentinel, not NULL
+    neg = spark.createDataFrame([(False, False)], "pred boolean, gold boolean")
+    r2 = classification_prf(neg, "pred", "gold").collect()[0]
+    assert (r2["precision_ppm"], r2["recall_ppm"], r2["f1_ppm"]) == (-1, -1, -1)
