@@ -1651,6 +1651,17 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf slope in milli fixed point — per-point ln values
+    quantize to MILLI integers before the (exact, order-independent)
+    regression sums; ranks are exact row_numbers; one final double
+    division both engines perform on identical integers."""
+    from document_extractor_spark.operators.textstats import (
+        zipf_diagnostics)
+
+    return zipf_diagnostics(_docs(spark, sf_dir))
+
+
 def q_extraction_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction-quality evaluation: micro P/R/F1 of the block
     classifier against gold content labels on the adversarial eval
@@ -2650,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_near_dups": q_edit_near_dups,
         "char_entropy": q_char_entropy,
         "extraction_prf": q_extraction_prf,
+        "zipf_diagnostics": q_zipf_diagnostics,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4681,6 +4693,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "zipf_diagnostics": f"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+              FROM documents),
+            freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+            ranked AS (SELECT freq,
+                         row_number() OVER (ORDER BY freq DESC, tok) AS r
+                       FROM freqs),
+            pts AS (SELECT freq,
+                      CAST(round(ln(r::DOUBLE) * 1000, 0) AS BIGINT) AS x,
+                      CAST(round(ln(freq::DOUBLE) * 1000, 0) AS BIGINT) AS y
+                    FROM ranked),
+            a AS (SELECT count(*) AS k, sum(freq) AS n_tokens,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx
+                  FROM pts)
+            SELECT CAST(k AS BIGINT) AS n_types,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN k::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE = 0 THEN 0
+                        ELSE round((k::DOUBLE * sxy::DOUBLE
+                                    - sx::DOUBLE * sy::DOUBLE)
+                                   / (k::DOUBLE * sxx::DOUBLE
+                                      - sx::DOUBLE * sx::DOUBLE) * 1000,
+                                   0) END AS BIGINT) AS zipf_slope_milli
+            FROM a
+        """,
         "extraction_prf": """
             SELECT CAST(9 * count(*) AS BIGINT) AS n,
                    CAST(2 * count(*) AS BIGINT) AS tp,

@@ -495,3 +495,66 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
         F.round(F.log(n) * F.lit(1_000_000) - F.col("_sl") / n, 0)
         .cast("bigint").alias("entropy_micro"),
     )
+
+
+def zipf_diagnostics(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-level Zipf fit — one row ``(n_types, n_tokens,
+    zipf_slope_milli)``: the least-squares slope of ln(freq) on
+    ln(rank) over the full rank-frequency table. Natural language sits
+    near −1 (Zipf 1949); a corpus drifting toward 0 is template-/
+    boilerplate-heavy (few types dominate uniformly), drifting steeper
+    is vocabulary collapse — a one-number drift alarm between crawl
+    snapshots before any per-doc work runs.
+
+    Determinism discipline: ranks are exact (``row_number`` by freq
+    desc, token asc), each point's ln(rank)/ln(freq) quantizes to
+    MILLI integers BEFORE the sums, so ΣX, ΣY, ΣXY, ΣX² are exact
+    integer aggregates — partitioning- and order-independent, identical
+    in DuckDB — and the one final double division rounds to a
+    milli-slope. Quantization bias on the slope is O(1e-4), far below
+    the corpus-drift signal.
+
+    Scale shape: the corpus collapses to its VOCABULARY before any
+    window runs (``groupBy(token)`` with map-side combine); the
+    row_number window then sorts type-count rows, not token
+    occurrences — the ``roc_auc`` collapse argument. Sum magnitudes:
+    milli-ln values ≤ ~3·10⁴, per-point products ≤ ~10⁹, so BIGINT
+    holds exact sums up to ~10⁹ types."""
+    from pyspark.sql import Window
+
+    from ..functions.text import exploded_tokens
+
+    freqs = (
+        exploded_tokens(df, id_col, text_col)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("freq").desc(), F.col("tok")))
+    pts = freqs.select(
+        F.round(F.log(rank.cast("double")) * F.lit(1000), 0)
+        .cast("bigint").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * F.lit(1000), 0)
+        .cast("bigint").alias("y"),
+        F.col("freq"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # products of the exact integer sums go through double (sx·sy can
+    # pass 2^63 at ~10^9 types; double multiply of exact ints is
+    # IEEE-identical in both engines)
+    k = F.col("n_types").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    return agg.select(
+        F.col("n_types").cast("bigint").alias("n_types"), "n_tokens",
+        F.when(den != 0, F.round(num / den * F.lit(1000), 0))
+        .otherwise(F.lit(0)).cast("bigint").alias("zipf_slope_milli"),
+    )

@@ -147,3 +147,42 @@ def test_char_entropy_cap_and_ordering_signal(spark):
     assert all(r["n_chars"] == 10 for r in capped.collect())
     with pytest.raises(ValueError):
         char_entropy(df, max_chars=0)
+
+
+def test_zipf_diagnostics_exact_zipf_corpus(spark):
+    import math
+
+    from document_extractor_spark.operators.textstats import zipf_diagnostics
+
+    # plant an exact Zipf-1 rank-frequency table: freq(r) = 120 / r
+    # for ranks 1..8 → slope of ln f on ln r is exactly -1
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * (120 // r)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string")
+    row = zipf_diagnostics(df).collect()[0]
+    assert row["n_types"] == 8
+    assert row["n_tokens"] == sum(120 // r for r in range(1, 9))
+    # 120/r is integer-truncated, so the fit is near -1, not exactly
+    assert abs(row["zipf_slope_milli"] + 1000) <= 60
+    # closed-form replica of the fixed-point pipeline
+    pts = []
+    freqs = sorted((120 // r for r in range(1, 9)), reverse=True)
+    for i, f_ in enumerate(freqs, 1):
+        pts.append((round(math.log(i) * 1000), round(math.log(f_) * 1000)))
+    k = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    exp = round((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1000)
+    assert row["zipf_slope_milli"] == exp
+
+
+def test_zipf_degenerate_single_type(spark):
+    from document_extractor_spark.operators.textstats import zipf_diagnostics
+
+    df = spark.createDataFrame(
+        [(1, "only only only")], "doc_id bigint, text string")
+    row = zipf_diagnostics(df).collect()[0]
+    # one point: denominator 0 → slope sentinel 0
+    assert row["n_types"] == 1 and row["zipf_slope_milli"] == 0
