@@ -1651,6 +1651,22 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF /Outlines bookmark extraction over two-page PDFs with a
+    doc_id-arithmetic tree: pre-order positions, nesting levels, and
+    /Dest page resolution all closed-form (the %3==0 docs prove the
+    childless path)."""
+    from document_extractor_spark.operators.media import pdf_outline_probe
+    from document_extractor_spark.sources.docpages import (
+        pdf_pages_with_outlines)
+
+    out = pdf_outline_probe(pdf_pages_with_outlines(spark, sf_dir))
+    return out.select(
+        F.element_at(F.split("url", "/"), -1).cast("bigint")
+        .alias("doc_id"),
+        "pos", "level", "title", "page_idx")
+
+
 def q_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf slope in milli fixed point — per-point ln values
     quantize to MILLI integers before the (exact, order-independent)
@@ -2662,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "extraction_prf": q_extraction_prf,
         "zipf_diagnostics": q_zipf_diagnostics,
+        "pdf_outline": q_pdf_outline,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4693,6 +4710,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "pdf_outline": """
+            WITH d AS (SELECT doc_id, doc_id % 3 AS k FROM documents),
+            nodes AS (
+              SELECT doc_id, 0 AS pos, 0 AS level,
+                     'Chapter 1' AS title, 0 AS page_idx FROM d
+              UNION ALL
+              SELECT doc_id, CAST(u.j AS INT), 1,
+                     'Section 1.' || u.j, 1
+              FROM d, unnest(range(1, k + 1)) AS u(j)
+              UNION ALL
+              SELECT doc_id, CAST(k + 1 AS INT), 0, 'Chapter 2', 1 FROM d)
+            SELECT doc_id, CAST(pos AS INT) AS pos,
+                   CAST(level AS INT) AS level, title,
+                   CAST(page_idx AS INT) AS page_idx
+            FROM nodes
+        """,
         "zipf_diagnostics": f"""
             WITH toks AS (
               SELECT unnest(list_filter(regexp_split_to_array(

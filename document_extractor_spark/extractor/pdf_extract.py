@@ -128,6 +128,65 @@ def pdf_metadata(pdf_bytes: bytes) -> dict:
     return out
 
 
+_OUTLINES_REF_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
+_FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
+_NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
+_TITLE_RE = re.compile(rb"/Title\s*\(((?:\\.|[^\\)])*)\)")
+_DEST_REF_RE = re.compile(rb"/Dest\s*\[\s*(\d+)\s+\d+\s+R")
+
+
+def pdf_outline(pdf_bytes: bytes) -> list[dict]:
+    """Bookmark (``/Outlines``, PDF 32000-1 §12.3.3) tree → flat
+    pre-order list of ``{pos, level, title, page_idx}`` — the document
+    structure a print-oriented PDF declares about itself, which the
+    reference's rasterize-and-ask flow discards entirely
+    (pdf_to_png_converter.py renders pixels; bookmarks never reach the
+    model). Cycle-guarded (crawled PDFs lie), depth via /First
+    recursion, sibling order via /Next; a missing /Title or /Dest
+    yields NULL fields, never a raise."""
+    items: list[dict] = []
+    try:
+        objs = _parse_objects(pdf_bytes)
+        page_idx = {num: i for i, num in enumerate(_page_order(objs))}
+        root = None
+        for body in objs.values():
+            if _TYPE_CATALOG_RE.search(body):
+                m = _OUTLINES_REF_RE.search(body)
+                if m:
+                    root = int(m.group(1))
+                break
+        if root is None or root not in objs:
+            return items
+        seen: set[int] = set()
+
+        def walk(num, level: int):
+            while (num is not None and num in objs and num not in seen
+                   and len(items) < 100_000):
+                seen.add(num)
+                body = objs[num]
+                tm = _TITLE_RE.search(body)
+                dm = _DEST_REF_RE.search(body)
+                items.append({
+                    "pos": len(items),
+                    "level": level,
+                    "title": _decode_literal(tm.group(1)) if tm else None,
+                    "page_idx": (page_idx.get(int(dm.group(1)))
+                                 if dm else None),
+                })
+                fm = _FIRST_REF_RE.search(body)
+                if fm:
+                    walk(int(fm.group(1)), level + 1)
+                nm = _NEXT_REF_RE.search(body)
+                num = int(nm.group(1)) if nm else None
+
+        fm = _FIRST_REF_RE.search(objs[root])
+        if fm:
+            walk(int(fm.group(1)), 0)
+    except Exception:  # noqa: BLE001 — structure probe never fails a row
+        pass
+    return items
+
+
 def _page_order(objs: dict[int, bytes]) -> list[int]:
     """Walk Catalog → Pages tree in /Kids order; fall back to document order
     of /Type /Page objects when the tree is broken."""

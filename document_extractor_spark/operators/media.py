@@ -131,3 +131,40 @@ def pdf_metadata_probe(df: DataFrame, url_col: str = "url",
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     return df.select(url_col, html_col).mapInPandas(probe, schema)
+
+
+def pdf_outline_probe(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """PDF bookmark tree → one row per outline node in pre-order:
+    ``(url, pos, level, title, page_idx)`` — document structure the
+    reference's rasterize flow never surfaces (pdf_to_png_converter.py
+    renders pixels; /Outlines dies there). Non-PDF or bookmark-less
+    payloads yield no rows; malformed trees are cycle-guarded in the
+    parser and never fail the task. Same narrow zero-shuffle
+    mapInPandas shape as the metadata probe above."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..extractor.pdf_extract import is_pdf, pdf_outline
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("page_idx", T.IntegerType()),
+    ])
+
+    def probe(it):
+        for pdf in it:
+            recs = []
+            for u, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None or not is_pdf(bytes(payload)):
+                    continue
+                for node in pdf_outline(bytes(payload)):
+                    recs.append((u, node["pos"], node["level"],
+                                 node["title"], node["page_idx"]))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in schema.fields])
+
+    return df.select(url_col, html_col).mapInPandas(probe, schema)

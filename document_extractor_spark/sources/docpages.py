@@ -417,3 +417,38 @@ def pages_with_eval_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.col("lang"),
     )
+
+
+# Outline variant: two-page PDFs carrying a real /Outlines bookmark
+# tree whose shape is pure doc_id arithmetic — Chapter 1 (page 0) with
+# doc_id%3 child sections (page 1), then Chapter 2 (page 1) — so the
+# pre-order walk, levels, and destination page resolution all have a
+# closed-form oracle (including the no-children path at doc_id%3==0).
+def pdf_pages_with_outlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .generator import build_pdf
+
+    @F.pandas_udf("binary")
+    def _pdf_bytes(did):
+        out = []
+        for d in did:
+            k = int(d) % 3
+            sections = [(f"Section 1.{j}", 1, []) for j in range(1, k + 1)]
+            out.append(build_pdf(
+                [[(72, 720, 18, [f"Doc {d} page one"])],
+                 [(72, 720, 18, [f"Doc {d} page two"])]],
+                outlines=[("Chapter 1", 0, sections),
+                          ("Chapter 2", 1, [])],
+            ))
+        return pd.Series(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/pdfo/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        _pdf_bytes(did).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )

@@ -36,11 +36,17 @@ def _pdf_escape(s: str) -> str:
 
 
 def build_pdf(pages: list[list[tuple]], compress: bool = False,
-              info: dict | None = None) -> bytes:
+              info: dict | None = None,
+              outlines: list | None = None) -> bytes:
     """pages: list of page specs; each page is a list of text ops
     ``(x, y, size, lines)`` — one positioned block whose lines advance by
     ``T*`` with leading = 1.2 × size. ``info`` adds a ``/Info`` dict
-    (Title/Author/… — S1 metadata, pdf_to_png_converter.py:198-236)."""
+    (Title/Author/… — S1 metadata, pdf_to_png_converter.py:198-236).
+    ``outlines`` adds a real ``/Outlines`` bookmark tree (PDF 32000-1
+    §12.3.3): a list of ``(title, page_idx, children)`` nodes, children
+    in the same shape — /First /Last /Next /Prev /Parent /Count links
+    and ``[page /Fit]`` destinations, like any print-oriented PDF
+    carries."""
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -89,7 +95,40 @@ def build_pdf(pages: list[list[tuple]], compress: bool = False,
         b"<< /Type /Pages /Kids [" + kids + b"] /Count "
         + str(len(kid_ids)).encode() + b" >>"
     )
-    objs[cat - 1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    outline_ref = b""
+    if outlines:
+        root_id = add(b"")
+
+        def emit(items: list, parent_id: int) -> list[int]:
+            ids = [add(b"") for _ in items]
+            for idx, ((title, pg, children), oid) in enumerate(
+                    zip(items, ids)):
+                kids_part = b""
+                if children:
+                    cids = emit(children, oid)
+                    kids_part = (
+                        b" /First " + str(cids[0]).encode()
+                        + b" 0 R /Last " + str(cids[-1]).encode()
+                        + b" 0 R /Count " + str(len(children)).encode())
+                links = b""
+                if idx > 0:
+                    links += b" /Prev " + str(ids[idx - 1]).encode() + b" 0 R"
+                if idx < len(ids) - 1:
+                    links += b" /Next " + str(ids[idx + 1]).encode() + b" 0 R"
+                objs[oid - 1] = (
+                    b"<< /Title (" + _pdf_escape(title).encode("latin-1")
+                    + b") /Parent " + str(parent_id).encode() + b" 0 R"
+                    + b" /Dest [" + str(kid_ids[pg]).encode()
+                    + b" 0 R /Fit]" + links + kids_part + b" >>")
+            return ids
+
+        top = emit(list(outlines), root_id)
+        objs[root_id - 1] = (
+            b"<< /Type /Outlines /First " + str(top[0]).encode()
+            + b" 0 R /Last " + str(top[-1]).encode() + b" 0 R /Count "
+            + str(len(top)).encode() + b" >>")
+        outline_ref = b" /Outlines " + str(root_id).encode() + b" 0 R"
+    objs[cat - 1] = b"<< /Type /Catalog /Pages 2 0 R" + outline_ref + b" >>"
 
     info_ref = b""
     if info:
