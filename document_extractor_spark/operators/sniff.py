@@ -34,6 +34,16 @@ MAGIC = [
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
     (b"PK\x03\x04", "application/zip"),
+    # audio/video containers — crawls carry podcasts and clips; the
+    # multimodal operators (operators/multimodal.py) want them routed,
+    # not extracted as text
+    (b"OggS", "application/ogg"),
+    (b"\x1aE\xdf\xa3", "video/x-matroska"),  # EBML (mkv/webm)
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),  # bare MP3 frame sync (MPEG1 L3)
+    (b"\xff\xf3", "audio/mpeg"),
+    (b"\xff\xf2", "audio/mpeg"),
 ]
 
 _HTML_ROOT = r"(?is)^\s*(<!doctype\s+html|<html)"
@@ -69,14 +79,25 @@ def sniff_content_type(df: DataFrame,
     typ = typ.when(F.octet_length(p) == 0, F.lit("empty"))
     for magic, mime in MAGIC:
         typ = typ.when(_starts(p, magic), F.lit(mime))
+    # offset-anchored containers (magic not at byte 0): RIFF type at
+    # offset 8, ISO-BMFF 'ftyp' at offset 4
+    riff = _starts(p, b"RIFF")
+    typ = typ.when(
+        riff & (F.substring(p, 9, 4) == F.lit(b"WAVE")), F.lit("audio/wav"))
+    typ = typ.when(
+        riff & (F.substring(p, 9, 4) == F.lit(b"AVI ")),
+        F.lit("video/x-msvideo"))
+    typ = typ.when(
+        F.substring(p, 5, 4) == F.lit(b"ftyp"), F.lit("video/mp4"))
     typ = (
         typ.when(text.rlike(_HTML_ROOT), F.lit("text/html"))
         .when(charset.isNotNull(), F.lit("text/plain"))
         .otherwise(F.lit("application/octet-stream"))
     )
     # binary formats carry no charset
-    binary_mimes = {m for _, m in MAGIC} | {"application/octet-stream",
-                                            "empty"}
+    binary_mimes = {m for _, m in MAGIC} | {
+        "application/octet-stream", "empty", "audio/wav",
+        "video/x-msvideo", "video/mp4"}
     return df.withColumns({
         "sniffed_type": typ,
         "sniffed_charset": F.when(

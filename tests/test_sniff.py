@@ -68,3 +68,26 @@ def test_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))],
                                "id bigint, html binary")
     assert_no_python(sniff_content_type(df))
+
+
+def test_audio_video_containers(spark):
+    got = _sniff(spark, [
+        b"OggS\x00\x02vorbis",                    # 0
+        b"\x1aE\xdf\xa3\x01webm",                 # 1
+        b"fLaCstreaminfo",                        # 2
+        b"ID3\x04\x00tag",                        # 3
+        b"\xff\xfbmp3frame",                      # 4
+        b"RIFF\x24\x00\x00\x00WAVEfmt ",          # 5
+        b"RIFF\x24\x00\x00\x00AVI LIST",          # 6
+        b"\x00\x00\x00\x20ftypisom",              # 7: mp4, ftyp at +4
+        b"RIFF\x90\x00\x00\x00XXXX",              # 8: unknown RIFF type
+    ])
+    assert got[0] == ("application/ogg", None)
+    assert got[1] == ("video/x-matroska", None)
+    assert got[2] == ("audio/flac", None)
+    assert got[3] == ("audio/mpeg", None)
+    assert got[4] == ("audio/mpeg", None)
+    assert got[5] == ("audio/wav", None)
+    assert got[6] == ("video/x-msvideo", None)
+    assert got[7] == ("video/mp4", None)
+    assert got[8] == ("application/octet-stream", None)
