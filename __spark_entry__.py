@@ -1651,6 +1651,51 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking overlap between each document and a
+    prefix-edited copy ('EDIT EDIT EDIT ' prepended): CDC boundaries
+    re-synchronize after the edit, so most chunk hashes survive the
+    15-char offset shift — the property byte-offset chunking lacks.
+    The oracle rebuilds both chunkings with the same md5 boundary
+    draw."""
+    from document_extractor_spark.operators.cdc import (
+        cdc_chunks,
+        chunk_overlap,
+    )
+
+    d = _docs(spark, sf_dir)
+    orig = cdc_chunks(d.select("doc_id", "text"))
+    edited = cdc_chunks(d.select(
+        "doc_id",
+        F.concat(F.lit("EDIT EDIT EDIT "), F.col("text")).alias("text")))
+    return chunk_overlap(orig, edited)
+
+
+def _cdc_side_sql(text_expr: str) -> str:
+    """DuckDB twin of cdc_chunks for one side: (doc_id, hs) with hs the
+    distinct chunk-hash list of ``text_expr`` (w=16, divisor=64)."""
+    return f"""
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(ends) + 1),
+               k -> md5(substr(t, starts[k], ends[k] - starts[k] + 1))))
+             AS hs
+      FROM (
+        SELECT doc_id, t, ends,
+               [1] || list_transform(ends[1:len(ends) - 1], e -> e + 1)
+               AS starts
+        FROM (
+          SELECT doc_id, t,
+                 list_sort(list_distinct(list_transform(
+                   CASE WHEN length(t) >= 16 THEN
+                     list_filter(range(1, length(t) - 14),
+                       i -> ('0x' || substr(md5(substr(t, i, 16)), 1, 12))
+                            ::UBIGINT % 64 = 0)
+                   ELSE [] END, i -> i + 15) || [length(t)])) AS ends
+          FROM (SELECT doc_id, {text_expr} AS t FROM documents)
+          WHERE t IS NOT NULL AND length(t) > 0))
+    """
+
+
 def q_pdf_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF /Outlines bookmark extraction over two-page PDFs with a
     doc_id-arithmetic tree: pre-order positions, nesting levels, and
@@ -2679,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_prf": q_extraction_prf,
         "zipf_diagnostics": q_zipf_diagnostics,
         "pdf_outline": q_pdf_outline,
+        "cdc_overlap": q_cdc_overlap,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4710,6 +4756,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "cdc_overlap": f"""
+            WITH a AS ({_cdc_side_sql("text")}),
+            b AS ({_cdc_side_sql("'EDIT EDIT EDIT ' || text")})
+            SELECT a.doc_id, CAST(len(a.hs) AS BIGINT) AS n_a,
+                   CAST(len(b.hs) AS BIGINT) AS n_b,
+                   CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT)
+                     AS n_shared,
+                   CAST(len(list_intersect(a.hs, b.hs)) * 1000000
+                        // least(len(a.hs), len(b.hs)) AS BIGINT)
+                     AS shared_ppm
+            FROM a JOIN b USING (doc_id)
+        """,
         "pdf_outline": """
             WITH d AS (SELECT doc_id, doc_id % 3 AS k FROM documents),
             nodes AS (

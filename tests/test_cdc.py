@@ -1,0 +1,59 @@
+"""Content-defined chunking (operators/cdc.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.cdc import cdc_chunks, chunk_overlap
+from document_extractor_spark.plans import assert_no_python
+
+TEXT = ("the quick brown fox jumps over the lazy dog while the crawler "
+        "fetches another page and the extractor strips its boilerplate "
+        "into clean article text for the training corpus downstream") * 3
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gap_free_cover_and_determinism(spark):
+    chunks = cdc_chunks(_df(spark, [(1, TEXT)])).orderBy("start").collect()
+    assert chunks[0]["start"] == 1
+    assert chunks[-1]["end"] == len(TEXT)
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert cur["start"] == prev["end"] + 1  # contiguous, no gaps
+    # deterministic under different partitioning
+    again = cdc_chunks(_df(spark, [(1, TEXT)]).repartition(7)) \
+        .orderBy("start").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in chunks]
+
+
+def test_resynchronization_after_prefix_edit(spark):
+    # divisor 16 → ~16-char chunks, plenty of boundaries in 546 chars
+    orig = cdc_chunks(_df(spark, [(1, TEXT)]), divisor=16)
+    edited = cdc_chunks(_df(spark, [(1, "PREFIX EDIT " + TEXT)]),
+                        divisor=16)
+    row = chunk_overlap(orig, edited).collect()[0]
+    assert row["n_a"] >= 8  # chunking actually happened
+    # the point of CDC: chunks after the first boundary keep their
+    # identity despite every offset shifting by 12
+    assert row["n_shared"] >= row["n_a"] - 2
+    assert row["shared_ppm"] >= 700000
+
+
+def test_short_null_empty_and_params(spark):
+    rows = [(1, "tiny"), (2, None), (3, ""), (4, "x" * 15)]
+    got = cdc_chunks(_df(spark, rows)).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0]["end"] == 4
+    assert 2 not in by_id and 3 not in by_id
+    assert len(by_id[4]) == 1  # shorter than w → single chunk
+    with pytest.raises(ValueError):
+        cdc_chunks(_df(spark, rows), w=1)
+    with pytest.raises(ValueError):
+        cdc_chunks(_df(spark, rows), divisor=1)
+
+
+def test_plan_stays_jvm(spark):
+    assert_no_python(cdc_chunks(_df(spark, [(1, TEXT)])))
