@@ -1651,6 +1651,32 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass + top-100 coverage report — exact
+    integer ppm over the collapsed vocabulary."""
+    from document_extractor_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_cdc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide CDC partial-duplicate candidates over documents plus
+    planted prefix-edited copies (doc_id+1000000): the candidate set
+    must pair each original with its edit through the re-synchronized
+    chunk hashes, df-capped so template chunks cannot fan out."""
+    from document_extractor_spark.operators.cdc import (
+        cdc_chunks,
+        cdc_dup_candidates,
+    )
+
+    d = _docs(spark, sf_dir)
+    corpus = d.select("doc_id", "text").unionByName(d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("EDIT EDIT EDIT "), F.col("text")).alias("text")))
+    return cdc_dup_candidates(cdc_chunks(corpus), min_shared=2,
+                              max_chunk_df=20)
+
+
 def q_cdc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking overlap between each document and a
     prefix-edited copy ('EDIT EDIT EDIT ' prepended): CDC boundaries
@@ -2725,6 +2751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_diagnostics": q_zipf_diagnostics,
         "pdf_outline": q_pdf_outline,
         "cdc_overlap": q_cdc_overlap,
+        "cdc_candidates": q_cdc_candidates,
+        "vocab_coverage": q_vocab_coverage,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4756,6 +4784,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "vocab_coverage": f"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+              FROM documents),
+            freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+            top AS (SELECT sum(freq) AS topk_tokens FROM (
+                      SELECT freq FROM freqs
+                      ORDER BY freq DESC, tok LIMIT 100)),
+            a AS (SELECT sum(freq) AS n_tokens, count(*) AS n_types,
+                         sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                           AS n_singletons,
+                         sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END)
+                           AS n_doubletons
+                  FROM freqs)
+            SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   CAST(n_singletons AS BIGINT) AS n_singletons,
+                   CAST(n_doubletons AS BIGINT) AS n_doubletons,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+                        (n_singletons * 1000000) // n_tokens END AS BIGINT)
+                     AS unseen_mass_ppm,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+                        (coalesce(topk_tokens, 0) * 1000000) // n_tokens
+                        END AS BIGINT) AS topk_coverage_ppm
+            FROM a, top
+        """,
+        "cdc_candidates": f"""
+            WITH a AS ({_cdc_side_sql("text")}),
+            b AS ({_cdc_side_sql("'EDIT EDIT EDIT ' || text")}),
+            u AS (SELECT doc_id, unnest(hs) AS h FROM a
+                  UNION ALL
+                  SELECT doc_id + 1000000, unnest(hs) FROM b),
+            keep AS (SELECT h FROM (SELECT h, count(*) AS c
+                                    FROM u GROUP BY h)
+                     WHERE c BETWEEN 2 AND 20),
+            k AS (SELECT u.doc_id, u.h FROM u JOIN keep USING (h))
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM k x JOIN k y ON x.h = y.h AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         "cdc_overlap": f"""
             WITH a AS ({_cdc_side_sql("text")}),
             b AS ({_cdc_side_sql("'EDIT EDIT EDIT ' || text")})

@@ -117,3 +117,37 @@ def chunk_overlap(chunks_a: DataFrame, chunks_b: DataFrame,
         F.expr("(n_shared * 1000000) div least(n_a, n_b)")
         .alias("shared_ppm"),
     )
+
+
+def cdc_dup_candidates(chunks: DataFrame, id_col: str = "doc_id",
+                       min_shared: int = 2,
+                       max_chunk_df: int = 1000) -> DataFrame:
+    """Cross-document partial-duplicate candidates from a
+    ``cdc_chunks`` table: ``(id_a, id_b, n_shared)`` pairs sharing at
+    least ``min_shared`` distinct chunk hashes — the corpus-wide
+    companion of :func:`chunk_overlap` (which compares PAIRED texts).
+
+    Scale guards, same shape as the LSH band join / inverted-index df
+    cap: chunk hashes appearing in fewer than 2 docs pair with nothing
+    and drop BEFORE the self-join; hashes above ``max_chunk_df`` docs
+    are template boilerplate (a site footer chunk would otherwise fan
+    out df² pairs) and drop too — so the join's per-key fan-out is
+    bounded by construction. Only 16-byte hashes and ids move."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1: {min_shared}")
+    h = chunks.select(F.col(id_col), "chunk_hash").distinct()
+    dfreq = (
+        h.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_c"))
+        .where((F.col("_c") >= 2) & (F.col("_c") <= int(max_chunk_df)))
+        .select("chunk_hash")
+    )
+    kept = h.join(dfreq, "chunk_hash")
+    a = kept.select("chunk_hash", F.col(id_col).alias("id_a"))
+    b = kept.select("chunk_hash", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "chunk_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )

@@ -558,3 +558,53 @@ def zipf_diagnostics(df: DataFrame, id_col: str = "doc_id",
         F.when(den != 0, F.round(num / den * F.lit(1000), 0))
         .otherwise(F.lit(0)).cast("bigint").alias("zipf_slope_milli"),
     )
+
+
+def vocab_coverage(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", top_k: int = 100) -> DataFrame:
+    """Corpus vocabulary-coverage report — one row ``(n_tokens,
+    n_types, n_singletons, n_doubletons, unseen_mass_ppm,
+    topk_coverage_ppm)``. ``unseen_mass_ppm`` is the Good-Turing
+    estimate of the probability mass of UNSEEN types (N₁/N, Good 1953):
+    how much of the next crawl increment will be words this corpus has
+    never seen — the standard "is my corpus big enough / is my
+    tokenizer vocab adequate" planning number. ``topk_coverage_ppm``
+    is the token share of the ``top_k`` most frequent types (stopword
+    skew at a glance). All exact integers (ppm via the ``div``
+    discipline) — bit-identical cross-engine.
+
+    Scale shape: corpus collapses to its vocabulary first (map-side-
+    combinable groupBy); the top-k pass is a vocabulary-sized
+    TakeOrdered, never a corpus sort."""
+    from ..functions.text import exploded_tokens
+
+    freqs = (
+        exploded_tokens(df, id_col, text_col)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (freqs.orderBy(F.col("freq").desc(), F.col("tok"))
+           .limit(int(top_k))
+           .agg(F.sum("freq").alias("topk_tokens"))
+           .withColumn("_k", F.lit(1)))
+    agg = freqs.agg(
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_singletons"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("bigint").alias("n_doubletons"),
+    ).withColumn("_k", F.lit(1))
+    return (
+        agg.join(F.broadcast(top), "_k").drop("_k")
+        .withColumn(
+            "unseen_mass_ppm",
+            F.expr("CASE WHEN n_tokens = 0 THEN 0 "
+                   "ELSE (n_singletons * 1000000) div n_tokens END")
+            .cast("bigint"))
+        .withColumn(
+            "topk_coverage_ppm",
+            F.expr("CASE WHEN n_tokens = 0 THEN 0 ELSE "
+                   "(coalesce(topk_tokens, 0) * 1000000) div n_tokens END")
+            .cast("bigint"))
+        .drop("topk_tokens")
+    )

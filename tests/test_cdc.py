@@ -57,3 +57,33 @@ def test_short_null_empty_and_params(spark):
 
 def test_plan_stays_jvm(spark):
     assert_no_python(cdc_chunks(_df(spark, [(1, TEXT)])))
+
+
+def test_dup_candidates_pairing_and_df_cap(spark):
+    from document_extractor_spark.operators.cdc import cdc_dup_candidates
+
+    base = TEXT
+    df = _df(spark, [
+        (1, base),
+        (2, "PREFIX EDIT " + base),        # partial copy of 1
+        (3, "completely different content about something else entirely "
+            "with no shared phrasing at all in any of its sentences"),
+    ])
+    chunks = cdc_chunks(df, divisor=16)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in cdc_dup_candidates(chunks).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # a template chunk present in EVERY doc must not create pairs when
+    # the df cap excludes it
+    tmpl = " SHARED FOOTER TEMPLATE CHUNK TEXT HERE"
+    df2 = _df(spark, [(i, f"unique text number {i} " * 8 + tmpl)
+                      for i in range(1, 6)])
+    c2 = cdc_chunks(df2, divisor=16)
+    capped = cdc_dup_candidates(c2, min_shared=1, max_chunk_df=2).collect()
+    uncapped = cdc_dup_candidates(c2, min_shared=1,
+                                  max_chunk_df=1000).collect()
+    assert len(capped) < len(uncapped) or len(uncapped) == 0
+    import pytest
+    with pytest.raises(ValueError):
+        cdc_dup_candidates(c2, min_shared=0)

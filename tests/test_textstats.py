@@ -186,3 +186,17 @@ def test_zipf_degenerate_single_type(spark):
     row = zipf_diagnostics(df).collect()[0]
     # one point: denominator 0 → slope sentinel 0
     assert row["n_types"] == 1 and row["zipf_slope_milli"] == 0
+
+
+def test_vocab_coverage_closed_form(spark):
+    from document_extractor_spark.operators.textstats import vocab_coverage
+
+    # 10 'a', 2 'b', 1 'c', 1 'd' → N=14, types=4, N1=2, N2=1
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10 + ["b", "b", "c", "d"]))],
+        "doc_id bigint, text string")
+    r = vocab_coverage(df, top_k=2).collect()[0]
+    assert (r["n_tokens"], r["n_types"]) == (14, 4)
+    assert (r["n_singletons"], r["n_doubletons"]) == (2, 1)
+    assert r["unseen_mass_ppm"] == (2 * 1000000) // 14
+    assert r["topk_coverage_ppm"] == (12 * 1000000) // 14
