@@ -1651,6 +1651,16 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM training transform at 50%: id-seeded selection and split
+    points, PSM rewrite; the oracle recomputes the identical md5 draws
+    and substring algebra, and reassembly-identity is pytest-pinned."""
+    from document_extractor_spark.operators.transforms import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir)).select(
+        "doc_id", "fim_applied", "fim_text")
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing unseen-mass + top-100 coverage report — exact
     integer ppm over the collapsed vocabulary."""
@@ -2753,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_overlap": q_cdc_overlap,
         "cdc_candidates": q_cdc_candidates,
         "vocab_coverage": q_vocab_coverage,
+        "fim_transform": q_fim_transform,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4784,6 +4795,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "fim_transform": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS L,
+                ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)),
+                 1, 12))::UBIGINT::BIGINT % 100 < 50
+                AND text IS NOT NULL AND length(text) >= 20 AS applied,
+                1 + ('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)),
+                 1, 12))::UBIGINT::BIGINT % (length(text) - 1) AS a,
+                1 + ('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)),
+                 1, 12))::UBIGINT::BIGINT % (length(text) - 1) AS b
+              FROM documents)
+            SELECT doc_id, applied AS fim_applied,
+                   CASE WHEN applied THEN
+                     '<PRE>' || substr(text, 1, least(a, b))
+                     || '<SUF>' || substr(text, greatest(a, b) + 1)
+                     || '<MID>' || substr(text, least(a, b) + 1,
+                                          greatest(a, b) - least(a, b))
+                   ELSE text END AS fim_text
+            FROM d
+        """,
         "vocab_coverage": f"""
             WITH toks AS (
               SELECT unnest(list_filter(regexp_split_to_array(
