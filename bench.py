@@ -335,6 +335,11 @@ HEADLINE_QUERIES = [
     "politeness_schedule", "host_dup_stats", "shingle_novelty",
     "title_overlap", "assign_splits", "parse_robots",
     "resolve_redirects", "calibration_buckets", "containment_pairs",
+    "block_profile", "count_min_freq", "dehyphenate", "bm25_topk",
+    "wilson_host_rank", "edit_near_dups", "char_entropy",
+    "extraction_prf", "zipf_diagnostics", "pdf_outline", "cdc_overlap",
+    "cdc_candidates", "vocab_coverage", "fim_transform",
+    "extract_span_profile", "quality_by_source", "token_counts",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N
