@@ -1651,6 +1651,37 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: every family the cleaner handles: CRLF, curly quotes, NBSP join,
+#: em-dash, ellipsis char, zero-width, a C0 control, space runs, edges
+_DIRTY_SUFFIX = ("\r\n“Tidy” up—now… "
+                 "​ok\x07  done  ")
+
+
+def q_normalize_web_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite typography/control cleanup roundtrip: a dirty suffix
+    exercising every rule family is appended IN SPARK; the oracle is
+    the original text plus the suffix's closed-form cleaned spelling."""
+    from document_extractor_spark.operators.textnorm import (
+        normalize_web_text)
+
+    dirty = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_DIRTY_SUFFIX)).alias("text"))
+    return normalize_web_text(dirty).select(
+        "doc_id", F.col("text").alias("cleaned"))
+
+
+def q_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(src1 ‖ src0) between two sources' token distributions,
+    add-one smoothed over the union vocabulary, pico-quantized exact
+    sum → micro-nats."""
+    from document_extractor_spark.operators.textstats import (
+        token_kl_divergence)
+
+    return token_kl_divergence(_docs(spark, sf_dir), "source",
+                               base_group="src0", target_group="src1")
+
+
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIM training transform at 50%: id-seeded selection and split
     points, PSM rewrite; the oracle recomputes the identical md5 draws
@@ -2764,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_candidates": q_cdc_candidates,
         "vocab_coverage": q_vocab_coverage,
         "fim_transform": q_fim_transform,
+        "token_kl": q_token_kl,
+        "normalize_web_text": q_normalize_web_text,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4795,6 +4828,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "normalize_web_text": (
+            "SELECT doc_id, text || chr(10) ||"
+            " '\"Tidy\" up-now... ok done' AS cleaned FROM documents"
+        ),
+        "token_kl": f"""
+            WITH toks AS (
+              SELECT source, unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+              FROM documents WHERE source IN ('src0', 'src1')),
+            cnt AS (SELECT source, tok, count(*) AS c
+                    FROM toks GROUP BY 1, 2),
+            m AS (SELECT tok, coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+                  FROM (SELECT tok, c FROM cnt WHERE source = 'src0') a
+                  FULL JOIN (SELECT tok, c FROM cnt WHERE source = 'src1') b
+                  USING (tok)),
+            st AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v
+                   FROM m)
+            SELECT CAST(v AS BIGINT) AS n_types,
+                   CAST(na AS BIGINT) AS n_base_tokens,
+                   CAST(nb AS BIGINT) AS n_target_tokens,
+                   CAST(greatest(sum(CAST(round(
+                     ((cb + 1)::DOUBLE / (nb + v)::DOUBLE)
+                     * ln(((cb + 1)::DOUBLE / (nb + v)::DOUBLE)
+                          / ((ca + 1)::DOUBLE / (na + v)::DOUBLE))
+                     * 1e12, 0) AS BIGINT)), 0) // 1000000 AS BIGINT)
+                     AS kl_micro
+            FROM m, st GROUP BY v, na, nb
+        """,
         "fim_transform": """
             WITH d AS (
               SELECT doc_id, text, length(text) AS L,

@@ -69,3 +69,48 @@ def dehyphenate(df: DataFrame, text_col: str = "text",
     c = F.regexp_replace(c, r"(\p{Ll})-\n(\p{Ll})", r"$1$2")
     c = F.regexp_replace(c, r"-\n", "-")
     return df.withColumn(out_col or text_col, c)
+
+
+#: single-char typographic -> ASCII map (one translate pass): curly and
+#: low-9 quotes, primes, en/em/minus dashes, NBSP + thin/narrow spaces
+_TYPO_FROM = ("\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f"
+              "\u2032\u2033\u2013\u2014\u2212\u00a0\u2009\u202f")
+_TYPO_TO = "'" * 4 + '"' * 4 + "'" + '"' + "---" + "   "
+#: zero-width characters and the BOM - deleted outright
+_ZW_RE = "[\u200b\u200c\u200d\u2060\ufeff]"
+#: C0 controls except tab/LF, DEL, and C1 controls - crawl junk
+_CTRL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+
+
+def normalize_web_text(df: DataFrame, text_col: str = "text",
+                       out_col: str | None = None) -> DataFrame:
+    """The ftfy-lite cleanup every web corpus runs before tokenization
+    (complements ``fix_mojibake``, which repairs ENCODING accidents -
+    this repairs TYPOGRAPHY and control junk):
+
+    1. CRLF / lone CR -> LF;
+    2. ellipsis char -> '...';
+    3. one ``translate`` pass: curly quotes -> ASCII quotes, en/em/minus
+       dashes -> '-', NBSP + thin spaces -> space;
+    4. zero-width chars + BOM deleted; C0 (except tab/LF), DEL, C1
+       controls deleted;
+    5. space/tab runs -> one space; 3+ blank lines -> one blank line;
+       edges trimmed.
+
+    Why it matters downstream: the whitespace tokenizer counts
+    NBSP-joined words as ONE token, fingerprints differ on quote style,
+    and zero-widths silently split dedup groups. All JVM (translate +
+    regexp_replace chain, whole-stage codegen, zero shuffle); exact
+    DuckDB twin; NULL passes through."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "\r\n", "\n")
+    c = F.regexp_replace(c, "\r", "\n")
+    c = F.regexp_replace(c, "\u2026", "...")
+    c = F.translate(c, _TYPO_FROM, _TYPO_TO)
+    c = F.regexp_replace(c, _ZW_RE, "")
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    c = F.regexp_replace(c, "[ \t]+", " ")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    # btrim with an explicit set: F.trim strips ASCII space only, and
+    # a leading/trailing newline must go too
+    return df.withColumn(out_col or text_col, F.btrim(c, F.lit(" \n")))

@@ -75,3 +75,50 @@ def test_dehyphenate_pure_jvm(spark):
 
     df = spark.createDataFrame([(1, "a-\nb")], "doc_id bigint, text string")
     assert_no_python(dehyphenate(df))
+
+
+def test_normalize_web_text_rules(spark):
+    from document_extractor_spark.operators.textnorm import (
+        normalize_web_text)
+
+    rows = [
+        (0, "a\r\nb\rc"),                      # CRLF + lone CR -> LF
+        (1, "\u201chi\u201d \u2018lo\u2019"),  # curly quotes
+        (2, "one\u00a0two\u2009three"),          # NBSP/thin join
+        (3, "em\u2014dash en\u2013dash"),
+        (4, "dots\u2026 here"),
+        (5, "ze\u200bro\ufeffwidth"),
+        (6, "bel\x07l co\x01ntrol"),
+        (7, "  spaced    out\t\ttabs  "),
+        (8, "a\n\n\n\n\nb"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in normalize_web_text(df).collect()}
+    assert got[0] == "a\nb\nc"
+    assert got[1] == '"hi" ' + "'lo'"
+    assert got[2] == "one two three"
+    assert got[3] == "em-dash en-dash"
+    assert got[4] == "dots... here"
+    assert got[5] == "zerowidth"
+    assert got[6] == "bell control"
+    assert got[7] == "spaced out tabs"
+    assert got[8] == "a\n\nb"
+    assert got[9] is None
+    # idempotent: cleaning clean text is the identity
+    again = normalize_web_text(
+        spark.createDataFrame([(k, v) for k, v in got.items()
+                               if v is not None],
+                              "doc_id bigint, text string"))
+    assert {r["doc_id"]: r["text"] for r in again.collect()} == {
+        k: v for k, v in got.items() if v is not None}
+
+
+def test_normalize_web_text_plan_jvm(spark):
+    from document_extractor_spark.operators.textnorm import (
+        normalize_web_text)
+    from document_extractor_spark.plans import assert_no_python
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    assert_no_python(normalize_web_text(df))

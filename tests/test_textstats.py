@@ -200,3 +200,30 @@ def test_vocab_coverage_closed_form(spark):
     assert (r["n_singletons"], r["n_doubletons"]) == (2, 1)
     assert r["unseen_mass_ppm"] == (2 * 1000000) // 14
     assert r["topk_coverage_ppm"] == (12 * 1000000) // 14
+
+
+def test_token_kl_divergence(spark):
+    import math
+
+    from document_extractor_spark.operators.textstats import (
+        token_kl_divergence)
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "b", "x y y y"),
+         (3, "c", "irrelevant group")],
+        "doc_id bigint, source string, text string")
+    row = token_kl_divergence(df, "source", base_group="a",
+                              target_group="b").collect()[0]
+    assert row["n_types"] == 2
+    assert row["n_base_tokens"] == 4 and row["n_target_tokens"] == 4
+    # closed form with add-1 smoothing over union vocab (V=2):
+    kl = 0.0
+    for ca, cb in ((3, 1), (1, 3)):  # x, y
+        p = (cb + 1) / 6.0
+        q = (ca + 1) / 6.0
+        kl += round(p * math.log(p / q) * 1e12)
+    assert row["kl_micro"] == max(kl, 0) // 1000000
+    # identical slices → zero divergence
+    same = token_kl_divergence(df, "source", base_group="a",
+                               target_group="a").collect()[0]
+    assert same["kl_micro"] == 0
