@@ -1651,6 +1651,19 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational cell export of the planted 3×3 arithmetic table:
+    header row 'c0 c1 c2' then v-cells by (doc_id + r·3 + c) mod 10 —
+    every index and value closed-form."""
+    from document_extractor_spark.operators.tables import table_cells
+    from document_extractor_spark.sources.docpages import (
+        pages_with_tables)
+
+    out = table_cells(pages_with_tables(spark, sf_dir))
+    return out.select(doc_id_from_url("url"), "table_idx", "row", "col",
+                      "value")
+
+
 #: every family the cleaner handles: CRLF, curly quotes, NBSP join,
 #: em-dash, ellipsis char, zero-width, a C0 control, space runs, edges
 _DIRTY_SUFFIX = ("\r\n“Tidy” up—now… "
@@ -2797,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "token_kl": q_token_kl,
         "normalize_web_text": q_normalize_web_text,
+        "table_cells": q_table_cells,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4828,6 +4842,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "table_cells": """
+            SELECT doc_id, 0 AS table_idx, CAST(r.x AS INT) AS row,
+                   CAST(c.x AS INT) AS col,
+                   CASE WHEN r.x = 0 THEN 'c' || c.x
+                        ELSE 'v' || ((doc_id + r.x * 3 + c.x) % 10)
+                   END AS value
+            FROM documents, unnest(range(0, 3)) AS r(x),
+                 unnest(range(0, 3)) AS c(x)
+        """,
         "normalize_web_text": (
             "SELECT doc_id, text || chr(10) ||"
             " '\"Tidy\" up-now... ok done' AS cleaned FROM documents"

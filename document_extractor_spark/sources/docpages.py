@@ -452,3 +452,35 @@ def pdf_pages_with_outlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.col("lang"),
     )
+
+
+# Table variant: one 3x3 table (header row + two data rows) whose cells
+# are pure doc_id arithmetic, so the relational cell export has a
+# closed-form oracle.
+def pages_with_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    cell = [[F.concat(F.lit("v"),
+                      ((F.col("doc_id") + r * 3 + c) % 10).cast("string"))
+             for c in range(3)] for r in (1, 2)]
+    table = F.concat(
+        F.lit("<table><tr><th>c0</th><th>c1</th><th>c2</th></tr>"),
+        *[F.concat(F.lit("<tr>"),
+                   *[F.concat(F.lit("<td>"), cell[r][c], F.lit("</td>"))
+                     for c in range(3)],
+                   F.lit("</tr>"))
+          for r in range(2)],
+        F.lit("</table>"),
+    )
+    html = F.concat(
+        F.lit(_PREFIX), did, F.lit(_MID), _escaped("text"),
+        F.lit("</p>"), table,
+        F.lit(_SUFFIX.replace("</p></main>", "</main>", 1)),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), did).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
