@@ -1651,6 +1651,16 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-bigram collocations by MILLI-quantized PMI,
+    min_count 5; exact counts, in-row bigram construction, total order
+    by (pmi, bigram)."""
+    from document_extractor_spark.operators.textstats import (
+        pmi_collocations)
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=40)
+
+
 def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational cell export of the planted 3×3 arithmetic table:
     header row 'c0 c1 c2' then v-cells by (doc_id + r·3 + c) mod 10 —
@@ -2811,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_kl": q_token_kl,
         "normalize_web_text": q_normalize_web_text,
         "table_cells": q_table_cells,
+        "pmi_collocations": q_pmi_collocations,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4842,6 +4853,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "pmi_collocations": f"""
+            WITH docs_t AS (
+              SELECT list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), t -> t <> '') AS t
+              FROM documents),
+            uc AS (SELECT x, count(*) AS cx FROM (
+                     SELECT unnest(t) AS x FROM docs_t) GROUP BY x),
+            bc AS (SELECT bigram, count(*) AS cxy FROM (
+                     SELECT unnest(CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                       ELSE [] END) AS bigram FROM docs_t)
+                   GROUP BY bigram),
+            tot AS (SELECT (SELECT sum(cx) FROM uc) AS n,
+                           (SELECT sum(cxy) FROM bc) AS nb),
+            j AS (SELECT bigram, cxy,
+                         string_split(bigram, ' ')[1] AS x,
+                         string_split(bigram, ' ')[2] AS y
+                  FROM bc WHERE cxy >= 5)
+            SELECT bigram, CAST(cxy AS BIGINT) AS n_xy,
+                   CAST(round(ln((cxy::DOUBLE / nb::DOUBLE)
+                        / ((ux.cx::DOUBLE / n::DOUBLE)
+                           * (uy.cx::DOUBLE / n::DOUBLE))) * 1000, 0)
+                        AS BIGINT) AS pmi_milli
+            FROM j JOIN uc ux ON ux.x = j.x
+                   JOIN uc uy ON uy.x = j.y, tot
+            ORDER BY pmi_milli DESC, bigram LIMIT 40
+        """,
         "table_cells": """
             SELECT doc_id, 0 AS table_idx, CAST(r.x AS INT) AS row,
                    CAST(c.x AS INT) AS col,

@@ -672,3 +672,80 @@ def token_kl_divergence(df: DataFrame, group_col: str,
             .cast("bigint").alias("kl_micro"),
         )
     )
+
+
+def pmi_collocations(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_count: int = 5,
+                     top_k: int = 50) -> DataFrame:
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information — multiword-expression mining ("new york", "machine
+    learning") for tokenizer vocab curation and phrase-aware dedup.
+    PMI = ln(P(xy) / (P(x)·P(y))) with unigram probabilities over all
+    tokens and bigram probability over all adjacent pairs;
+    ``min_count`` suppresses the classic PMI pathology (hapax pairs
+    score infinite-ish).
+
+    Returns ``(bigram, n_xy, pmi_milli)``, ranked by quantized PMI then
+    bigram (total order → identical top-k cross-engine). Exact-count
+    discipline: only the final per-bigram ln quantizes (MILLI); counts
+    and the two scalar totals are exact integers.
+
+    Scale shape: bigrams are built IN-ROW (zip_with over the staged
+    token array — no positional explode), then one map-side-combinable
+    groupBy each for unigrams and bigrams; the two unigram joins key on
+    the token (vocabulary-sized); N and B broadcast on a constant key;
+    the final ranking is a TakeOrdered heap, never a full sort."""
+    from ..functions.text import tokens
+
+    staged = df.select(
+        tokens(F.lower(F.col(text_col))).alias("_t"))
+    n_tok = F.size("_t")
+    bigrams_arr = F.when(
+        n_tok >= 2,
+        F.zip_with(
+            F.slice("_t", 1, n_tok - 1),
+            F.slice("_t", 2, n_tok - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        staged.select(F.explode_outer("_t").alias("x"))
+        .where(F.col("x").isNotNull())
+        .groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+    )
+    bi_all = (
+        staged.withColumn("_b", bigrams_arr)
+        .select(F.explode_outer("_b").alias("bigram"))
+        .where(F.col("bigram").isNotNull())
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    # totals over the UNFILTERED distributions — min_count prunes
+    # candidates, it must not reweight P(xy)
+    totals = (
+        uni.agg(F.sum("cx").alias("n"))
+        .withColumn("_k", F.lit(1))
+        .join(bi_all.agg(F.sum("cxy").alias("nb"))
+              .withColumn("_k", F.lit(1)), "_k")
+    )
+    bi = bi_all.where(F.col("cxy") >= int(min_count))
+    parts = F.split(F.col("bigram"), " ")
+    joined = (
+        bi.withColumn("x", F.element_at(parts, 1))
+        .withColumn("y", F.element_at(parts, 2))
+        .join(uni, "x")
+        .join(uni.select(F.col("x").alias("y"),
+                         F.col("cx").alias("cy")), "y")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(totals), "_k")
+    )
+    pmi = F.log(
+        (F.col("cxy").cast("double") / F.col("nb").cast("double"))
+        / ((F.col("cx").cast("double") / F.col("n").cast("double"))
+           * (F.col("cy").cast("double") / F.col("n").cast("double"))))
+    return (
+        joined.select(
+            "bigram", F.col("cxy").cast("bigint").alias("n_xy"),
+            F.round(pmi * F.lit(1000), 0).cast("bigint")
+            .alias("pmi_milli"))
+        .orderBy(F.col("pmi_milli").desc(), F.col("bigram"))
+        .limit(int(top_k))
+    )

@@ -227,3 +227,29 @@ def test_token_kl_divergence(spark):
     same = token_kl_divergence(df, "source", base_group="a",
                                target_group="a").collect()[0]
     assert same["kl_micro"] == 0
+
+
+def test_pmi_collocations_closed_form(spark):
+    import math
+
+    from document_extractor_spark.operators.textstats import (
+        pmi_collocations)
+
+    # "new york" always adjacent; "the", "cat" frequent but independent
+    text = " ".join(["new york"] * 6 + ["the cat"] * 6
+                    + ["the dog sat"] * 6)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = {r["bigram"]: r for r in
+           pmi_collocations(df, min_count=5, top_k=10).collect()}
+    assert "new york" in got
+    # closed form for 'new york': cx=cy=6, cxy=6
+    toks = text.split()
+    n = len(toks)
+    nb = n - 1
+    exp = round(math.log((6 / nb) / ((6 / n) * (6 / n))) * 1000)
+    assert got["new york"]["pmi_milli"] == exp
+    # a collocation outranks an independent co-occurrence
+    if "the cat" in got:
+        assert got["new york"]["pmi_milli"] > got["the cat"]["pmi_milli"]
+    # min_count suppresses rare pairs: nothing below 5
+    assert all(r["n_xy"] >= 5 for r in got.values())
