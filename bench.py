@@ -340,6 +340,7 @@ HEADLINE_QUERIES = [
     "extraction_prf", "zipf_diagnostics", "pdf_outline", "cdc_overlap",
     "cdc_candidates", "vocab_coverage", "fim_transform",
     "extract_span_profile", "quality_by_source", "token_counts",
+    "token_kl", "normalize_web_text", "table_cells", "pmi_collocations",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

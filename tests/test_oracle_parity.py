@@ -83,3 +83,14 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
+
+
+def test_bench_times_every_query():
+    """Drift guard: every contract query must be in bench.py's
+    HEADLINE_QUERIES (and bench must not time ghosts)."""
+    import bench
+
+    assert set(bench.HEADLINE_QUERIES) == set(QUERIES), (
+        sorted(set(QUERIES) - set(bench.HEADLINE_QUERIES)),
+        sorted(set(bench.HEADLINE_QUERIES) - set(QUERIES)),
+    )
