@@ -1651,6 +1651,17 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption at 8% seed rate: the oracle rebuilds the
+    masked bitmap, merged runs, sentinel numbering, and both output
+    strings with the same md5 draws and list algebra."""
+    from document_extractor_spark.operators.transforms import (
+        span_corruption)
+
+    return span_corruption(_docs(spark, sf_dir)).select(
+        "doc_id", "sc_inputs", "sc_targets", "sc_n_spans")
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 adjacent-bigram collocations by MILLI-quantized PMI,
     min_count 5; exact counts, in-row bigram construction, total order
@@ -2822,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_web_text": q_normalize_web_text,
         "table_cells": q_table_cells,
         "pmi_collocations": q_pmi_collocations,
+        "span_corruption": q_span_corruption,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4853,6 +4865,62 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
         ),
+        "span_corruption": """
+            WITH t0 AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text),
+                       '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            m0 AS (
+              SELECT doc_id, text, t, len(t) AS n,
+                list_transform(range(1, len(t) + 1), i ->
+                  (('0x' || substr(md5('sc:' || doc_id || ':' || i),
+                    1, 12))::UBIGINT % 100 < 8)
+                  OR (i >= 2 AND ('0x' || substr(md5('sc:' || doc_id
+                    || ':' || (i - 1)), 1, 12))::UBIGINT % 100 < 8)
+                  OR (i >= 3 AND ('0x' || substr(md5('sc:' || doc_id
+                    || ':' || (i - 2)), 1, 12))::UBIGINT % 100 < 8))
+                AS m
+              FROM t0),
+            s0 AS (
+              SELECT *,
+                list_filter(range(1, n + 1),
+                  i -> m[i] AND (i = 1 OR NOT m[i - 1])) AS starts,
+                list_filter(range(1, n + 1),
+                  i -> m[i] AND (i = n OR NOT m[i + 1])) AS ends
+              FROM m0),
+            built AS (
+              SELECT doc_id, text, len(starts) AS k,
+                CASE WHEN len(starts) = 0
+                     THEN coalesce(array_to_string(t, ' '), '')
+                     ELSE coalesce(array_to_string(list_transform(
+                            range(1, len(starts) + 1), i ->
+                            coalesce(array_to_string(
+                              t[(CASE WHEN i = 1 THEN 1
+                                 ELSE ends[i - 1] + 1 END)
+                                :(starts[i] - 1)], ' '), '')
+                            || ' <extra_id_' || (i - 1) || '>'), ' '), '')
+                          || ' ' || coalesce(array_to_string(
+                               t[ends[len(ends)] + 1:n], ' '), '')
+                END AS raw_inputs,
+                CASE WHEN len(starts) = 0 THEN ''
+                     ELSE coalesce(array_to_string(list_transform(
+                            range(1, len(starts) + 1), i ->
+                            '<extra_id_' || (i - 1) || '> '
+                            || coalesce(array_to_string(
+                                 t[starts[i]:ends[i]], ' '), '')), ' '), '')
+                END AS targets
+              FROM s0)
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE trim(regexp_replace(raw_inputs, ' +', ' ',
+                                                 'g')) END AS sc_inputs,
+                   CASE WHEN text IS NULL THEN NULL ELSE targets END
+                     AS sc_targets,
+                   CAST(CASE WHEN text IS NULL THEN NULL ELSE k END
+                        AS INT) AS sc_n_spans
+            FROM built
+        """,
         "pmi_collocations": f"""
             WITH docs_t AS (
               SELECT list_filter(regexp_split_to_array(

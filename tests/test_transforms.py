@@ -60,3 +60,66 @@ def test_short_null_and_params(spark):
 
 def test_plan_stays_jvm(spark):
     assert_no_python(fim_transform(_df(spark, [(1, TEXT)])))
+
+
+def _reassemble(inputs: str, targets: str) -> str:
+    """Splice targets back into inputs by sentinel — must reproduce the
+    original token stream."""
+    import re
+
+    tgt = {}
+    parts = re.split(r"<extra_id_(\d+)>", targets)
+    # parts: ['', '0', ' span toks ', '1', ' more ', ...]
+    for i in range(1, len(parts), 2):
+        tgt[int(parts[i])] = parts[i + 1].strip()
+    out = inputs
+    for k, span in tgt.items():
+        out = out.replace(f"<extra_id_{k}>", span)
+    return " ".join(out.split())
+
+
+def test_span_corruption_reconstruction(spark):
+    from document_extractor_spark.operators.transforms import (
+        span_corruption)
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(60)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = span_corruption(df, seed_pct=20).collect()
+    assert any(r["sc_n_spans"] > 0 for r in got)
+    for r in got:
+        orig = [x for i, x in rows if i == r["doc_id"]][0]
+        assert _reassemble(r["sc_inputs"], r["sc_targets"]) == orig
+        # sentinels appear exactly once each, in order, in both outputs
+        for k in range(r["sc_n_spans"]):
+            assert r["sc_inputs"].count(f"<extra_id_{k}>") == 1
+            assert r["sc_targets"].count(f"<extra_id_{k}>") == 1
+
+
+def test_span_corruption_determinism_null_params(spark):
+    import pytest
+
+    from document_extractor_spark.operators.transforms import (
+        span_corruption)
+
+    rows = [(i, " ".join(f"t{j}" for j in range(40))) for i in range(20)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r["doc_id"]: (r["sc_inputs"], r["sc_targets"])
+         for r in span_corruption(df, seed_pct=15).collect()}
+    b = {r["doc_id"]: (r["sc_inputs"], r["sc_targets"])
+         for r in span_corruption(df.repartition(9),
+                                  seed_pct=15).collect()}
+    assert a == b
+    assert a[99] == (None, None)
+    with pytest.raises(ValueError):
+        span_corruption(df, seed_pct=101)
+
+
+def test_span_corruption_plan_jvm(spark):
+    from document_extractor_spark.operators.transforms import (
+        span_corruption)
+    from document_extractor_spark.plans import assert_no_python
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    assert_no_python(span_corruption(df))
