@@ -1651,6 +1651,21 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown serialization of extracted items over the formatting
+    fixture: '# Document {id}' then the bold+italic paragraph as
+    '***text***' — header levels, blank-line block joins, and
+    formatting wrappers all closed-form."""
+    from document_extractor_spark.operators.extract import extract_pages
+    from document_extractor_spark.operators.render import render_markdown
+    from document_extractor_spark.sources.docpages import (
+        pages_with_formatting)
+
+    out = render_markdown(extract_pages(
+        pages_with_formatting(spark, sf_dir), with_items=True))
+    return out.select(doc_id_from_url("url"), "markdown")
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 span corruption at 8% seed rate: the oracle rebuilds the
     masked bitmap, merged runs, sentinel numbering, and both output
@@ -2834,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": q_table_cells,
         "pmi_collocations": q_pmi_collocations,
         "span_corruption": q_span_corruption,
+        "render_markdown": q_render_markdown,
         "revisit_schedule": q_revisit_schedule,
         "sitemap_urls": q_sitemap_urls,
         "feed_items": q_feed_items,
@@ -4864,6 +4880,10 @@ def oracle_sql() -> dict[str, str]:
         "dehyphenate": (
             "SELECT doc_id, text || ' twenty-Three state-of-the-art'"
             " AS fixed FROM documents"
+        ),
+        "render_markdown": (
+            "SELECT doc_id, '# Document ' || doc_id || chr(10) || chr(10)"
+            " || '***' || text || '***' AS markdown FROM documents"
         ),
         "span_corruption": """
             WITH t0 AS (

@@ -364,3 +364,69 @@ def concat_pages(df: DataFrame, group_col: str, order_col: str = "page_num",
                      F.lit("\n</body></html>")).alias("html"),
         )
     )
+
+
+def _md_table(content: Column) -> Column:
+    """GitHub-pipes table from the kernel's canonical tab/newline grid:
+    header row, `---` separator sized to the column count, body rows."""
+    rows = F.split(content, "\n")
+    def line(r: Column) -> Column:
+        return F.concat(F.lit("| "),
+                        F.regexp_replace(r, "\t", " | "), F.lit(" |"))
+    header = line(F.element_at(rows, 1))
+    sep = F.concat(
+        F.lit("|"),
+        F.repeat(F.lit(" --- |"),
+                 F.size(F.split(F.element_at(rows, 1), "\t"))),
+    )
+    body = F.array_join(
+        F.transform(F.slice(rows, 2, F.size(rows) - 1), line), "\n")
+    return F.concat_ws("\n", header, sep,
+                       F.when(F.size(rows) > 1, body))
+
+
+def _md_item(it: Column) -> Column:
+    """Markdown dispatch for one item struct. Underline has no markdown
+    form — inline ``<u>`` (CommonMark passes raw HTML through)."""
+    c = F.coalesce(it["content"], F.lit(""))
+    bold = F.coalesce(it["bold"], F.lit(False))
+    ital = F.coalesce(it["italic"], F.lit(False))
+    und = F.coalesce(it["underline"], F.lit(False))
+    text = F.when(und, F.concat(F.lit("<u>"), c, F.lit("</u>"))).otherwise(c)
+    text = F.when(ital, F.concat(F.lit("*"), text, F.lit("*"))).otherwise(text)
+    text = F.when(bold, F.concat(F.lit("**"), text, F.lit("**"))).otherwise(text)
+    level = F.greatest(F.least(it["level"], F.lit(6)), F.lit(1))
+    bullet = F.when(F.coalesce(it["list_type"], F.lit("")) == "ordered",
+                    F.lit("1. ")).otherwise(F.lit("- "))
+    return (
+        F.when(it["type"] == "header",
+               F.concat(F.repeat(F.lit("#"), level), F.lit(" "), c))
+        .when(it["type"].isin("table", "kv_table"), _md_table(c))
+        .when(it["type"] == "image",
+              F.concat(F.lit("!["), c, F.lit("]("),
+                       F.coalesce(it["src"], F.lit("")), F.lit(")")))
+        .when(it["type"] == "list",
+              F.array_join(F.transform(
+                  F.split(c, "\n"),
+                  lambda ln: F.concat(bullet, ln)), "\n"))
+        .when(it["type"] == "caption", F.concat(F.lit("*"), c, F.lit("*")))
+        .otherwise(text)
+    )
+
+
+def render_markdown(df: DataFrame, items_col: str = "content_items",
+                    out_col: str = "markdown") -> DataFrame:
+    """Items → one Markdown document per row — the serialization LLM
+    pretraining corpora actually want (headers/tables/lists survive as
+    STRUCTURE the tokenizer sees, unlike flat text; far lighter than
+    HTML). Same row-local Catalyst shape as :func:`render_html`: one
+    ``transform`` + ``array_join`` over the nested item array, blocks
+    separated by blank lines, no Python, no shuffle. NULL/empty item
+    arrays render as an empty string (a page that extracted nothing is
+    an empty document, not a NULL)."""
+    items = F.coalesce(
+        F.col(items_col),
+        F.array().cast(df.schema[items_col].dataType))
+    return df.withColumn(
+        out_col,
+        F.array_join(F.transform(items, _md_item), "\n\n"))

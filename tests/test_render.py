@@ -253,3 +253,43 @@ def test_th_inline_style_merge(spark):
     # plan stays fully JVM
     from document_extractor_spark.plans import assert_no_python
     assert_no_python(apply_readability_rewrite(df))
+
+
+def test_render_markdown_structures(spark):
+    from document_extractor_spark.operators.extract import extract_pages
+    from document_extractor_spark.operators.render import render_markdown
+
+    page = (b"<html><body><main><h2>Section</h2>"
+            b"<p>plain paragraph here</p>"
+            b"<table><tr><th>a</th><th>b</th></tr>"
+            b"<tr><td>1</td><td>2</td></tr></table>"
+            b"<ul><li>first item words enough to keep it around yes</li>"
+            b"<li>second item words enough to keep it around too</li></ul>"
+            b"</main></body></html>")
+    df = spark.createDataFrame(
+        [("https://x.example.org/1", bytearray(page))],
+        "url string, html binary")
+    md = render_markdown(extract_pages(df, with_items=True)) \
+        .collect()[0]["markdown"]
+    blocks = md.split("\n\n")
+    assert "## Section" in blocks
+    assert "plain paragraph here" in blocks
+    table = [b for b in blocks if b.startswith("| a | b |")]
+    assert table and table[0].splitlines()[1] == "| --- | --- |"
+    assert table[0].splitlines()[2] == "| 1 | 2 |"
+    lists = [b for b in blocks if b.startswith("- ")]
+    assert lists and lists[0].count("- ") == 2
+
+
+def test_render_markdown_empty_and_null_items(spark):
+    from pyspark.sql import functions as F
+
+    from document_extractor_spark.operators.extract import extract_pages
+    from document_extractor_spark.operators.render import render_markdown
+
+    df = spark.createDataFrame(
+        [("https://x.example.org/1",
+          bytearray(b"<html><body></body></html>"))],
+        "url string, html binary")
+    out = render_markdown(extract_pages(df, with_items=True))
+    assert out.collect()[0]["markdown"] == ""
