@@ -2829,7 +2829,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rollup, KMV sketch) lead.  Queries already green in CORRECTNESS_r04
     # follow in their original order.
     return {
-        # --- no driver attestation row yet (r4 tail + r5 additions) ---
+        # --- no driver attestation row yet. Priority order: (1) the r4
+        # tail VERDICT.md explicitly wants attested — the four
+        # brief-mandated custom operators first — (2) this round's new
+        # operators, (3) the rest of the round-5 additions; queries
+        # already green in CORRECTNESS_r04 close the dict. ---
+        "asof_policy": q_asof_policy,
+        "range_campaigns": q_range_campaigns,
+        "event_rollup": q_event_rollup,
+        "kmv_distinct": q_kmv_distinct,
+        "drop_boilerplate": q_drop_boilerplate,
+        "snapshot_dedup": q_snapshot_dedup,
+        "shuffle_shards": q_shuffle_shards,
+        "dedup_best_kept": q_dedup_best_kept,
+        "pack_sequences": q_pack_sequences,
+        "outlinks": q_outlinks,
+        "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
+        "anchor_profile": q_anchor_profile,
+        "robots_policy": q_robots_policy,
+        "nfc_normalize": q_nfc_normalize,
+        "top_terms": q_top_terms,
+        "canonical_urls": q_canonical_urls,
+        "snapshot_diff": q_snapshot_diff,
+        "stratified_sample": q_stratified_sample,
+        "warc_roundtrip": q_warc_roundtrip,
+        # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
         "dehyphenate": q_dehyphenate,
@@ -2870,31 +2895,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gated_export": q_quality_gated_export,
         "index_delta_merge": q_index_delta_merge,
         "hits_scores": q_hits_scores,
-        "warc_roundtrip": q_warc_roundtrip,
         "dup_spans": q_dup_spans,
         "drop_dup_spans": q_drop_dup_spans,
         "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
         "inverted_index": q_inverted_index,
         "host_quality_filter": q_host_quality_filter,
-        "asof_policy": q_asof_policy,
-        "range_campaigns": q_range_campaigns,
-        "event_rollup": q_event_rollup,
-        "kmv_distinct": q_kmv_distinct,
-        "drop_boilerplate": q_drop_boilerplate,
-        "snapshot_dedup": q_snapshot_dedup,
-        "shuffle_shards": q_shuffle_shards,
-        "dedup_best_kept": q_dedup_best_kept,
-        "pack_sequences": q_pack_sequences,
-        "outlinks": q_outlinks,
-        "link_graph": q_link_graph,
-        "pagerank": q_pagerank,
-        "anchor_profile": q_anchor_profile,
-        "robots_policy": q_robots_policy,
-        "nfc_normalize": q_nfc_normalize,
-        "top_terms": q_top_terms,
-        "canonical_urls": q_canonical_urls,
-        "snapshot_diff": q_snapshot_diff,
-        "stratified_sample": q_stratified_sample,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
