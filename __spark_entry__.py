@@ -1208,6 +1208,35 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold_ppm=800_000)
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded trust propagation (TrustRank) over a planted host graph:
+    the 5 seed hosts h0-h4 form a cycle among themselves and every
+    non-seed host h5-h36 links INTO seed h(m%5) — so the teleport
+    vector is the exact fixed point (seeds 1/5, non-seeds 0, reached
+    in round 1 by the early exit). Convergence to a NON-trivial trust
+    vector is pytest-verified against dense numpy
+    (test_trustrank_matches_numpy_asymmetric); the spam-isolation
+    property (unreferenced cluster gets exactly 0) has its own test."""
+    from document_extractor_spark.operators.links import trustrank
+
+    m = (F.col("doc_id") % 37).cast("int")
+
+    def host(ix):
+        return F.concat(F.lit("h"), ix.cast("string"),
+                        F.lit(".example.org"))
+
+    hosts = _docs(spark, sf_dir).select(m.alias("_m")).distinct()
+    edges = hosts.select(
+        host(F.col("_m")).alias("src_host"),
+        host(F.when(F.col("_m") < 5, (F.col("_m") + 1) % 5)
+             .otherwise(F.col("_m") % 5)).alias("dst_host"),
+        F.lit(1).cast("bigint").alias("n_links"))
+    seeds = hosts.where(F.col("_m") < 5).select(
+        host(F.col("_m")).alias("host"))
+    tr = trustrank(edges, seeds, damping=0.85, iterations=10)
+    return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
+
+
 def q_calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram buckets over planted (score, label) pairs —
     integer-grid scores on [0,100) into 10 bins, label correlated with
@@ -2937,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "calibration_buckets": q_calibration_buckets,
         "containment_pairs": q_containment_pairs,
+        "trustrank": q_trustrank,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -5330,6 +5360,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'h' || (doc_id % 37) || '.example.org'
                      AS host,
                    ROUND(1.0::DOUBLE / 37, 9) AS pagerank
+            FROM documents
+        """,
+        # TrustRank planted fixture: seeds h0-h4 cycle among
+        # themselves, every non-seed links INTO a seed → the teleport
+        # vector (1/5 per seed, 0 elsewhere) is the exact fixed point.
+        "trustrank": """
+            SELECT DISTINCT 'h' || (doc_id % 37) || '.example.org'
+                     AS host,
+                   ROUND(CASE WHEN doc_id % 37 < 5
+                              THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 9)
+                     AS trustrank
             FROM documents
         """,
         # Snapshot-ingestion dedup: known index covers docs < 100 and

@@ -288,6 +288,121 @@ def hits(edges: DataFrame, iterations: int = 30,
     return hub.join(auth, "host").select("host", "hub", "authority")
 
 
+def trustrank(edges: DataFrame, seeds: DataFrame, damping: float = 0.85,
+              iterations: int = 10, src_col: str = "src_host",
+              dst_col: str = "dst_host", weight_col: str = "n_links",
+              seed_col: str = "host",
+              tol: float = 1e-9,
+              stats: dict = None) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004) over the host
+    link graph: personalized PageRank whose teleport vector is uniform
+    over a curated SEED set instead of all vertices — the standard
+    web-spam-demotion ranking (trust flows out from hand-vetted hosts;
+    spam farms that no trusted host links to accumulate ~none, however
+    densely they interlink). Returns ``(host, trustrank)`` for every
+    graph vertex; scores sum to 1.
+
+    Same scale shape as :func:`pagerank` — ONE transition table built
+    and persisted pre-partitioned on the source key, per-round cost one
+    co-partitioned join + map-side-combined groupBy on host-scale keys,
+    ``localCheckpoint`` lineage truncation, L1-delta early exit. The
+    two TrustRank-specific differences: the teleport base lands only on
+    seed vertices ((1-d)/|S|), and dangling mass is redistributed over
+    the SEED set (mass must re-enter through trust, never uniformly —
+    uniform redistribution would leak trust to unlinked spam). The seed
+    table is vertex-cardinality metadata (hundreds of hosts in
+    practice); it is broadcast-joined as a flag onto the vertex table
+    once. Raises ``ValueError`` when no seed intersects the graph —
+    the teleport distribution would be undefined."""
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    edges = edges.where(src.isNotNull() & dst.isNotNull())
+    seed_set = (
+        seeds.select(F.col(seed_col).alias("host"))
+        .where(F.col("host").isNotNull())
+        .distinct()
+    )
+    verts = (
+        edges.select(src.alias("host"))
+        .unionByName(edges.select(dst.alias("host")))
+        .distinct()
+        .join(F.broadcast(seed_set).withColumn("_seed", F.lit(True)),
+              "host", "left")
+        .select("host", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = verts.where(F.col("_seed")).count()
+    if n_seeds == 0:
+        raise ValueError(
+            "trustrank: no seed host appears in the edge graph — the "
+            "teleport distribution is undefined (check seed spelling / "
+            "host normalization)")
+    out_w = edges.groupBy(src.alias("host")).agg(F.sum(w).alias("_out"))
+    trans = (
+        edges.join(out_w, edges[src_col] == out_w.host)
+        .select(
+            src.alias("_src"), dst.alias("_dst"),
+            (w.cast("double") / F.col("_out")).alias("_p"),
+        )
+        .repartition("_src")
+        .persist()
+    )
+    dangling = verts.join(out_w, "host", "left_anti").persist()
+    has_dangling = bool(dangling.head(1))
+    ranks = verts.withColumn(
+        "pr", F.when(F.col("_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0)))
+    base = (1.0 - damping) / n_seeds
+    if stats is None:
+        stats = {}
+    stats["iterations"] = 0
+    stats["l1_delta"] = None
+    try:
+        for _ in range(iterations):
+            stats["iterations"] += 1
+            d_mass = 0.0
+            if has_dangling:
+                d_mass = (
+                    dangling.join(ranks, "host")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                    .collect()[0][0]
+                )
+            contribs = (
+                ranks.join(trans, ranks.host == trans._src)
+                .groupBy(F.col("_dst").alias("host"))
+                .agg(F.sum(F.col("pr") * F.col("_p")).alias("_in"))
+            )
+            prev = ranks
+            ranks = (
+                verts.join(contribs, "host", "left")
+                .select(
+                    "host", "_seed",
+                    (F.when(F.col("_seed"),
+                            F.lit(base) + F.lit(damping * d_mass / n_seeds))
+                     .otherwise(F.lit(0.0))
+                     + F.lit(damping)
+                     * F.coalesce(F.col("_in"), F.lit(0.0))).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if tol > 0:
+                delta = (
+                    ranks.join(
+                        prev.select("host",
+                                    F.col("pr").alias("_prev")), "host")
+                    .agg(F.coalesce(
+                        F.sum(F.abs(F.col("pr") - F.col("_prev"))),
+                        F.lit(0.0)))
+                    .collect()[0][0]
+                )
+                stats["l1_delta"] = delta
+                if delta < tol:
+                    break
+    finally:
+        trans.unpersist()
+        dangling.unpersist()
+    return ranks.select("host", F.col("pr").alias("trustrank"))
+
+
 def incoming_anchor_profile(links: DataFrame) -> DataFrame:
     """Outlink rows → per-destination-host incoming anchor-text stats:
     ``(dst_host, n_inlinks, n_anchor_texts, top_anchor)``. Incoming

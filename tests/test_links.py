@@ -238,6 +238,119 @@ def test_pagerank_uniform_on_fixture_graph(spark, sf_dir):
         assert abs(r["pagerank"] - 1.0 / 37) < 1e-12
 
 
+def _numpy_trustrank(edges, seeds, damping, iters):
+    """Reference TrustRank: teleport AND dangling mass go to the seed
+    set uniformly; init is uniform over seeds."""
+    import numpy as np
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    ix = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d, w in edges:
+        M[ix[d], ix[s]] += w
+    out = M.sum(axis=0)
+    seed_vec = np.zeros(n)
+    for h in seeds:
+        if h in ix:
+            seed_vec[ix[h]] = 1.0
+    seed_vec /= seed_vec.sum()
+    pr = seed_vec.copy()
+    for _ in range(iters):
+        dmass = pr[out == 0].sum()
+        nz = out > 0
+        contrib = M[:, nz] @ (pr[nz] / out[nz])
+        pr = (1 - damping) * seed_vec + damping * (contrib
+                                                   + dmass * seed_vec)
+    return {h: pr[ix[h]] for h in nodes}
+
+
+def test_trustrank_matches_numpy_asymmetric(spark):
+    """Asymmetric weighted graph with a dangling node and a 2-host seed
+    set: the DataFrame iteration must match the dense numpy reference
+    (teleport + dangling mass both land on seeds only)."""
+    from document_extractor_spark.operators.links import trustrank
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+             ("c", "a", 1), ("b", "d", 5), ("d", None, 1)]  # null dropped
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links bigint")
+    seeds = spark.createDataFrame([("a",), ("c",)], "host string")
+    got = {r["host"]: r["trustrank"]
+           for r in trustrank(df, seeds, damping=0.85,
+                              iterations=12).collect()}
+    want = _numpy_trustrank(
+        [e for e in edges if e[1] is not None], ["a", "c"], 0.85, 12)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12, (h, got[h], want[h])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # trust reaches d only through the damped chain — strictly less
+    # than any seed, and spam-isolated vertices would get exactly 0
+    assert got["d"] < got["a"] and got["d"] < got["c"]
+
+
+def test_trustrank_isolated_cluster_gets_zero(spark):
+    """A spam cluster ({x,y} linking only to each other) with no inlink
+    from the trusted component accumulates EXACTLY zero trust — the
+    defining TrustRank property (uniform-teleport PageRank would give
+    it mass)."""
+    from document_extractor_spark.operators.links import trustrank
+
+    edges = [("a", "b", 1), ("b", "a", 1),
+             ("x", "y", 7), ("y", "x", 7)]
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links bigint")
+    seeds = spark.createDataFrame([("a",)], "host string")
+    stats = {}
+    got = {r["host"]: r["trustrank"]
+           for r in trustrank(df, seeds, iterations=25,
+                              stats=stats).collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert abs(got["a"] + got["b"] - 1.0) < 1e-9
+    # the 2-cycle contracts at damping^k — 25 rounds is far from
+    # tol=1e-9, so the cap (not the early exit) ends the loop and the
+    # recorded delta shows the geometric decay
+    assert stats["iterations"] == 25
+    assert 0 < stats["l1_delta"] < 0.85 ** 20
+
+
+def test_trustrank_no_seed_in_graph_raises(spark):
+    from document_extractor_spark.operators.links import trustrank
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "b", 1)], "src_host string, dst_host string, n_links bigint")
+    seeds = spark.createDataFrame([("zz",), (None,)], "host string")
+    with pytest.raises(ValueError, match="no seed host"):
+        trustrank(df, seeds)
+
+
+def test_trustrank_closed_form_on_seed_cycle(spark):
+    """Planted fixture shape (the driver-contract oracle's closed form):
+    5 seed hosts in a cycle among themselves, every non-seed linking
+    INTO a seed — trust is exactly 1/5 per seed, 0 per non-seed, and
+    the fixed point is reached in round 1."""
+    from document_extractor_spark.operators.links import trustrank
+
+    edges = []
+    for i in range(5):
+        edges.append((f"h{i}", f"h{(i + 1) % 5}", 1))
+    for i in range(5, 37):
+        edges.append((f"h{i}", f"h{i % 5}", 1))
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links bigint")
+    seeds = spark.createDataFrame(
+        [(f"h{i}",) for i in range(5)], "host string")
+    stats = {}
+    rows = trustrank(df, seeds, iterations=10, stats=stats).collect()
+    assert len(rows) == 37
+    for r in rows:
+        want = 0.2 if int(r["host"][1:]) < 5 else 0.0
+        assert abs(r["trustrank"] - want) < 1e-12, (r["host"], r["trustrank"])
+    assert stats["iterations"] == 1
+
+
 def test_incoming_anchor_profile_counts_and_tiebreak(spark):
     """top_anchor = most frequent; frequency ties break to the
     lexicographically smallest anchor; empty anchors and null dst_hosts
