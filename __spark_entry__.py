@@ -1237,6 +1237,39 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed change-frequency estimation (Cho & Garcia-Molina) over
+    planted capture histories: doc d gets 2+d%4 captures (d%5==0 docs
+    only 1 — the unobservable path), timestamps on a d-dependent
+    stride, digests stepping buckets every 1+d%3 captures so change
+    counts sweep 0..all. The DuckDB twin recomputes the FULL estimator
+    (lag window, null-safe pair changes, bias-corrected -ln rate,
+    revisit-interval floor) — a genuine relational twin."""
+    from document_extractor_spark.operators.frontier import (
+        change_rate_estimates)
+
+    d = F.col("doc_id")
+    k = F.when(d % 5 == 0, F.lit(1).cast("bigint")) \
+        .otherwise((d % 4 + 2).cast("bigint"))
+    staged = _docs(spark, sf_dir).select(
+        "doc_id", F.sequence(F.lit(0).cast("bigint"), k - 1).alias("_js"))
+    caps = staged.select("doc_id", F.explode_outer("_js").alias("_j")) \
+        .select(
+            F.concat(F.lit("https://example.org/"),
+                     d.cast("string")).alias("url"),
+            (d * 1000 + F.col("_j") * (100 + d % 7)).cast("bigint")
+            .alias("ts_epoch"),
+            F.md5(F.concat(d.cast("string"), F.lit("-"),
+                           F.floor(F.col("_j") / (1 + d % 3))
+                           .cast("string"))).alias("digest"))
+    # driver-compare rows sort by alphabetical column order — the
+    # UNIQUE key must sort first, so url→loc and change_rate→rate
+    # (nullable columns must never lead the sort)
+    return change_rate_estimates(caps).select(
+        F.col("url").alias("loc"), "n_captures", "n_changed", "span_sec",
+        F.col("change_rate").alias("rate"), "revisit_interval_sec")
+
+
 def q_calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram buckets over planted (score, label) pairs —
     integer-grid scores on [0,100) into 10 bins, label correlated with
@@ -2967,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_buckets": q_calibration_buckets,
         "containment_pairs": q_containment_pairs,
         "trustrank": q_trustrank,
+        "change_rates": q_change_rates,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -5361,6 +5395,49 @@ def oracle_sql() -> dict[str, str]:
                      AS host,
                    ROUND(1.0::DOUBLE / 37, 9) AS pagerank
             FROM documents
+        """,
+        # Cho & Garcia-Molina change-rate estimation: the twin
+        # regenerates the capture plant and recomputes the FULL
+        # estimator (lag window, null-safe change pairs, bias-corrected
+        # -ln rate, revisit floor) — a genuine relational twin.
+        "change_rates": """
+            WITH caps AS (
+              SELECT 'https://example.org/' || doc_id AS url,
+                     doc_id*1000 + j*(100 + doc_id%7) AS ts_epoch,
+                     md5(doc_id || '-' ||
+                         CAST(j // (1 + doc_id%3) AS VARCHAR)) AS digest
+              FROM (SELECT doc_id,
+                           unnest(range(0, CASE WHEN doc_id%5 = 0 THEN 1
+                                         ELSE 2 + doc_id%4 END)) AS j
+                    FROM documents)
+            ), p AS (
+              SELECT url, ts_epoch, digest,
+                     row_number() OVER w AS rn,
+                     lag(digest) OVER w AS prev
+              FROM caps
+              WINDOW w AS (PARTITION BY url
+                           ORDER BY ts_epoch ASC, digest ASC)
+            ), a AS (
+              SELECT url, COUNT(*) AS n_captures,
+                     CAST(SUM(CASE WHEN rn > 1
+                                    AND digest IS DISTINCT FROM prev
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                     MAX(ts_epoch) - MIN(ts_epoch) AS span_sec
+              FROM p GROUP BY url
+            )
+            SELECT url AS loc, n_captures, n_changed, span_sec,
+                   CASE WHEN n_captures > 1 THEN
+                     ROUND(-ln((n_captures - 1 - n_changed + 0.5)
+                               / (n_captures - 1 + 0.5)), 9)
+                   END AS rate,
+                   CASE WHEN n_captures > 1 AND n_changed > 0 THEN
+                     CAST(FLOOR((CAST(span_sec AS DOUBLE)
+                                 / (n_captures - 1))
+                          / ROUND(-ln((n_captures - 1 - n_changed + 0.5)
+                                      / (n_captures - 1 + 0.5)), 9))
+                          AS BIGINT)
+                   END AS revisit_interval_sec
+            FROM a
         """,
         # TrustRank planted fixture: seeds h0-h4 cycle among
         # themselves, every non-seed links INTO a seed → the teleport

@@ -341,7 +341,7 @@ HEADLINE_QUERIES = [
     "cdc_candidates", "vocab_coverage", "fim_transform",
     "extract_span_profile", "quality_by_source", "token_counts",
     "token_kl", "normalize_web_text", "table_cells", "pmi_collocations",
-    "span_corruption", "render_markdown", "trustrank",
+    "span_corruption", "render_markdown", "trustrank", "change_rates",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

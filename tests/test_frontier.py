@@ -100,3 +100,80 @@ def test_politeness_plan_jvm_only(spark):
     plan = spark.createDataFrame([("https://a.org/1",)], "url string")
     d = spark.createDataFrame([("a.org", 10)], "host string, delay_ms bigint")
     assert_no_python(politeness_schedule(plan, d))
+
+
+# ---------------------------------------------------------------------------
+# change_rate_estimates (Cho & Garcia-Molina)
+# ---------------------------------------------------------------------------
+
+
+def test_change_rate_counts_and_estimator(spark):
+    import math
+
+    from document_extractor_spark.operators.frontier import (
+        change_rate_estimates)
+
+    rows = [
+        # u1: 4 captures, digests a a b b → 1 change over 3 pairs,
+        # span 300s
+        ("u1", 1000, "a"), ("u1", 1100, "a"),
+        ("u1", 1200, "b"), ("u1", 1300, "b"),
+        # u2: 3 captures, never changes → rate exactly 0, revisit NULL
+        ("u2", 50, "x"), ("u2", 150, "x"), ("u2", 250, "x"),
+        # u3: single capture → nothing observable
+        ("u3", 10, "z"),
+        # u4: changes EVERY gap (2 pairs, 2 changes)
+        ("u4", 0, "p"), ("u4", 60, "q"), ("u4", 120, "r"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts_epoch bigint, digest string")
+    got = {r["url"]: r for r in change_rate_estimates(df).collect()}
+
+    r1 = got["u1"]
+    assert (r1["n_captures"], r1["n_changed"], r1["span_sec"]) == (4, 1, 300)
+    want = round(-math.log((3 - 1 + 0.5) / (3 + 0.5)), 9)
+    assert abs(r1["change_rate"] - want) < 1e-12
+    # expected seconds per change: (300/3) / r
+    assert r1["revisit_interval_sec"] == int((300 / 3) / want)
+
+    r2 = got["u2"]
+    assert r2["n_changed"] == 0 and r2["change_rate"] == 0.0
+    assert r2["revisit_interval_sec"] is None
+
+    r3 = got["u3"]
+    assert r3["n_captures"] == 1 and r3["change_rate"] is None
+    assert r3["revisit_interval_sec"] is None
+
+    r4 = got["u4"]
+    assert (r4["n_changed"], r4["span_sec"]) == (2, 120)
+    want4 = round(-math.log(0.5 / 2.5), 9)
+    assert abs(r4["change_rate"] - want4) < 1e-12
+
+
+def test_change_rate_null_digest_semantics(spark):
+    """NULL digests are data: NULL vs NULL is no change, NULL vs a
+    digest is a change — null-safe comparison, and a url whose FIRST
+    capture has a NULL digest must not count a phantom pair."""
+    from document_extractor_spark.operators.frontier import (
+        change_rate_estimates)
+
+    rows = [
+        ("n1", 0, None), ("n1", 10, None),          # no change
+        ("n2", 0, None), ("n2", 10, "a"),           # change
+        ("n3", 0, "a"), ("n3", 10, None), ("n3", 20, "a"),  # 2 changes
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts_epoch bigint, digest string")
+    got = {r["url"]: r["n_changed"]
+           for r in change_rate_estimates(df).collect()}
+    assert got == {"n1": 0, "n2": 1, "n3": 2}
+
+
+def test_change_rate_plan_is_jvm_only(spark):
+    from document_extractor_spark.operators.frontier import (
+        change_rate_estimates)
+    from document_extractor_spark.plans import assert_no_python
+
+    df = spark.createDataFrame(
+        [("u", 0, "d")], "url string, ts_epoch bigint, digest string")
+    assert_no_python(change_rate_estimates(df))
