@@ -1237,6 +1237,48 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (extracted-text conversion) ingest roundtrip: 48 planted
+    conversion records (urls, timestamps, texts all closed forms of
+    doc_id, non-ASCII included so UTF-8 decode itself is checked) are
+    written as two real WET archives — per-record-gzipped and plain,
+    each with a leading warcinfo record the type filter must skip —
+    ingested through ``read_wet_docs`` (binaryFile scan → streaming
+    record parser), and reduced to (url, warc_day, text). The oracle
+    restates every row from doc_id."""
+    import os
+    import shutil
+    import tempfile
+
+    from document_extractor_spark.sources.warc import (
+        build_wet,
+        read_wet_docs,
+    )
+
+    def rec(i: int):
+        return (f"https://h{i % 37}.example.org/wet/{i}",
+                f"2024-02-{10 + i % 2:02d}T09:{i % 60:02d}:00Z",
+                f"wet doc {i} café body {i % 5}")
+
+    recs = [rec(i) for i in range(48)]
+    base = tempfile.mkdtemp(prefix="sg_wet_rt_")
+    wet_dir = os.path.join(base, "wet")
+    os.makedirs(wet_dir)
+    with open(os.path.join(wet_dir, "seg-00000.warc.wet.gz"), "wb") as f:
+        f.write(build_wet(recs[:24], per_record_gzip=True))
+    with open(os.path.join(wet_dir, "seg-00001.warc.wet"), "wb") as f:
+        f.write(build_wet(recs[24:], per_record_gzip=False))
+    out = (
+        read_wet_docs(spark, wet_dir)
+        .select("url", "warc_day", "text")
+        # eager localCheckpoint so the temp archive dir can be deleted
+        # immediately (same leak-avoidance as q_warc_roundtrip)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed change-frequency estimation (Cho & Garcia-Molina) over
     planted capture histories: doc d gets 2+d%4 captures (d%5==0 docs
@@ -3001,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "trustrank": q_trustrank,
         "change_rates": q_change_rates,
+        "wet_roundtrip": q_wet_roundtrip,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4609,6 +4652,15 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
+        """,
+        "wet_roundtrip": """
+            SELECT 'https://h' || (doc_id % 37) || '.example.org/wet/'
+                     || doc_id AS url,
+                   '2024-02-' || lpad(CAST(10 + doc_id % 2 AS VARCHAR),
+                                      2, '0') AS warc_day,
+                   'wet doc ' || doc_id || ' café body ' || (doc_id % 5)
+                     AS text
+            FROM documents WHERE doc_id < 48
         """,
         # Bigram-LM perplexity: the same tokenizer as token_counts, the
         # same Laplace model math re-stated relationally; per-bigram

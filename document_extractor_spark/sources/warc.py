@@ -276,3 +276,115 @@ def warc_to_pages_table(spark: SparkSession, warc_path: str,
     df = read_warc_pages(spark, warc_path)
     (df.filter(F.col("warc_day").isNotNull())
        .write.mode("overwrite").partitionBy("warc_day").parquet(out_path))
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion) sibling — Common Crawl ships three
+# parallel archives per segment: WARC (responses), WAT (metadata), WET
+# (plain-text conversions). WET reuses the WARC container verbatim; the
+# records are ``WARC-Type: conversion`` with a text/plain body that IS
+# the extracted text (no HTTP envelope). Ingesting WET is how a
+# training-data pipeline bootstraps from Common Crawl's own extraction
+# before (or instead of) re-extracting raw HTML.
+# ---------------------------------------------------------------------------
+
+
+def iter_wet_docs(data: bytes):
+    """(url, warc_ts, text) for every ``conversion`` record of one WET
+    file's bytes — per-record-gzip and plain both handled; non-UTF-8
+    bytes are replaced, never raised (hostile archives are data)."""
+    if data[:2] == _GZIP_MAGIC:
+        records = (
+            rec
+            for member in _inflate_members(data)
+            for rec in _iter_warc_records(io.BytesIO(member))
+        )
+    else:
+        records = _iter_warc_records(io.BytesIO(data))
+    for h, body in records:
+        if h.get("warc-type") != "conversion":
+            continue
+        url = h.get("warc-target-uri")
+        if not url:
+            continue
+        yield url, _warc_ts(h), body.decode("utf-8", "replace")
+
+
+def read_wet_docs(spark: SparkSession, path: str) -> DataFrame:
+    """WET files → ``(url, warc_ts, text, warc_day)`` — the text-only
+    corpus table that feeds the dedup/curation tiers directly (no
+    extraction pass needed). Same scale shape as ``read_warc_pages``:
+    ``binaryFile`` row per archive, streaming Content-Length-framed
+    parser inside ``mapInPandas``, memory bounded by the largest
+    RECORD, bounded-slice yields."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("warc_day", T.StringType()),
+    ])
+    cols = [f.name for f in out_schema.fields]
+    max_rows, max_bytes = 1024, 64 << 20
+
+    def parse(batches):
+        rows, nbytes = [], 0
+        for pdf in batches:
+            for data in pdf["content"]:
+                for url, ts, text in iter_wet_docs(bytes(data)):
+                    rows.append({
+                        "url": url, "warc_ts": ts, "text": text,
+                        "warc_day": ts.strftime("%Y-%m-%d") if ts else None,
+                    })
+                    nbytes += len(text)
+                    if len(rows) >= max_rows or nbytes >= max_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse, out_schema)
+    )
+
+
+def build_wet(records, per_record_gzip: bool = True,
+              with_warcinfo: bool = True) -> bytes:
+    """Test/fixture writer: (url, iso_ts, text_str) → WET bytes in the
+    Common Crawl shape (``conversion`` records, text/plain bodies, one
+    gzip member per record when ``per_record_gzip``; a leading
+    ``warcinfo`` record like real WET files so type filtering is
+    exercised)."""
+    raw = []
+    if with_warcinfo:
+        info = b"software: document-extractor-spark fixture\r\n"
+        raw.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: " + str(len(info)).encode() + b"\r\n"
+            b"\r\n" + info + b"\r\n\r\n")
+    for url, iso_ts, text in records:
+        body = text.encode("utf-8")
+        raw.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + iso_ts.encode() + b"\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n" + body + b"\r\n\r\n")
+    out = bytearray()
+    for rec in raw:
+        if per_record_gzip:
+            gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += gz.compress(rec) + gz.flush()
+        else:
+            out += rec
+    return bytes(out)

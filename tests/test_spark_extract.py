@@ -474,3 +474,59 @@ def test_table_partition_values_other_partition_column(spark, tmp_path):
             ["2026-03-01", "2026-03-02"]
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_dtpart")
+
+
+def test_wet_roundtrip_unit():
+    """WET conversion records round-trip in both wire shapes; the
+    warcinfo record and hostile bytes yield no rows; non-UTF-8 body
+    bytes are replaced, never raised."""
+    from document_extractor_spark.sources.warc import (
+        build_wet,
+        iter_wet_docs,
+    )
+
+    recs = [
+        ("https://a.example/x", "2026-03-04T12:00:00Z",
+         "extracted text one café"),
+        ("https://b.example/y", "2026-03-05T08:30:00Z", "line1\nline2"),
+    ]
+    for gz in (True, False):
+        got = list(iter_wet_docs(build_wet(recs, per_record_gzip=gz)))
+        assert [(g[0], g[2]) for g in got] == \
+            [(r[0], r[2]) for r in recs]
+        assert got[1][1].strftime("%Y-%m-%d") == "2026-03-05"
+    assert list(iter_wet_docs(b"")) == []
+    assert list(iter_wet_docs(b"garbage")) == []
+    assert list(iter_wet_docs(build_wet(recs)[:30])) == []
+    # invalid UTF-8 in a conversion body: replaced, not raised
+    bad = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+           b"WARC-Target-URI: u\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"Content-Length: 3\r\n\r\n\xff\xfeA\r\n\r\n")
+    got = list(iter_wet_docs(bad))
+    assert len(got) == 1 and got[0][2].endswith("A")
+
+
+def test_wet_ingest_spark(spark, tmp_path):
+    """binaryFile → streaming WET parser → text-only corpus frame, both
+    wire shapes in one directory, warc_day derived per record."""
+    from document_extractor_spark.sources.warc import (
+        build_wet,
+        read_wet_docs,
+    )
+
+    wet_dir = tmp_path / "wets"
+    wet_dir.mkdir()
+    recs_a = [(f"https://h{i}.example/w/{i}", "2026-02-01T00:00:00Z",
+               f"wet body {i}") for i in range(10)]
+    recs_b = [(f"https://h{i}.example/w/{i}", "2026-02-02T00:00:00Z",
+               f"wet body {i}") for i in range(10, 16)]
+    (wet_dir / "seg-0.warc.wet.gz").write_bytes(
+        build_wet(recs_a, per_record_gzip=True))
+    (wet_dir / "seg-1.warc.wet").write_bytes(
+        build_wet(recs_b, per_record_gzip=False))
+    df = read_wet_docs(spark, str(wet_dir))
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 16
+    assert rows["https://h3.example/w/3"]["text"] == "wet body 3"
+    assert rows["https://h3.example/w/3"]["warc_day"] == "2026-02-01"
+    assert rows["https://h12.example/w/12"]["warc_day"] == "2026-02-02"
