@@ -1237,6 +1237,19 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring over the real corpus —
+    the smoothing upgrade over ``lm_perplexity``'s Laplace model. The
+    DuckDB twin recomputes the FULL KN estimator relationally (type
+    table, context totals + distinct continuations, continuation
+    counts, N1+(··), the exact interpolation expression) with the same
+    nano-nat fixed-point contract, so the two engines' ln AND float
+    composition are cross-checked per distinct bigram."""
+    from document_extractor_spark.operators.lm import kn_bigram_lm_scores
+
+    return kn_bigram_lm_scores(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET (extracted-text conversion) ingest roundtrip: 48 planted
     conversion records (urls, timestamps, texts all closed forms of
@@ -3044,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "change_rates": q_change_rates,
         "wet_roundtrip": q_wet_roundtrip,
+        "kn_perplexity": q_kn_perplexity,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4688,6 +4702,46 @@ def oracle_sql() -> dict[str, str]:
                      CAST(round(-ln((c_bg + 1) / (c_ctx + v.v)) * 1e9)
                           AS BIGINT) AS nll_nano
               FROM cb JOIN cc USING (w1), v),
+            scored AS (
+              SELECT occ.doc_id, sum(occ.occ_n) AS nb,
+                     sum(occ.occ_n * m.nll_nano) AS snn
+              FROM occ JOIN model m USING (w1, w2) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(s.snn AS BIGINT) AS sum_nll_nano,
+                   round(CAST(s.snn AS DOUBLE) / CAST(s.nb AS DOUBLE)
+                         / 1e9, 6) AS avg_nll
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # Interpolated Kneser-Ney bigram LM: full relational twin —
+        # the interpolation expression is stated with the EXACT
+        # association order of the Spark operator so every IEEE op
+        # matches: greatest(c-D,0)/ctx + (D*n1p_ctx/ctx)*(n1p_cont/NT).
+        "kn_perplexity": """
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+              FROM documents),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(tk[1:greatest(len(tk) - 1, 0)]) AS w1,
+                     unnest(tk[2:len(tk)]) AS w2
+              FROM t),
+            occ AS (SELECT doc_id, w1, w2, count(*) AS occ_n
+                    FROM pairs GROUP BY 1, 2, 3),
+            cb AS (SELECT w1, w2, sum(occ_n) AS c_bg FROM occ GROUP BY 1, 2),
+            cc AS (SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n1p_ctx
+                   FROM cb GROUP BY 1),
+            co AS (SELECT w2, count(*) AS n1p_cont FROM cb GROUP BY 1),
+            nt AS (SELECT count(*) AS nt FROM cb),
+            model AS (
+              SELECT cb.w1, cb.w2,
+                     CAST(round(-ln(
+                       greatest(c_bg - 0.75::DOUBLE, 0.0::DOUBLE) / c_ctx
+                       + (0.75::DOUBLE * n1p_ctx / c_ctx)
+                         * (n1p_cont / CAST(nt.nt AS DOUBLE))
+                     ) * 1e9) AS BIGINT) AS nll_nano
+              FROM cb JOIN cc USING (w1) JOIN co USING (w2), nt),
             scored AS (
               SELECT occ.doc_id, sum(occ.occ_n) AS nb,
                      sum(occ.occ_n * m.nll_nano) AS snn

@@ -297,3 +297,87 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
             ).alias("max_avg_nll"),
         )
     )
+
+
+def kn_bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        discount: float = 0.75) -> DataFrame:
+    """Score every document under an interpolated Kneser-Ney bigram LM
+    trained on the corpus itself — the standard upgrade over
+    :func:`bigram_lm_scores`' Laplace smoothing (Laplace over-taxes
+    frequent contexts and ignores continuation diversity; KN is what
+    kenlm/CCNet actually ship). For each bigram occurrence::
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+                 + (D · N1+(w1·) / c(w1·)) · (N1+(·w2) / N1+(··))
+
+    with absolute discount ``D`` (default 0.75 — exactly representable,
+    so the cross-engine float recipe holds), ``N1+(w1·)`` the distinct
+    continuations of the context, ``N1+(·w2)`` the distinct contexts
+    the word continues (the "novel-continuation" probability that makes
+    KN work), ``N1+(··)`` total distinct bigram types.
+
+    Same output shape and fixed-point contract as
+    :func:`bigram_lm_scores`: ``(id, n_bigrams, sum_nll_nano,
+    avg_nll)``, per-bigram ``round(-ln(P)·1e9)`` BIGINTs summed
+    exactly; the only float math per distinct bigram is ONE fixed
+    composition of IEEE ops + one ``ln``, identical in the DuckDB twin.
+
+    Scale shape: everything derives from the ``(w1, w2, c_bg)`` type
+    table (vocabulary², not corpus, scale) — context totals and
+    continuation counts are two map-side-combinable aggregations over
+    it; ``N1+(··)`` is the one driver-side scalar (same metadata budget
+    as Laplace's V). Scoring reuses the per-document distinct-bigram
+    aggregate, so document text never moves.
+    """
+    D = float(discount)
+    if not 0.0 <= D < 1.0:
+        raise ValueError(f"discount must be in [0, 1), got {discount}")
+    occ = _bigram_occurrences(df, id_col, text_col)
+    occ.persist()
+    c_bg = occ.groupBy("w1", "w2").agg(F.sum("occ_n").alias("c_bg"))
+    c_bg.persist()
+    ctx = c_bg.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1p_ctx"),
+    )
+    cont = c_bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_cont"))
+    n_types = c_bg.count()
+    p = (
+        F.greatest(F.col("c_bg").cast("double") - F.lit(D), F.lit(0.0))
+        / F.col("c_ctx").cast("double")
+        + (F.lit(D) * F.col("n1p_ctx").cast("double")
+           / F.col("c_ctx").cast("double"))
+        * (F.col("n1p_cont").cast("double") / F.lit(float(n_types or 1)))
+    )
+    model = (
+        c_bg.join(ctx, "w1").join(cont, "w2")
+        .select(
+            "w1", "w2",
+            F.round(-F.log(p) * F.lit(float(NANO)), 0)
+            .cast("long").alias("nll_nano"),
+        )
+    )
+    scored = (
+        occ.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ_n").alias("n_bigrams"),
+            F.sum(F.col("occ_n") * F.col("nll_nano")).alias("sum_nll_nano"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "sum_nll_nano",
+            F.round(
+                F.col("sum_nll_nano").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(float(NANO)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

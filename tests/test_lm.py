@@ -166,3 +166,67 @@ def test_lm_plan_no_python_and_narrow_exchanges(spark):
     for line in physical_plan(out2).splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney
+# ---------------------------------------------------------------------------
+
+
+def test_kn_bigram_closed_form(spark):
+    """Hand-computed interpolated KN on a 2-type corpus:
+    c(a,b)=3, c(b,a)=1; ctx a: (c_ctx 3, N1+ 1); ctx b: (1, 1);
+    cont a: N1+ 1, cont b: N1+ 1; N1+(··)=2.
+      P(b|a) = (3-.75)/3 + (.75·1/3)·(1/2) = 0.875
+      P(a|b) = (1-.75)/1 + (.75·1/1)·(1/2) = 0.625
+    """
+    import math
+
+    from document_extractor_spark.operators.lm import kn_bigram_lm_scores
+
+    nano_ab = round(-math.log(0.875) * 1e9)
+    nano_ba = round(-math.log(0.625) * 1e9)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, ""), (5, None)],
+        "doc_id int, text string",
+    )
+    out = _by_id(kn_bigram_lm_scores(docs))
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_nll_nano"] == 2 * nano_ab + nano_ba
+    assert out[2]["sum_nll_nano"] == nano_ab
+    assert out[2]["avg_nll"] == pytest.approx(
+        round(nano_ab / 1e9, 6), abs=1e-9)
+    for i in (3, 4, 5):
+        assert out[i]["n_bigrams"] == 0
+        assert out[i]["sum_nll_nano"] is None
+
+
+def test_kn_favors_diverse_continuations(spark):
+    """The defining KN property: a word seen after MANY distinct
+    contexts gets more continuation mass than an equally-frequent word
+    welded to one context. 'york' occurs 4× but only ever after 'new';
+    'the' occurs 4× after 4 different contexts — in a fresh bigram
+    (context 'q' has both continuations once), P(the|q) > P(york|q)."""
+    from document_extractor_spark.operators.lm import kn_bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york new york new york"),
+         (2, "a the b the c the d the"),
+         (3, "q the q york")],
+        "doc_id int, text string",
+    )
+    # isolate the two bigrams via single-bigram probe docs instead of
+    # reaching into the model table: same context q, same c_bg=1 — only
+    # the continuation counts differ; lower nll == higher probability
+    probe = spark.createDataFrame(
+        [(101, "q the"), (102, "q york")], "doc_id int, text string")
+    out = _by_id(kn_bigram_lm_scores(docs.unionByName(probe)))
+    assert out[101]["sum_nll_nano"] < out[102]["sum_nll_nano"]
+
+
+def test_kn_discount_guard(spark):
+    from document_extractor_spark.operators.lm import kn_bigram_lm_scores
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="discount"):
+        kn_bigram_lm_scores(docs, discount=1.0)
