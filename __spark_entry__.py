@@ -1237,6 +1237,35 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_blocked_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-term gate over the real corpus with planted hits: docs
+    d%3==0 carry one plain blocklisted token, d%5==0 one
+    Cyrillic-а-obfuscated spelling (matched only because fold=True),
+    d%7==0 two more — so n_hits sweeps 0..4 and the max_hits=1
+    density threshold splits keeps both ways. The oracle states the
+    arithmetic closed form."""
+    from document_extractor_spark.operators.curation import (
+        term_blocklist_filter)
+
+    d = F.col("doc_id")
+    k = (d % 4).cast("string")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(F.lit(" zzban"), k))
+            .otherwise(F.lit("")),
+            # Cyrillic а — matches only through confusables folding
+            F.when(d % 5 == 0, F.concat(F.lit(" zzbаn"), k))
+            .otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" zzban1 zzban1"))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    terms = spark.range(4).select(
+        F.concat(F.lit("zzban"), F.col("id").cast("string")).alias("term"))
+    return term_blocklist_filter(planted, terms, max_hits=1, fold=True)
+
+
 def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring over the real corpus —
     the smoothing upgrade over ``lm_perplexity``'s Laplace model. The
@@ -3058,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rates": q_change_rates,
         "wet_roundtrip": q_wet_roundtrip,
         "kn_perplexity": q_kn_perplexity,
+        "blocked_terms": q_blocked_terms,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4712,6 +4742,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s.snn AS DOUBLE) / CAST(s.nb AS DOUBLE)
                          / 1e9, 6) AS avg_nll
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # Banned-term gate: planted-hit closed form (the fold path is
+        # exercised because the d%5 plant only matches through
+        # confusables folding).
+        "blocked_terms": """
+            SELECT doc_id,
+                   CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   ((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)) <= 1
+                     AS keep
+            FROM documents
         """,
         # Interpolated Kneser-Ney bigram LM: full relational twin —
         # the interpolation expression is stated with the EXACT

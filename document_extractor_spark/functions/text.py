@@ -281,3 +281,53 @@ def winnow_fingerprints_df(df, text_col: str = "text", k: int = 8,
         .withColumn(out_col, _winnow_mins(F.col("_wn_grams"), w))
     )
     return staged.drop("_wn_norm", "_wn_grams")
+
+
+# ---------------------------------------------------------------------------
+# Unicode confusables folding (spam/evasion normalization)
+# ---------------------------------------------------------------------------
+
+# Curated single-codepoint confusable → ASCII map (the high-traffic
+# subset of Unicode TR39's confusables table: Cyrillic and Greek
+# letters visually identical to Latin in common fonts, plus the
+# fullwidth Latin/digit block). Single codepoints only — that is what
+# `translate` folds in one pass in BOTH engines (Spark
+# org.apache.spark.sql.functions.translate and DuckDB translate are
+# codepoint-wise). Deliberately conservative: only glyphs a human
+# cannot distinguish at body-text size; leetspeak (1→l, 0→o) is NOT
+# here — digits are legitimate text, folding them corrupts real
+# content.
+_CYR = {
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "у": "y",
+    "х": "x", "і": "i", "ѕ": "s", "ј": "j", "ԛ": "q", "ѵ": "v",
+    "ԝ": "w",
+    "А": "A", "В": "B", "Е": "E", "К": "K", "М": "M", "Н": "H",
+    "О": "O", "Р": "P", "С": "C", "Т": "T", "Х": "X", "У": "Y",
+    "Ѕ": "S", "І": "I", "Ј": "J",
+}
+_GRK = {
+    "ο": "o", "ν": "v", "υ": "u",
+    "Α": "A", "Β": "B", "Ε": "E", "Ζ": "Z", "Η": "H", "Ι": "I",
+    "Κ": "K", "Μ": "M", "Ν": "N", "Ο": "O", "Ρ": "P", "Τ": "T",
+    "Υ": "Y", "Χ": "X",
+}
+_FULLWIDTH = {
+    chr(0xFF01 + i): chr(0x21 + i) for i in range(0x5E)  # ！..～ → !..~
+}
+
+_CONF_MAP = {**_CYR, **_GRK, **_FULLWIDTH}
+CONFUSABLES_FROM = "".join(_CONF_MAP.keys())
+CONFUSABLES_TO = "".join(_CONF_MAP.values())
+assert len(CONFUSABLES_FROM) == len(CONFUSABLES_TO)
+
+
+def fold_confusables(col) -> Column:
+    """Fold visually-confusable codepoints to their ASCII targets — the
+    normalization that makes token blocklists robust to the classic
+    evasion of swapping a Latin letter for its Cyrillic/Greek/fullwidth
+    twin. One ``translate`` call: JVM-side, codepoint-wise, zero-copy
+    for pure-ASCII strings. Oracle twin: DuckDB ``translate`` with the
+    identical FROM/TO literals (exported as ``CONFUSABLES_FROM/TO`` so
+    the SQL is generated from the same Python constant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, CONFUSABLES_FROM, CONFUSABLES_TO)

@@ -826,3 +826,62 @@ def assign_splits(docs: DataFrame, splits: dict | None = None,
     for name, hi in reversed(bounds):
         expr = F.when(h < F.lit(hi), F.lit(name)).otherwise(expr)
     return docs.withColumn("split", expr)
+
+
+def term_blocklist_filter(docs: DataFrame, terms: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hits: int = 0,
+                          fold: bool = False) -> DataFrame:
+    """Banned-term document filtering — the C4/RefinedWeb "contains a
+    blocked word" gate, with the term list a CALLER parameter (the
+    published lists are external content; this engine ships the
+    mechanism, not the list). Returns one row per document:
+    ``(id, n_hits, keep)`` where ``n_hits`` counts token occurrences of
+    blocklisted terms and ``keep = n_hits <= max_hits`` (``max_hits``
+    0 is the C4 any-hit drop; > 0 is the density-tolerant variant — a
+    medical page mentioning one anatomical term survives, a spam page
+    repeating it forty times does not).
+
+    ``fold=True`` folds Unicode confusables (``fold_confusables``) in
+    BOTH the document tokens and the term list before matching, so the
+    classic evasion — swap one Latin letter for its Cyrillic twin —
+    still matches. Terms are matched at token granularity (the same
+    lowercased whitespace tokenizer as every token-level operator);
+    multi-token phrases belong to the 13-gram decontamination machinery
+    instead.
+
+    Scale shape: documents explode to narrow ``(id, tok)`` rows (text
+    never shuffles); the term list is curated-blocklist-sized (KBs-MBs)
+    and broadcast, so the match is a map-side hash join; hits aggregate
+    map-side-combined on the id key; the verdict joins back to the id
+    projection. NULL text ⇒ zero tokens ⇒ kept (nothing to judge — the
+    length gates elsewhere decide empty docs).
+    """
+    from ..functions.text import exploded_tokens, fold_confusables
+
+    if max_hits < 0:
+        raise ValueError(f"max_hits must be >= 0, got {max_hits}")
+    t = terms.select(
+        F.lower(F.col(terms.columns[0])).alias("_term")).distinct()
+    toks = exploded_tokens(docs, id_col, text_col)
+    if fold:
+        t = t.select(fold_confusables(F.col("_term")).alias("_term")) \
+             .distinct()
+        toks = toks.select(F.col(id_col),
+                           fold_confusables(F.col("tok")).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(t), toks.tok == F.col("_term"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("_hits", F.lit(0)) <= F.lit(int(max_hits)))
+            .alias("keep"),
+        )
+    )

@@ -852,3 +852,85 @@ def test_assign_splits_plan_no_shuffle(spark):
     out = assign_splits(df)
     assert_no_python(out)
     assert "Exchange" not in physical_plan(out)
+
+
+# ---------------------------------------------------------------------------
+# term_blocklist_filter + confusables folding
+# ---------------------------------------------------------------------------
+
+
+def test_term_blocklist_counts_and_threshold(spark):
+    from document_extractor_spark.operators.curation import (
+        term_blocklist_filter)
+
+    docs = spark.createDataFrame(
+        [(1, "clean words only here"),
+         (2, "one BADX in caps"),            # tokenizer lowercases
+         (3, "badx badx badx repeated"),
+         (4, None),
+         (5, "")],
+        "doc_id int, text string")
+    terms = spark.createDataFrame([("badx",), ("BADY",)], "term string")
+    got = {r["doc_id"]: r for r in
+           term_blocklist_filter(docs, terms).collect()}
+    assert (got[1]["n_hits"], got[1]["keep"]) == (0, True)
+    assert (got[2]["n_hits"], got[2]["keep"]) == (1, False)
+    assert (got[3]["n_hits"], got[3]["keep"]) == (3, False)
+    # NULL/empty text: nothing to judge, kept
+    assert got[4]["keep"] and got[5]["keep"]
+    # density-tolerant variant: one mention survives, three do not
+    got2 = {r["doc_id"]: r["keep"] for r in
+            term_blocklist_filter(docs, terms, max_hits=1).collect()}
+    assert got2[2] is True and got2[3] is False
+
+
+def test_term_blocklist_confusables_fold(spark):
+    """Cyrillic-а obfuscation matches only with fold=True — and folding
+    applies to the TERM side too (a blocklist curated with a stray
+    homoglyph still works)."""
+    from document_extractor_spark.operators.curation import (
+        term_blocklist_filter)
+
+    docs = spark.createDataFrame(
+        [(1, "try bаdx now"),        # Cyrillic а inside badx
+         (2, "try badx now")],       # plain
+        "doc_id int, text string")
+    terms = spark.createDataFrame([("badx",)], "term string")
+    plain = {r["doc_id"]: r["n_hits"] for r in
+             term_blocklist_filter(docs, terms).collect()}
+    assert plain == {1: 0, 2: 1}
+    folded = {r["doc_id"]: r["n_hits"] for r in
+              term_blocklist_filter(docs, terms, fold=True).collect()}
+    assert folded == {1: 1, 2: 1}
+    # homoglyph on the term side
+    terms_cyr = spark.createDataFrame([("bаdx",)], "term string")
+    folded2 = {r["doc_id"]: r["n_hits"] for r in
+               term_blocklist_filter(docs, terms_cyr, fold=True).collect()}
+    assert folded2 == {1: 1, 2: 1}
+
+
+def test_fold_confusables_fullwidth_and_identity(spark):
+    import pyspark.sql.functions as SF
+
+    from document_extractor_spark.functions.text import fold_confusables
+
+    df = spark.createDataFrame(
+        [("ＦＲＥＥ ｏｆｆｅｒ！",), ("plain ascii",)], "t string")
+    got = [r[0] for r in
+           df.select(fold_confusables(SF.col("t"))).collect()]
+    assert got[0] == "FREE offer!"
+    assert got[1] == "plain ascii"
+
+
+def test_term_blocklist_plan_and_guard(spark):
+    import pytest
+
+    from document_extractor_spark.operators.curation import (
+        term_blocklist_filter)
+    from document_extractor_spark.plans import assert_no_python
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    terms = spark.createDataFrame([("x",)], "term string")
+    assert_no_python(term_blocklist_filter(docs, terms, fold=True))
+    with pytest.raises(ValueError, match="max_hits"):
+        term_blocklist_filter(docs, terms, max_hits=-1)
