@@ -1237,6 +1237,28 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Church sentence alignment over planted bitext pairs: doc d
+    becomes a pair of 2+d%4 sentences with IDENTICAL char lengths on
+    both sides, so the optimal alignment is the all-1-1 diagonal and
+    every bead costs exactly -ln(0.89) (the length model contributes 0
+    at delta=0) — the closed form the oracle states. Non-trivial
+    alignments (2-1 merges, insertions, DP-vs-bruteforce optimality)
+    are pytest-verified."""
+    from document_extractor_spark.operators.bitext import gale_church_align
+
+    d = F.col("doc_id")
+    sents = F.transform(
+        F.sequence(F.lit(0), (d % 4 + 1).cast("int")),
+        lambda i: F.repeat(F.lit("a"), (F.lit(10) + F.lit(5) * i)
+                           .cast("int")))
+    planted = _docs(spark, sf_dir).select(
+        d.alias("pair_id"),
+        sents.alias("src_sents"),
+        sents.alias("tgt_sents"))
+    return gale_church_align(planted)
+
+
 def q_blocked_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banned-term gate over the real corpus with planted hits: docs
     d%3==0 carry one plain blocklisted token, d%5==0 one
@@ -3088,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "kn_perplexity": q_kn_perplexity,
         "blocked_terms": q_blocked_terms,
+        "sentence_align": q_sentence_align,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4742,6 +4765,19 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s.snn AS DOUBLE) / CAST(s.nb AS DOUBLE)
                          / 1e9, 6) AS avg_nll
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # Gale-Church alignment: equal-length plant → all-1-1 diagonal
+        # at the category-prior cost exactly (length evidence is 0 at
+        # delta=0).
+        "sentence_align": """
+            SELECT doc_id AS pair_id,
+                   CAST(j AS INT) AS align_idx,
+                   CAST(j AS INT) AS src_start, CAST(1 AS INT) AS src_n,
+                   CAST(j AS INT) AS tgt_start, CAST(1 AS INT) AS tgt_n,
+                   CAST(round(-ln(0.89::DOUBLE) * 1000) AS BIGINT)
+                     AS cost_milli
+            FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS j
+                  FROM documents)
         """,
         # Banned-term gate: planted-hit closed form (the fold path is
         # exercised because the d%5 plant only matches through

@@ -342,7 +342,7 @@ HEADLINE_QUERIES = [
     "extract_span_profile", "quality_by_source", "token_counts",
     "token_kl", "normalize_web_text", "table_cells", "pmi_collocations",
     "span_corruption", "render_markdown", "trustrank", "change_rates",
-    "wet_roundtrip", "kn_perplexity", "blocked_terms",
+    "wet_roundtrip", "kn_perplexity", "blocked_terms", "sentence_align",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N
