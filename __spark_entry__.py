@@ -1237,6 +1237,50 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT (metadata) ingest roundtrip completing the Common Crawl
+    triple: 48 planted metadata records (title and 1+d%3 outlinks, all
+    closed forms of doc_id) written as two real WAT archives (gzip +
+    plain wire shapes), ingested through ``read_wat_meta`` (Python does
+    record framing only; title/links extraction is JVM
+    get_json_object/from_json), reduced to (url, warc_day, title,
+    n_links, links_joined)."""
+    import os
+    import shutil
+    import tempfile
+
+    from document_extractor_spark.sources.warc import (
+        build_wat,
+        read_wat_meta,
+    )
+
+    def rec(i: int):
+        return (f"https://h{i % 37}.example.org/wat/{i}",
+                f"2024-03-{10 + i % 2:02d}T09:{i % 60:02d}:00Z",
+                f"Title {i} café",
+                [f"https://l{j}.example/{i}" for j in range(1 + i % 3)])
+
+    recs = [rec(i) for i in range(48)]
+    base = tempfile.mkdtemp(prefix="sg_wat_rt_")
+    wat_dir = os.path.join(base, "wat")
+    os.makedirs(wat_dir)
+    with open(os.path.join(wat_dir, "seg-00000.warc.wat.gz"), "wb") as f:
+        f.write(build_wat(recs[:24], per_record_gzip=True))
+    with open(os.path.join(wat_dir, "seg-00001.warc.wat"), "wb") as f:
+        f.write(build_wat(recs[24:], per_record_gzip=False))
+    out = (
+        read_wat_meta(spark, wat_dir)
+        .select(
+            "url", "warc_day", "title",
+            F.size("link_urls").alias("n_links"),
+            F.array_join("link_urls", " ").alias("links_joined"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gale-Church sentence alignment over planted bitext pairs: doc d
     becomes a pair of 2+d%4 sentences with IDENTICAL char lengths on
@@ -3111,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": q_kn_perplexity,
         "blocked_terms": q_blocked_terms,
         "sentence_align": q_sentence_align,
+        "wat_roundtrip": q_wat_roundtrip,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4719,6 +4764,23 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
+        """,
+        "wat_roundtrip": """
+            SELECT 'https://h' || (doc_id % 37) || '.example.org/wat/'
+                     || doc_id AS url,
+                   '2024-03-' || lpad(CAST(10 + doc_id % 2 AS VARCHAR),
+                                      2, '0') AS warc_day,
+                   'Title ' || doc_id || ' café' AS title,
+                   CAST(1 + doc_id % 3 AS INT) AS n_links,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'https://l0.example/' || doc_id
+                     WHEN 1 THEN 'https://l0.example/' || doc_id
+                       || ' https://l1.example/' || doc_id
+                     ELSE 'https://l0.example/' || doc_id
+                       || ' https://l1.example/' || doc_id
+                       || ' https://l2.example/' || doc_id
+                   END AS links_joined
+            FROM documents WHERE doc_id < 48
         """,
         "wet_roundtrip": """
             SELECT 'https://h' || (doc_id % 37) || '.example.org/wet/'

@@ -388,3 +388,126 @@ def build_wet(records, per_record_gzip: bool = True,
         else:
             out += rec
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata) sibling — the third member of the Common Crawl triple
+# (WARC responses / WAT metadata / WET text). WAT records are
+# ``WARC-Type: metadata`` whose body is a JSON envelope describing the
+# corresponding response: HTML head metadata, outlink list, HTTP
+# headers. Ingesting WAT is how a pipeline gets titles + link graphs
+# WITHOUT touching the raw payload archive — at Common Crawl scale the
+# WAT files are ~1/5 the bytes of the WARCs.
+# ---------------------------------------------------------------------------
+
+_WAT_META_PATH = ("$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+                  ".HTML-Metadata")
+
+
+def iter_wat_records(data: bytes):
+    """(url, warc_ts, json_str) for every ``metadata`` record of one
+    WAT file's bytes — record framing only; the JSON stays a string so
+    all field extraction happens JVM-side downstream."""
+    if data[:2] == _GZIP_MAGIC:
+        records = (
+            rec
+            for member in _inflate_members(data)
+            for rec in _iter_warc_records(io.BytesIO(member))
+        )
+    else:
+        records = _iter_warc_records(io.BytesIO(data))
+    for h, body in records:
+        if h.get("warc-type") != "metadata":
+            continue
+        url = h.get("warc-target-uri")
+        if not url:
+            continue
+        yield url, _warc_ts(h), body.decode("utf-8", "replace")
+
+
+def read_wat_meta(spark: SparkSession, path: str) -> DataFrame:
+    """WAT files → ``(url, warc_ts, warc_day, title, link_urls)`` —
+    page-head metadata and the outlink list straight from the crawl's
+    own metadata archive. The Python kernel does record FRAMING only
+    (Content-Length walk, one record in memory); every JSON field
+    extraction is JVM-side (``get_json_object`` + PERMISSIVE
+    ``from_json`` on the links array — malformed envelopes yield NULL
+    fields, never task failures)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    raw_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("wat_json", T.StringType()),
+        T.StructField("warc_day", T.StringType()),
+    ])
+    cols = [f.name for f in raw_schema.fields]
+    max_rows, max_bytes = 1024, 64 << 20
+
+    def parse(batches):
+        rows, nbytes = [], 0
+        for pdf in batches:
+            for data in pdf["content"]:
+                for url, ts, js in iter_wat_records(bytes(data)):
+                    rows.append({
+                        "url": url, "warc_ts": ts, "wat_json": js,
+                        "warc_day": ts.strftime("%Y-%m-%d") if ts else None,
+                    })
+                    nbytes += len(js)
+                    if len(rows) >= max_rows or nbytes >= max_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wat*")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse, raw_schema)
+    )
+    links_json = F.get_json_object(
+        "wat_json", _WAT_META_PATH + ".Links")
+    links = F.from_json(links_json, "array<struct<url:string>>")
+    return raw.select(
+        "url", "warc_ts", "warc_day",
+        F.get_json_object("wat_json", _WAT_META_PATH + ".Head.Title")
+        .alias("title"),
+        F.filter(
+            F.transform(F.coalesce(links, F.array()), lambda x: x["url"]),
+            lambda u: u.isNotNull(),
+        ).alias("link_urls"),
+    )
+
+
+def build_wat(records, per_record_gzip: bool = True) -> bytes:
+    """Test/fixture writer: (url, iso_ts, title, link_urls) → WAT bytes
+    in the Common Crawl shape (``metadata`` records, JSON envelope with
+    Head.Title and the Links array)."""
+    import json
+
+    out = bytearray()
+    for url, iso_ts, title, link_urls in records:
+        env = {"Envelope": {"Payload-Metadata": {
+            "HTTP-Response-Metadata": {"HTML-Metadata": {
+                "Head": {"Title": title},
+                "Links": [{"path": "A@/href", "url": u}
+                          for u in link_urls],
+            }}}}}
+        body = json.dumps(env, ensure_ascii=False).encode("utf-8")
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: metadata\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + iso_ts.encode() + b"\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n" + body + b"\r\n\r\n")
+        if per_record_gzip:
+            gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += gz.compress(rec) + gz.flush()
+        else:
+            out += rec
+    return bytes(out)

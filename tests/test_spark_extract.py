@@ -530,3 +530,39 @@ def test_wet_ingest_spark(spark, tmp_path):
     assert rows["https://h3.example/w/3"]["text"] == "wet body 3"
     assert rows["https://h3.example/w/3"]["warc_day"] == "2026-02-01"
     assert rows["https://h12.example/w/12"]["warc_day"] == "2026-02-02"
+
+
+def test_wat_ingest_spark(spark, tmp_path):
+    """WAT metadata archives → (title, link_urls) rows; JSON field
+    extraction is JVM-side; malformed envelopes yield NULL fields, not
+    failures."""
+    from document_extractor_spark.sources.warc import (
+        build_wat,
+        read_wat_meta,
+    )
+
+    wat_dir = tmp_path / "wats"
+    wat_dir.mkdir()
+    recs = [
+        ("https://a.example/1", "2026-02-01T00:00:00Z", "Title Ünï",
+         ["https://x.example/", "https://y.example/"]),
+        ("https://b.example/2", "2026-02-02T00:00:00Z", "Plain",
+         []),
+    ]
+    (wat_dir / "seg-0.warc.wat.gz").write_bytes(
+        build_wat(recs, per_record_gzip=True))
+    # a hostile metadata record whose body is not the expected envelope
+    bad = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+           b"WARC-Target-URI: https://c.example/3\r\n"
+           b"WARC-Date: 2026-02-03T00:00:00Z\r\n"
+           b"Content-Length: 9\r\n\r\nnot json!\r\n\r\n")
+    (wat_dir / "seg-1.warc.wat").write_bytes(bad)
+    rows = {r["url"]: r for r in read_wat_meta(spark, str(wat_dir)).collect()}
+    assert len(rows) == 3
+    assert rows["https://a.example/1"]["title"] == "Title Ünï"
+    assert rows["https://a.example/1"]["link_urls"] == [
+        "https://x.example/", "https://y.example/"]
+    assert rows["https://a.example/1"]["warc_day"] == "2026-02-01"
+    assert rows["https://b.example/2"]["link_urls"] == []
+    assert rows["https://c.example/3"]["title"] is None
+    assert rows["https://c.example/3"]["link_urls"] == []
