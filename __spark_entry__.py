@@ -1237,6 +1237,34 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_template_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-template mining through the REAL block-profile kernel:
+    planted pages whose skeleton (h1 + 2..4 <p> blocks) is a pure
+    function of doc_id%3, hosts of doc_id%37 — so each host's template
+    histogram is modular arithmetic the relational oracle recomputes
+    without needing the classifier (the skeleton is known by
+    construction; the kernel's own classification is oracle-checked
+    elsewhere via block_profile/extract_roundtrip)."""
+    from document_extractor_spark.operators.blocks import (
+        block_profile,
+        template_profile,
+    )
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    para = "<p>five words are here now</p>"
+    body = F.concat(
+        F.lit("<html><body><h1>Title "), did, F.lit("</h1>"),
+        F.lit(para * 2),
+        F.when(d % 3 >= 1, F.lit(para)).otherwise(F.lit("")),
+        F.when(d % 3 == 2, F.lit(para)).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (d % 37).cast("string"),
+                 F.lit(".example.org/t/"), did).alias("url"),
+        body.cast("binary").alias("html"))
+    return template_profile(block_profile(pages))
+
+
 def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT (metadata) ingest roundtrip completing the Common Crawl
     triple: 48 planted metadata records (title and 1+d%3 outlinks, all
@@ -3156,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_terms": q_blocked_terms,
         "sentence_align": q_sentence_align,
         "wat_roundtrip": q_wat_roundtrip,
+        "template_farms": q_template_farms,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4764,6 +4793,20 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
+        """,
+        # Template mining: skeleton = f(doc_id%3) by construction, so
+        # the host histogram is pure modular arithmetic.
+        "template_farms": """
+            WITH pages AS (
+              SELECT 'h' || (doc_id % 37) || '.example.org' AS host,
+                     doc_id % 3 AS tpl
+              FROM documents),
+            t AS (SELECT host, tpl, count(*) AS c FROM pages GROUP BY 1, 2)
+            SELECT host, CAST(sum(c) AS BIGINT) AS n_pages,
+                   CAST(count(*) AS BIGINT) AS n_templates,
+                   CAST(max(c) AS BIGINT) AS top_template_pages,
+                   max(c) * 1000000 // sum(c) AS template_share_ppm
+            FROM t GROUP BY host
         """,
         "wat_roundtrip": """
             SELECT 'https://h' || (doc_id % 37) || '.example.org/wat/'

@@ -84,3 +84,57 @@ def block_profile(pages: DataFrame,
     narrow = pages.select("url", "html")
     return narrow.mapInPandas(
         lambda it: _profile_map(it, cap_bytes), schema=BLOCK_SCHEMA)
+
+
+def template_profile(blocks: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host DOM-template mining over :func:`block_profile` rows —
+    the structural twin of ``host_dup_stats`` (that one catches hosts
+    whose TEXT repeats; this one catches hosts whose PAGE SKELETON
+    repeats: auto-generated listing farms, tag/category archives,
+    parked-domain templates — pages that are structurally one template
+    with slot-filled text, a classic low-value-corpus signal).
+
+    A page's skeleton is the md5 of its document-order flattened block
+    tag sequence; output per host: ``(host, n_pages, n_templates,
+    top_template_pages, template_share_ppm)`` — a host with thousands
+    of pages and template_share_ppm near 1e6 is a template farm.
+
+    Scale shape: skeletons aggregate narrow ``(url, block_idx, tag)``
+    rows (never block text) into one md5 per page; the host rollup
+    shuffles only (host, 16-byte skeleton) pairs — host-scale keys,
+    map-side combined. Pages whose profile row is a ``parse_error``
+    carry no blocks and are excluded (no skeleton to judge). The ppm
+    share is exact integer division, engine-identical.
+    """
+    from pyspark.sql import functions as F
+
+    from .extract import host_col
+
+    valid = blocks.where(
+        F.col("parse_error").isNull() & F.col("block_idx").isNotNull())
+    sk = (
+        valid.select(F.col(url_col).alias("url"), "block_idx", "tag")
+        .groupBy("url")
+        .agg(
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("block_idx", "tag"))),
+                    lambda s: s["tag"],
+                ), " ")).alias("_skel"))
+        .select(host_col(F.col("url")).alias("host"), "_skel")
+    )
+    t = sk.groupBy("host", "_skel").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        t.groupBy("host")
+        .agg(
+            F.sum("_c").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_templates"),
+            F.max("_c").alias("top_template_pages"),
+        )
+        .select(
+            "host", "n_pages", "n_templates", "top_template_pages",
+            F.expr("top_template_pages * 1000000 DIV n_pages")
+            .alias("template_share_ppm"),
+        )
+    )
