@@ -1237,6 +1237,21 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton layout keys over a planted 2-D grid (x = d%256,
+    y = 7d%256, bits=8): the oracle restates the identical interleave
+    bit algebra in SQL, so the key every row-group would be range-
+    sorted by at write time is engine-exact."""
+    from document_extractor_spark.operators.layout import with_zorder_key
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        (d % 256).cast("int").alias("x"),
+        ((d * 7) % 256).cast("int").alias("y"))
+    return with_zorder_key(planted, ["x", "y"], bits=8)
+
+
 def q_template_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-template mining through the REAL block-profile kernel:
     planted pages whose skeleton (h1 + 2..4 <p> blocks) is a pure
@@ -3185,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_align": q_sentence_align,
         "wat_roundtrip": q_wat_roundtrip,
         "template_farms": q_template_farms,
+        "zorder_keys": q_zorder_keys,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4792,6 +4808,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
+            FROM documents
+        """,
+        # Morton key: identical interleave bit algebra in SQL.
+        "zorder_keys": """
+            SELECT doc_id,
+                   CAST(doc_id % 256 AS INT) AS x,
+                   CAST((doc_id * 7) % 256 AS INT) AS y,
+                   CAST(list_aggregate(list_transform(range(0, 8),
+                     i -> ((((doc_id % 256) >> i) & 1) << (2*i))
+                        + (((((doc_id * 7) % 256) >> i) & 1) << (2*i+1))),
+                     'sum') AS BIGINT) AS zorder_key
             FROM documents
         """,
         # Template mining: skeleton = f(doc_id%3) by construction, so
