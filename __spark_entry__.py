@@ -1237,6 +1237,20 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule training over a planted word distribution
+    ({aaab: 2N, ab: N} — every doc contributes the same phrase, so
+    counts scale with corpus size while the learned sequence stays the
+    hand-derivable closed form): rounds learn (a,a)=4N, (a,b)=3N,
+    (aa,ab)=2N then stop early with no pairs left. Corpus-shaped
+    inputs, ties, and greedy overlap semantics are pytest-verified."""
+    from document_extractor_spark.operators.bpe import bpe_learn_merges
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id", F.lit("aaab aaab ab").alias("text"))
+    return bpe_learn_merges(planted, 5)
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton layout keys over a planted 2-D grid (x = d%256,
     y = 7d%256, bits=8): the oracle restates the identical interleave
@@ -3201,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_roundtrip": q_wat_roundtrip,
         "template_farms": q_template_farms,
         "zorder_keys": q_zorder_keys,
+        "bpe_merges": q_bpe_merges,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4809,6 +4824,17 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
+        """,
+        # BPE training: the planted distribution's merge sequence is
+        # hand-derivable; counts scale with corpus size.
+        "bpe_merges": """
+            WITH n AS (SELECT count(*) AS n FROM documents)
+            SELECT CAST(1 AS INT) AS merge_rank, 'a' AS s1, 'a' AS s2,
+                   CAST(4 * n AS BIGINT) AS pair_count FROM n
+            UNION ALL
+            SELECT CAST(2 AS INT), 'a', 'b', CAST(3 * n AS BIGINT) FROM n
+            UNION ALL
+            SELECT CAST(3 AS INT), 'aa', 'ab', CAST(2 * n AS BIGINT) FROM n
         """,
         # Morton key: identical interleave bit algebra in SQL.
         "zorder_keys": """

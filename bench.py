@@ -343,7 +343,7 @@ HEADLINE_QUERIES = [
     "token_kl", "normalize_web_text", "table_cells", "pmi_collocations",
     "span_corruption", "render_markdown", "trustrank", "change_rates",
     "wet_roundtrip", "kn_perplexity", "blocked_terms", "sentence_align",
-    "wat_roundtrip", "template_farms", "zorder_keys",
+    "wat_roundtrip", "template_farms", "zorder_keys", "bpe_merges",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N
