@@ -1237,6 +1237,52 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard matching ('*' spans octets, trailing '$'
+    anchors, match target = path+query): planted URLs sweep four
+    arithmetic cases — anchored .pdf$ hit, .pdf?dl=1 anchored MISS
+    (the query defeats the anchor), a query-targeting *sessionid=
+    rule out-speccing the /page/ allow, and the plain prefix allow.
+    The oracle states every verdict in closed form."""
+    from document_extractor_spark.operators.robots import (
+        apply_robots_policy)
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    m = d % 4
+    tail = (
+        F.when(m == 0, F.concat(F.lit("/files/doc"), did, F.lit(".pdf")))
+        .when(m == 1, F.concat(F.lit("/files/doc"), did,
+                               F.lit(".pdf?dl=1")))
+        .when(m == 2, F.concat(F.lit("/page/"), did,
+                               F.lit("?sessionid="), did))
+        .otherwise(F.concat(F.lit("/page/"), did)))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (d % 37).cast("string"),
+                 F.lit(".example.org"), tail).alias("url"))
+    hosts = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 37).cast("string"),
+                 F.lit(".example.org")).alias("host")).distinct()
+    # staged array, then explode a plain column (repo explode rule)
+    staged_rules = hosts.select(
+        "host",
+        F.array(
+            F.struct(F.lit("/*.pdf$").alias("path_prefix"),
+                     F.lit(False).alias("allow")),
+            F.struct(F.lit("/*sessionid=").alias("path_prefix"),
+                     F.lit(False).alias("allow")),
+            F.struct(F.lit("/page/").alias("path_prefix"),
+                     F.lit(True).alias("allow")),
+        ).alias("_rs"))
+    rules = staged_rules.select(
+        "host", F.explode_outer("_rs").alias("_r")) \
+        .select("host", "_r.path_prefix", "_r.allow")
+    out = apply_robots_policy(pages, rules)
+    return out.select(
+        "url",
+        F.coalesce("matched_prefix", F.lit("")).alias("matched_rule"),
+        "allowed")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule training over a planted word distribution
     ({aaab: 2N, ab: N} — every doc contributes the same phrase, so
@@ -3216,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_farms": q_template_farms,
         "zorder_keys": q_zorder_keys,
         "bpe_merges": q_bpe_merges,
+        "robots_wildcards": q_robots_wildcards,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4823,6 +4870,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
+            FROM documents
+        """,
+        # RFC 9309 wildcard verdicts in closed form.
+        "robots_wildcards": """
+            SELECT 'https://h' || (doc_id % 37) || '.example.org'
+                   || CASE doc_id % 4
+                        WHEN 0 THEN '/files/doc' || doc_id || '.pdf'
+                        WHEN 1 THEN '/files/doc' || doc_id || '.pdf?dl=1'
+                        WHEN 2 THEN '/page/' || doc_id || '?sessionid='
+                                    || doc_id
+                        ELSE '/page/' || doc_id END AS url,
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/*.pdf$'
+                     WHEN 1 THEN ''
+                     WHEN 2 THEN '/*sessionid='
+                     ELSE '/page/' END AS matched_rule,
+                   CASE WHEN doc_id % 4 IN (0, 2) THEN FALSE
+                        ELSE TRUE END AS allowed
             FROM documents
         """,
         # BPE training: the planted distribution's merge sequence is

@@ -32,26 +32,54 @@ def apply_robots_policy(pages: DataFrame, rules: DataFrame,
                         url_col: str = "url") -> DataFrame:
     """``pages`` (unique per ``url_col``) + ``rules(host, path_prefix,
     allow)`` → pages with ``(matched_prefix, allowed)`` appended.
-    Longest matching prefix per URL decides; ties prefer allow; no
-    match → allowed with NULL ``matched_prefix``."""
+    The most specific (most octets, RFC 9309) matching rule per URL
+    decides; ties prefer allow; no match → allowed with NULL
+    ``matched_prefix``. Patterns support the RFC's ``*`` (any octets)
+    and trailing ``$`` (end anchor); everything else matches
+    literally."""
     clash = {"matched_prefix", "allowed"} & set(pages.columns)
     if clash:
         raise ValueError(f"pages already has output columns: "
                          f"{sorted(clash)}")
     raw_path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    raw_query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    path_only = F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")) \
+        .otherwise(raw_path)
+    # RFC 9309 matches against path PLUS query (session-id wildcard
+    # rules exist precisely to target queries); prefix rules on pure
+    # paths are unaffected (the query only extends the string).
     tagged = pages.select(
         F.col(url_col).alias("_url"),
         host_col(F.col(url_col)).alias("_host"),
-        F.when(raw_path.isNull() | (raw_path == ""), F.lit("/"))
-        .otherwise(raw_path).alias("_path"),
+        F.when(raw_query.isNull() | (raw_query == ""), path_only)
+        .otherwise(F.concat(path_only, F.lit("?"), raw_query))
+        .alias("_path"),
     )
     r = rules.select(F.lower(F.col("host")).alias("_rhost"),
                      F.col("path_prefix").alias("_pfx"),
                      F.col("allow").alias("_allow"))
+    # RFC 9309 §2.2.3 wildcard patterns: '*' matches any octets, a
+    # TRAILING '$' anchors the end of the path (elsewhere '$' is
+    # literal). Patterns without either stay on the cheap startswith
+    # fast path; wildcard rules compile to an anchored regex built
+    # from the pattern with every other regex metachar escaped (rule
+    # files are hostile input — a rule like '/a+b(' must match
+    # literally, never throw or inject).
+    pat = F.col("_pfx")
+    has_anchor = pat.endswith("$")
+    core = F.when(has_anchor, F.substring(
+        pat, 1, F.length(pat) - F.lit(1))).otherwise(pat)
+    esc = F.regexp_replace(core, r"([.\\+?(){}\[\]|^$])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+        F.when(has_anchor, F.lit("$")).otherwise(F.lit("")))
+    path_match = F.when(
+        pat.contains("*") | has_anchor,
+        F.regexp_like(F.col("_path"), rx),
+    ).otherwise(F.col("_path").startswith(pat))
     cand = tagged.join(
         r,
-        on=(F.col("_host") == F.col("_rhost"))
-        & F.col("_path").startswith(F.col("_pfx")),
+        on=(F.col("_host") == F.col("_rhost")) & path_match,
         how="left",
     )
     # most specific wins; tie → allow (RFC 9309 least-strict rule)

@@ -149,3 +149,55 @@ def test_parse_plan_jvm_only(spark):
     df = spark.createDataFrame([(1, "User-agent: *\nDisallow: /")],
                                "doc_id bigint, robots_txt string")
     assert_no_python(parse_robots_txt(df))
+
+
+def test_robots_wildcard_star_and_anchor(spark):
+    """RFC 9309 §2.2.3: '*' spans octets, trailing '$' anchors; a
+    wildcard rule's specificity is its octet length."""
+    from document_extractor_spark.operators.robots import (
+        apply_robots_policy)
+
+    pages = spark.createDataFrame(
+        [("https://h.example/docs/report.pdf",),
+         ("https://h.example/docs/report.pdf?dl=1",),
+         ("https://h.example/docs/page.html",),
+         ("https://h.example/a/x/sessionid=9",)],
+        "url string")
+    rules = spark.createDataFrame(
+        [("h.example", "/*.pdf$", False),
+         ("h.example", "/a/*sessionid=", False),
+         ("h.example", "/docs/", True)],
+        "host string, path_prefix string, allow boolean")
+    got = {r["url"]: r for r in
+           apply_robots_policy(pages, rules).collect()}
+    # '.pdf$' (8 octets) beats '/docs/' (6) and anchors: the ?dl=1
+    # variant does NOT match the anchored rule, so /docs/ allows it
+    assert got["https://h.example/docs/report.pdf"]["allowed"] is False
+    assert got["https://h.example/docs/report.pdf"]["matched_prefix"] \
+        == "/*.pdf$"
+    assert got["https://h.example/docs/report.pdf?dl=1"]["allowed"] is True
+    assert got["https://h.example/docs/page.html"]["allowed"] is True
+    assert got["https://h.example/a/x/sessionid=9"]["allowed"] is False
+
+
+def test_robots_hostile_rule_patterns_match_literally(spark):
+    """Regex metachars in rule patterns are data, not syntax: '/a+b('
+    matches the literal path and never throws; '$' mid-pattern is
+    literal."""
+    from document_extractor_spark.operators.robots import (
+        apply_robots_policy)
+
+    pages = spark.createDataFrame(
+        [("https://h.example/a+b(c",),
+         ("https://h.example/aab",),
+         ("https://h.example/x$y/z",)],
+        "url string")
+    rules = spark.createDataFrame(
+        [("h.example", "/a+b(", False),
+         ("h.example", "/x$y/*", False)],
+        "host string, path_prefix string, allow boolean")
+    got = {r["url"]: r["allowed"] for r in
+           apply_robots_policy(pages, rules).collect()}
+    assert got["https://h.example/a+b(c"] is False
+    assert got["https://h.example/aab"] is True       # '+' is literal
+    assert got["https://h.example/x$y/z"] is False    # mid-'$' literal
