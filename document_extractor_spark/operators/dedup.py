@@ -131,6 +131,52 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def optimal_lsh_params(threshold: float, k: int = 32,
+                       fp_weight: float = 0.5) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) split of a k-permutation MinHash
+    signature that best approximates a step filter at ``threshold``
+    Jaccard — the datasketch-style parameter search, as a pure driver
+    function (metadata cost; the k·√k candidate grid is tiny).
+
+    For b bands of r rows, P(candidate | s) = 1 - (1 - s^r)^b; the
+    false-positive area is the integral of that curve below the
+    threshold, the false-negative area its complement above. Minimizes
+    ``fp_weight·FP + (1-fp_weight)·FN`` (weigh FP lower when the
+    verify stage is expensive, FN lower when recall is precious) over
+    every (b, r) with b·r ≤ k, integrals by 1024-point midpoint rule.
+    Deterministic; ties break to fewer bands (cheaper bucket join).
+
+    Use it to size :func:`minhash_lsh_candidates` /
+    :func:`minhash_near_duplicates` instead of hand-picking ``bands``::
+
+        b, r = optimal_lsh_params(0.8, k=128)
+        minhash_near_duplicates(df, k=b * r, bands=b, ...)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not 0.0 <= fp_weight <= 1.0:
+        raise ValueError(f"fp_weight must be in [0, 1], got {fp_weight}")
+    steps = 1024
+    best = None
+    for b in range(1, k + 1):
+        for r in range(1, k // b + 1):
+            fp = fn = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = 1.0 - (1.0 - s ** r) ** b
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            err = (fp_weight * fp + (1.0 - fp_weight) * fn) / steps
+            cand = (err, b, r)
+            if best is None or cand < best:
+                best = cand
+    return best[1], best[2]
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        k: int = 32, _pre_shingled: bool = False) -> DataFrame:

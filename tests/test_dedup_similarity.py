@@ -779,3 +779,46 @@ def test_verify_pairs_editdistance_capped(spark):
     assert got[2]["distance"] == 1 and got[2]["is_dup"]
     with pytest.raises(ValueError):
         verify_pairs_editdistance(df, max_distance=-1)
+
+
+# ---------------------------------------------------------------------------
+# optimal_lsh_params
+# ---------------------------------------------------------------------------
+
+
+def test_optimal_lsh_params_scurve_midpoint_tracks_threshold():
+    """The chosen (b, r)'s S-curve midpoint (1/b)^(1/r) must sit near
+    the requested threshold, and full-signature use is preferred when
+    it wins — the datasketch property."""
+    from document_extractor_spark.operators.dedup import optimal_lsh_params
+
+    for t in (0.5, 0.7, 0.9):
+        b, r = optimal_lsh_params(t, k=128)
+        assert 1 <= b * r <= 128
+        midpoint = (1.0 / b) ** (1.0 / r)
+        assert abs(midpoint - t) < 0.15, (t, b, r, midpoint)
+
+
+def test_optimal_lsh_params_weight_shifts_tradeoff():
+    """Penalizing FPs harder pushes toward MORE rows per band (a
+    steeper, later curve); penalizing FNs pushes the opposite way."""
+    from document_extractor_spark.operators.dedup import optimal_lsh_params
+
+    b_fp, r_fp = optimal_lsh_params(0.7, k=64, fp_weight=0.95)
+    b_fn, r_fn = optimal_lsh_params(0.7, k=64, fp_weight=0.05)
+    assert r_fp >= r_fn
+    # deterministic: same inputs, same answer
+    assert optimal_lsh_params(0.7, k=64) == optimal_lsh_params(0.7, k=64)
+
+
+def test_optimal_lsh_params_guards():
+    import pytest
+
+    from document_extractor_spark.operators.dedup import optimal_lsh_params
+
+    with pytest.raises(ValueError, match="threshold"):
+        optimal_lsh_params(1.0)
+    with pytest.raises(ValueError, match="k must"):
+        optimal_lsh_params(0.5, k=1)
+    with pytest.raises(ValueError, match="fp_weight"):
+        optimal_lsh_params(0.5, fp_weight=2.0)
