@@ -1237,6 +1237,32 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_compression_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-redundancy verdicts over planted extremes: even docs
+    are one phrase repeated 150× (zlib ratio ~30×, far under the 300k
+    ppm line), odd docs are 64 chained md5 hex strings (hex is
+    near-incompressible, far above it) — so the bucket verdict is
+    closed-form with huge margins while exact byte counts (which pin
+    the stdlib zlib build, not the operator) stay pytest-verified."""
+    from document_extractor_spark.operators.textstats import (
+        compression_ratio)
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    rand = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.md5(F.concat(did, F.lit("-"), j.cast("string")))))
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(d % 2 == 0,
+               F.concat(F.lit("row of boilerplate text " * 150), did))
+        .otherwise(rand).alias("text"))
+    r = compression_ratio(planted)
+    return r.select(
+        "doc_id",
+        F.when(F.col("ratio_ppm") < 300000, F.lit("template"))
+        .otherwise(F.lit("normal")).alias("verdict"))
+
+
 def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 wildcard matching ('*' spans octets, trailing '$'
     anchors, match target = path+query): planted URLs sweep four
@@ -3263,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "bpe_merges": q_bpe_merges,
         "robots_wildcards": q_robots_wildcards,
+        "compression_buckets": q_compression_buckets,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4870,6 +4897,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
+            FROM documents
+        """,
+        # Compression buckets: planted extremes make the verdict pure
+        # parity arithmetic.
+        "compression_buckets": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'template'
+                        ELSE 'normal' END AS verdict
             FROM documents
         """,
         # RFC 9309 wildcard verdicts in closed form.

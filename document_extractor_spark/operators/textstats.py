@@ -749,3 +749,58 @@ def pmi_collocations(df: DataFrame, id_col: str = "doc_id",
         .orderBy(F.col("pmi_milli").desc(), F.col("bigram"))
         .limit(int(top_k))
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the RedPajama-V2-style
+    redundancy signal: machine-generated/template text and repeated
+    boilerplate compress far below natural prose, gibberish/encoded
+    blobs barely compress at all. Complements the token-level
+    repetition stats (``repetition_stats`` sees exact token repeats;
+    the compressor sees EVERY regularity, including ones no n-gram
+    rule anticipates).
+
+    Returns ``(id, n_bytes, n_compressed, ratio_ppm)`` where
+    ``ratio_ppm = n_compressed·1e6 DIV n_bytes`` (exact integer;
+    lower = more redundant); empty/NULL text → NULL ratio (nothing to
+    judge). Natural English prose lands ~300k-600k ppm at zlib-6;
+    sub-~150k is template/repeat territory, near/above ~1e6 is
+    already-compressed or random data.
+
+    Runs as an Arrow-batched kernel (stdlib zlib on UTF-8 bytes — the
+    sanctioned Python path, same shape as the lang-ID and NFC
+    kernels): narrow (id, text) in, fixed-width integers out, zero
+    shuffle. The ppm arithmetic is JVM-side so the only Python work is
+    the byte counts themselves. Compressed sizes are deterministic for
+    a given zlib level (pinned stdlib); the driver oracle therefore
+    checks BUCKET verdicts with enormous margins (a 'ab'-repeat plant
+    compresses ~30×, an md5-hex plant stays within 2×), not exact
+    byte counts.
+    """
+    import pandas as pd
+    import zlib
+
+    @F.pandas_udf("struct<n_bytes: long, n_compressed: long>")
+    def _sizes(s: pd.Series) -> pd.DataFrame:
+        nb, nc = [], []
+        for t in s:
+            if t is None:
+                nb.append(None)
+                nc.append(None)
+                continue
+            raw = t.encode("utf-8")
+            nb.append(len(raw))
+            nc.append(len(zlib.compress(raw, level)))
+        return pd.DataFrame({"n_bytes": nb, "n_compressed": nc})
+
+    staged = df.select(F.col(id_col), _sizes(F.col(text_col)).alias("_z"))
+    return staged.select(
+        F.col(id_col),
+        F.col("_z.n_bytes").alias("n_bytes"),
+        F.col("_z.n_compressed").alias("n_compressed"),
+        F.when(F.col("_z.n_bytes") > 0,
+               F.expr("_z.n_compressed * 1000000L DIV _z.n_bytes"))
+        .alias("ratio_ppm"),
+    )

@@ -253,3 +253,47 @@ def test_pmi_collocations_closed_form(spark):
         assert got["new york"]["pmi_milli"] > got["the cat"]["pmi_milli"]
     # min_count suppresses rare pairs: nothing below 5
     assert all(r["n_xy"] >= 5 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_exact_sizes_and_ppm(spark):
+    import zlib
+
+    from document_extractor_spark.operators.textstats import (
+        compression_ratio)
+
+    texts = {1: "ab" * 500, 2: "the quick brown fox jumps over it",
+             3: "", 4: None}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id int, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for i in (1, 2):
+        raw = texts[i].encode()
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert got[i]["ratio_ppm"] == \
+            len(zlib.compress(raw, 6)) * 1000000 // len(raw)
+    # template text compresses an order of magnitude below prose
+    assert got[1]["ratio_ppm"] < 100000 < got[2]["ratio_ppm"]
+    assert got[3]["ratio_ppm"] is None and got[4]["ratio_ppm"] is None
+
+
+def test_compression_ratio_separates_template_from_random(spark):
+    import hashlib
+
+    from document_extractor_spark.operators.textstats import (
+        compression_ratio)
+
+    rand = " ".join(hashlib.md5(str(i).encode()).hexdigest()
+                    for i in range(64))
+    df = spark.createDataFrame(
+        [(1, "boilerplate row " * 200), (2, rand)],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["ratio_ppm"]
+           for r in compression_ratio(df).collect()}
+    assert got[1] < 150000
+    assert got[2] > 500000
