@@ -1237,6 +1237,23 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 over planted ranked lists (query = d%20, graded
+    relevance (13d)%4, score (7d)%100 — deliberately COLLIDING scores
+    so the doc-ASC tie-break is itself under test). The DuckDB twin
+    recomputes the identical windows and the per-term nano-quantized
+    gain/log2 arithmetic — a genuine relational twin."""
+    from document_extractor_spark.operators.metrics import ndcg_at_k
+
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    planted = _docs(spark, sf_dir).select(
+        (d % 20).cast("int").alias("query_id"),
+        F.concat(F.lit("d"), did).alias("doc_id"),
+        ((d * 7) % 100).cast("double").alias("score"),
+        ((d * 13) % 4).cast("int").alias("relevance"))
+    return ndcg_at_k(planted, k=10)
+
+
 def q_compression_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-redundancy verdicts over planted extremes: even docs
     are one phrase repeated 150× (zlib ratio ~30×, far under the 300k
@@ -3290,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "robots_wildcards": q_robots_wildcards,
         "compression_buckets": q_compression_buckets,
+        "ndcg_eval": q_ndcg_eval,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4898,6 +4916,41 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
+        """,
+        # nDCG@10: full relational twin — identical windows, identical
+        # per-term nano-quantized gain/log2 composition.
+        "ndcg_eval": """
+            WITH base AS (
+              SELECT CAST(doc_id % 20 AS INT) AS query,
+                     'd' || doc_id AS _doc,
+                     CAST((doc_id * 7) % 100 AS DOUBLE) AS _s,
+                     CAST((doc_id * 13) % 4 AS BIGINT) AS _rel
+              FROM documents),
+            ranked AS (
+              SELECT query, _rel,
+                     pow(2.0::DOUBLE, CAST(_rel AS DOUBLE)) - 1.0 AS _g,
+                     row_number() OVER (PARTITION BY query
+                       ORDER BY _s DESC, _doc ASC) AS _r,
+                     row_number() OVER (PARTITION BY query
+                       ORDER BY _rel DESC, _doc ASC) AS _ir
+              FROM base),
+            agg AS (
+              SELECT query,
+                     CAST(sum(CASE WHEN _r <= 10 THEN
+                       CAST(round(_g / log2(CAST(_r AS DOUBLE) + 1.0)
+                                  * 1e9) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS dcg_nano,
+                     CAST(sum(CASE WHEN _ir <= 10 THEN
+                       CAST(round(_g / log2(CAST(_ir AS DOUBLE) + 1.0)
+                                  * 1e9) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS idcg_nano
+              FROM ranked GROUP BY query)
+            SELECT query, dcg_nano, idcg_nano,
+                   CASE WHEN idcg_nano > 0 THEN
+                     round(CAST(dcg_nano AS DOUBLE)
+                           / CAST(idcg_nano AS DOUBLE), 6)
+                   END AS ndcg
+            FROM agg
         """,
         # Compression buckets: planted extremes make the verdict pure
         # parity arithmetic.

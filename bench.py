@@ -344,7 +344,7 @@ HEADLINE_QUERIES = [
     "span_corruption", "render_markdown", "trustrank", "change_rates",
     "wet_roundtrip", "kn_perplexity", "blocked_terms", "sentence_align",
     "wat_roundtrip", "template_farms", "zorder_keys", "bpe_merges",
-    "robots_wildcards", "compression_buckets",
+    "robots_wildcards", "compression_buckets", "ndcg_eval",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -177,3 +177,70 @@ def classification_prf(df: DataFrame, pred_col: str,
                "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END")
         .cast("bigint").alias("f1_ppm"),
     )
+
+
+def ndcg_at_k(df: DataFrame, k: int = 10,
+              query_col: str = "query_id", doc_col: str = "doc_id",
+              score_col: str = "score",
+              rel_col: str = "relevance") -> DataFrame:
+    """Exact nDCG@k per query — the ranking twin of :func:`roc_auc`
+    (AUC judges a classifier's order over ONE pool; nDCG judges a
+    retrieval system's order per query against graded relevance — the
+    BM25 / ANN tiers here need exactly this on labeled query sets).
+
+    Standard exponential-gain formulation: DCG@k = Σ over the top k
+    ranked docs of (2^rel - 1)/log2(rank+1); nDCG = DCG/IDCG with IDCG
+    the same sum over relevance-descending order. Cross-engine
+    exactness by the repo's fixed-point recipe: each TERM is one IEEE
+    composition quantized to nano units and summed as BIGINT — float
+    summation order can never change a result — with one final
+    BIGINT/BIGINT division rounded to 6. Ranking ties break
+    deterministically: score DESC then doc ASC (ideal order:
+    relevance DESC then doc ASC).
+
+    Returns ``(query, dcg_nano, idcg_nano, ndcg)``; queries with zero
+    relevant docs (IDCG 0) get NULL ndcg explicitly — no signal, never
+    a divide-by-zero or a fake 0. Scale shape: both windows partition
+    by query over narrow (query, doc, score, rel) rows — per-query
+    candidate lists are retrieval-sized (hundreds), so no skewed
+    partition; one groupBy(query) ends the plan.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, dc = F.col(query_col), F.col(doc_col)
+    base = df.select(
+        q.alias("query"), dc.alias("_doc"),
+        F.col(score_col).alias("_s"),
+        F.col(rel_col).cast("long").alias("_rel"),
+    ).where(F.col("_s").isNotNull() & F.col("_rel").isNotNull())
+    w_run = Window.partitionBy("query").orderBy(
+        F.col("_s").desc(), F.col("_doc").asc())
+    w_ideal = Window.partitionBy("query").orderBy(
+        F.col("_rel").desc(), F.col("_doc").asc())
+    gain = F.pow(F.lit(2.0), F.col("_rel").cast("double")) - F.lit(1.0)
+    ranked = base.select(
+        "query", "_rel", gain.alias("_g"),
+        F.row_number().over(w_run).alias("_r"),
+        F.row_number().over(w_ideal).alias("_ir"),
+    )
+    term = lambda rank: F.round(  # noqa: E731
+        F.col("_g") / F.log2(rank.cast("double") + F.lit(1.0))
+        * F.lit(1e9), 0).cast("long")
+    return (
+        ranked.groupBy("query")
+        .agg(
+            F.sum(F.when(F.col("_r") <= k, term(F.col("_r")))
+                  .otherwise(F.lit(0))).alias("dcg_nano"),
+            F.sum(F.when(F.col("_ir") <= k, term(F.col("_ir")))
+                  .otherwise(F.lit(0))).alias("idcg_nano"),
+        )
+        .select(
+            "query", "dcg_nano", "idcg_nano",
+            F.when(F.col("idcg_nano") > 0,
+                   F.round(F.col("dcg_nano").cast("double")
+                           / F.col("idcg_nano").cast("double"), 6))
+            .alias("ndcg"),
+        )
+    )

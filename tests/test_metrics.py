@@ -123,3 +123,59 @@ def test_classification_prf_exact_and_degenerate(spark):
     neg = spark.createDataFrame([(False, False)], "pred boolean, gold boolean")
     r2 = classification_prf(neg, "pred", "gold").collect()[0]
     assert (r2["precision_ppm"], r2["recall_ppm"], r2["f1_ppm"]) == (-1, -1, -1)
+
+
+# ---------------------------------------------------------------------------
+# ndcg_at_k
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id string, score double, relevance int")
+
+
+def test_ndcg_hand_computed(spark):
+    """q1: ranking puts rel=1 first, rel=3 second, rel=0 third —
+    DCG = 1/log2(2) + 7/log2(3) + 0; IDCG = 7/log2(2) + 1/log2(3)."""
+    import math
+
+    from document_extractor_spark.operators.metrics import ndcg_at_k
+
+    rows = [(1, "a", 0.9, 1), (1, "b", 0.8, 3), (1, "c", 0.7, 0)]
+    got = ndcg_at_k(_ndcg_rows(spark, rows), k=10).collect()[0]
+    dcg = round(1 / math.log2(2) * 1e9) + round(7 / math.log2(3) * 1e9)
+    idcg = round(7 / math.log2(2) * 1e9) + round(1 / math.log2(3) * 1e9)
+    assert got["dcg_nano"] == dcg
+    assert got["idcg_nano"] == idcg
+    assert got["ndcg"] == round(dcg / idcg, 6)
+
+
+def test_ndcg_perfect_ranking_is_one_and_k_cuts(spark):
+    from document_extractor_spark.operators.metrics import ndcg_at_k
+
+    rows = [(1, "a", 0.9, 3), (1, "b", 0.8, 2), (1, "c", 0.7, 1),
+            (1, "d", 0.6, 0)]
+    assert ndcg_at_k(_ndcg_rows(spark, rows), k=10) \
+        .collect()[0]["ndcg"] == 1.0
+    # k=1: only the top doc counts on both sides — still perfect
+    assert ndcg_at_k(_ndcg_rows(spark, rows), k=1) \
+        .collect()[0]["ndcg"] == 1.0
+    # reversed scores at k=1: top-ranked doc has rel 0 → ndcg 0
+    rev = [(1, "a", 0.9, 0), (1, "b", 0.8, 3)]
+    assert ndcg_at_k(_ndcg_rows(spark, rev), k=1) \
+        .collect()[0]["ndcg"] == 0.0
+
+
+def test_ndcg_zero_relevance_is_null_and_tie_break(spark):
+    import pytest as _pytest
+
+    from document_extractor_spark.operators.metrics import ndcg_at_k
+
+    rows = [(1, "a", 0.9, 0), (1, "b", 0.8, 0)]
+    assert ndcg_at_k(_ndcg_rows(spark, rows)).collect()[0]["ndcg"] is None
+    # score tie: doc ASC wins the rank — 'a' (rel 3) ranks first
+    tie = [(2, "b", 0.5, 0), (2, "a", 0.5, 3)]
+    assert ndcg_at_k(_ndcg_rows(spark, tie)).collect()[0]["ndcg"] == 1.0
+    with _pytest.raises(ValueError, match="k must"):
+        ndcg_at_k(_ndcg_rows(spark, rows), k=0)
