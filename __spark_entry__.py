@@ -1237,6 +1237,24 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation over the real embeddings table: keep the
+    16-dim prefix and L2-renormalize; emit the first renormed
+    component and the post-renorm norm (≡ 1). The DuckDB twin
+    recomputes the identical slice/fold/sqrt/divide composition, so
+    the serving-tier derivation is engine-exact."""
+    from document_extractor_spark.operators.similarity import (
+        truncate_embeddings)
+
+    t = truncate_embeddings(_emb(spark, sf_dir), 16)
+    v = F.col("embedding")
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return t.select(
+        "vec_id",
+        F.round(F.element_at(v, 1), 6).alias("c1"),
+        F.round(F.sqrt(sq), 6).alias("norm_chk"))
+
+
 def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 over planted ranked lists (query = d%20, graded
     relevance (13d)%4, score (7d)%100 — deliberately COLLIDING scores
@@ -3308,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcards": q_robots_wildcards,
         "compression_buckets": q_compression_buckets,
         "ndcg_eval": q_ndcg_eval,
+        "matryoshka_trunc": q_matryoshka_trunc,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4916,6 +4935,22 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
+        """,
+        # Matryoshka: identical slice/fold/sqrt/divide composition.
+        "matryoshka_trunc": """
+            WITH s AS (
+              SELECT vec_id,
+                     sqrt(list_sum(list_transform(range(1, 17),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+                       AS nrm
+              FROM embeddings)
+            SELECT e.vec_id,
+                   round(e.embedding[1]::DOUBLE / s.nrm, 6) AS c1,
+                   round(sqrt(list_sum(list_transform(range(1, 17),
+                     i -> (e.embedding[i]::DOUBLE / s.nrm)
+                        * (e.embedding[i]::DOUBLE / s.nrm)))), 6)
+                     AS norm_chk
+            FROM embeddings e JOIN s USING (vec_id)
         """,
         # nDCG@10: full relational twin — identical windows, identical
         # per-term nano-quantized gain/log2 composition.

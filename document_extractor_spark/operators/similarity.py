@@ -540,3 +540,34 @@ def prototypicality_prune(df: DataFrame, centroids: list,
                & (F.col("_pp_pr") <= F.lit(float(keep_high))))
         .drop("_pp_pr")
     )
+
+
+def truncate_embeddings(df: DataFrame, dim: int,
+                        vec_col: str = "embedding",
+                        out_col: str = None,
+                        renorm: bool = True) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022): keep the first
+    ``dim`` components of an MRL-trained embedding and L2-renormalize —
+    the storage/latency dial of modern embedding serving (a 100-TB
+    corpus keeps ONE full-width table and derives every cheaper tier by
+    this slice, instead of re-embedding). Shorter prefixes feed the
+    same ANN tiers here (SRP/IVF/PQ) at proportionally lower cost.
+
+    Pure Catalyst: ``slice`` + the same fold/sqrt composition as
+    ``with_norm`` + a per-element division — whole-stage codegen, zero
+    shuffle, and the DuckDB twin restates the identical left-to-right
+    arithmetic. A zero-norm (or NULL) prefix yields NULL (no direction
+    to keep — explicit, never NaN). Vectors shorter than ``dim`` keep
+    their own length (slice semantics — composes with ragged inputs;
+    length policy belongs to the caller's schema contract)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    norm = F.sqrt(sq)
+    out = F.when(
+        F.col(vec_col).isNotNull() & (norm > 0),
+        F.transform(v, lambda x: x / norm))
+    if not renorm:
+        out = F.when(F.col(vec_col).isNotNull(), v)
+    return df.withColumn(out_col or vec_col, out)

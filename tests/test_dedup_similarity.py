@@ -822,3 +822,53 @@ def test_optimal_lsh_params_guards():
         optimal_lsh_params(0.5, k=1)
     with pytest.raises(ValueError, match="fp_weight"):
         optimal_lsh_params(0.5, fp_weight=2.0)
+
+
+# ---------------------------------------------------------------------------
+# truncate_embeddings (Matryoshka)
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_embeddings_renorm_and_nulls(spark):
+    import math
+
+    import pytest as _pytest
+
+    from document_extractor_spark.operators.similarity import (
+        truncate_embeddings)
+
+    rows = [(1, [3.0, 4.0, 100.0, 100.0]),   # prefix-2 norm = 5
+            (2, [0.0, 0.0, 9.0, 9.0]),       # zero prefix → NULL
+            (3, None),
+            (4, [1.0])]                       # shorter than dim
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: r["embedding"]
+           for r in truncate_embeddings(df, 2).collect()}
+    assert got[1] == [3.0 / 5.0, 4.0 / 5.0]
+    assert abs(math.hypot(*got[1]) - 1.0) < 1e-12
+    assert got[2] is None and got[3] is None
+    assert got[4] == [1.0]
+    # renorm=False keeps the raw slice
+    raw = {r["vec_id"]: r["embedding"]
+           for r in truncate_embeddings(df, 2, renorm=False).collect()}
+    assert raw[1] == [3.0, 4.0] and raw[2] == [0.0, 0.0]
+    with _pytest.raises(ValueError, match="dim"):
+        truncate_embeddings(df, 0)
+
+
+def test_truncated_prefix_feeds_topk_consistently(spark):
+    """Truncated-and-renormed vectors run through the existing
+    brute-force top-k: the planted nearest neighbor in prefix space
+    wins regardless of what the dropped dimensions contained."""
+    from document_extractor_spark.operators.similarity import (
+        brute_force_topk,
+        truncate_embeddings,
+    )
+
+    rows = [(1, [1.0, 0.0, 500.0, -9.0]),
+            (2, [0.9, 0.1, -400.0, 3.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    t = truncate_embeddings(df, 2)
+    top = brute_force_topk(t, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
