@@ -1237,6 +1237,18 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select("host", F.round("trustrank", 9).alias("trustrank"))
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance over the real embeddings table —
+    the topic-purity outlier signal. The DuckDB twin recomputes the
+    full pipeline relationally: micro-quantized per-dimension integer
+    sums (so the mean is order-free exact), nano-quantized squared
+    terms, one sqrt/round composition."""
+    from document_extractor_spark.operators.similarity import (
+        centroid_distances)
+
+    return centroid_distances(_emb(spark, sf_dir))
+
+
 def q_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation over the real embeddings table: keep the
     16-dim prefix and L2-renormalize; emit the first renormed
@@ -3327,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_buckets": q_compression_buckets,
         "ndcg_eval": q_ndcg_eval,
         "matryoshka_trunc": q_matryoshka_trunc,
+        "centroid_outliers": q_centroid_outliers,
         # --- attested green in CORRECTNESS_r04.json, unchanged since ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_lang_profile": q_extract_lang_profile,
@@ -4935,6 +4948,29 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 37) || '.example.org/d./~u%2Fv/'
                      || doc_id || '?a=1&b=' || doc_id AS canonical_url
             FROM documents
+        """,
+        # Centroid distances: micro-quantized means + nano-quantized
+        # squared terms — order-free exact in both engines.
+        "centroid_outliers": """
+            WITH ex AS (
+              SELECT vec_id, label, i AS pos,
+                     embedding[CAST(i AS INT)]::DOUBLE AS x
+              FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL),
+            m AS (
+              SELECT label, pos,
+                     CAST(sum(CAST(round(x * 1000000.0) AS BIGINT))
+                          AS DOUBLE)
+                     / CAST(count(*) * 1000000 AS DOUBLE) AS mean
+              FROM ex GROUP BY 1, 2),
+            t AS (
+              SELECT ex.vec_id, ex.label,
+                     CAST(round((x - mean) * (x - mean) * 1e9) AS BIGINT)
+                       AS term
+              FROM ex JOIN m USING (label, pos))
+            SELECT vec_id, label,
+                   round(sqrt(CAST(sum(term) AS DOUBLE) / 1e9), 6) AS dist
+            FROM t GROUP BY 1, 2
         """,
         # Matryoshka: identical slice/fold/sqrt/divide composition.
         "matryoshka_trunc": """

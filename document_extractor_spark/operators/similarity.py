@@ -571,3 +571,84 @@ def truncate_embeddings(df: DataFrame, dim: int,
     if not renorm:
         out = F.when(F.col(vec_col).isNotNull(), v)
     return df.withColumn(out_col or vec_col, out)
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    quant: int = 1_000_000) -> DataFrame:
+    """Per-label element-wise centroid: ``(label, centroid
+    array<double>, n_vecs)``. Each component is quantized to
+    ``quant``ths (micro by default) BEFORE the cross-row sum, so the
+    mean is an exact integer-sum / (n·quant) division — bit-identical
+    across engines and partitionings (a raw float SUM would depend on
+    reduction order). NULL labels/vectors are excluded.
+
+    Scale shape: one posexplode to narrow ``(label, pos, q)`` rows,
+    one map-side-combined groupBy on (label, pos) — label×dim keys —
+    then a per-label array rebuild; the output is label-cardinality
+    metadata."""
+    v = F.col(vec_col).cast("array<double>")
+    staged = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(label_col).alias("label"), v.alias("_v"))
+    ex = staged.select(
+        "label", F.posexplode_outer("_v").alias("pos", "_x"))
+    per_dim = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("_x") * F.lit(float(quant)), 0)
+                  .cast("long")).alias("_sq"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "label", "pos", "_n",
+            (F.col("_sq").cast("double")
+             / (F.col("_n") * F.lit(int(quant))).cast("double"))
+            .alias("_mean"),
+        )
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_mean"))),
+                lambda s: s["_mean"],
+            ).alias("centroid"),
+            F.max("_n").alias("n_vecs"),
+        )
+    )
+
+
+def centroid_distances(df: DataFrame, centroids: DataFrame = None,
+                       label_col: str = "label",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       quant: int = 1_000_000) -> DataFrame:
+    """Distance of every vector to its label's centroid — the topic-
+    purity / outlier signal a curated-cluster corpus prunes on (a
+    document far from its own cluster's centroid is mislabeled or
+    noise; SemDeDup prunes the opposite end). Returns ``(id, label,
+    dist)`` with ``dist`` the L2 distance rounded to 6.
+
+    Exactness recipe: each squared component difference is quantized
+    to nano BIGINTs IN-ROW and integer-summed (order-free), then one
+    sqrt/round composition — cross-engine identical given the exact
+    centroids from :func:`label_centroids` (pass ``centroids`` to
+    reuse a computed table; otherwise built here). Centroids are
+    label-cardinality and broadcast."""
+    if centroids is None:
+        centroids = label_centroids(df, label_col, vec_col, quant)
+    v = F.col(vec_col).cast("array<double>")
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col), F.col(label_col).alias("label"), v.alias("_v"))
+    joined = base.join(F.broadcast(centroids), "label")
+    terms = F.zip_with(
+        F.col("_v"), F.col("centroid"),
+        lambda a, b: F.round((a - b) * (a - b) * F.lit(1e9), 0)
+        .cast("long"))
+    ssum = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return joined.select(
+        F.col(id_col), "label",
+        F.round(F.sqrt(ssum.cast("double") / F.lit(1e9)), 6).alias("dist"),
+    )

@@ -872,3 +872,54 @@ def test_truncated_prefix_feeds_topk_consistently(spark):
     t = truncate_embeddings(df, 2)
     top = brute_force_topk(t, [1.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in top] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# label centroids + outlier distances
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_exact_means(spark):
+    from document_extractor_spark.operators.similarity import (
+        label_centroids)
+
+    rows = [(1, 0, [1.0, 2.0]), (2, 0, [3.0, 6.0]),
+            (3, 1, [10.0, 0.0]), (4, None, [9.0, 9.0]),
+            (5, 1, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label int, embedding array<float>")
+    got = {r["label"]: r for r in label_centroids(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["centroid"] == [2.0, 4.0] and got[0]["n_vecs"] == 2
+    assert got[1]["centroid"] == [10.0, 0.0] and got[1]["n_vecs"] == 1
+
+
+def test_centroid_distances_hand_computed(spark):
+    import math
+
+    from document_extractor_spark.operators.similarity import (
+        centroid_distances)
+
+    rows = [(1, 0, [1.0, 2.0]), (2, 0, [3.0, 6.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label int, embedding array<float>")
+    got = {r["vec_id"]: r["dist"] for r in centroid_distances(df).collect()}
+    # centroid (2, 4); both points at distance sqrt(1+4)
+    want = round(math.sqrt(
+        (round(1.0 * 1e9) + round(4.0 * 1e9)) / 1e9), 6)
+    assert got[1] == want and got[2] == want
+
+
+def test_centroid_distance_flags_outlier(spark):
+    from document_extractor_spark.operators.similarity import (
+        centroid_distances)
+
+    rows = [(i, 0, [1.0, 1.0]) for i in range(9)] + [(9, 0, [50.0, -50.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label int, embedding array<float>")
+    got = sorted(centroid_distances(df).collect(),
+                 key=lambda r: -r["dist"])
+    assert got[0]["vec_id"] == 9
+    # the outlier drags the centroid toward itself; it still sits ~9x
+    # farther out than any inlier
+    assert got[0]["dist"] > 5 * got[1]["dist"]
