@@ -1267,6 +1267,28 @@ def q_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq), 6).alias("norm_chk"))
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-skew diagnostic over a planted Zipf-extreme crawl: 80% of
+    rows land on one hot host, the rest spread across 97 cold hosts.
+    ``skew_profile`` parses hosts with the engine's ``host_col`` and
+    reports top-10 keys with corpus share (ppm) and the salt factor
+    that caps a (key, salt) slice at 50 rows — the number
+    ``salted_repartition`` needs. The DuckDB twin recomputes the same
+    planted hosts, counts, floor/ceil integer arithmetic; boundary
+    ties at the limit break on the key in both engines."""
+    from document_extractor_spark.operators.extract import skew_profile
+
+    d = F.col("doc_id")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"),
+            F.when(d % 5 < 4, F.lit("hot.example.org"))
+            .otherwise(F.concat(F.lit("h"), ((d * 7) % 97).cast("string"),
+                                F.lit(".example.org"))),
+            F.lit("/d/"), d.cast("string")).alias("url"))
+    return skew_profile(pages, target_rows_per_task=50, top=10)
+
+
 def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 over planted ranked lists (query = d%20, graded
     relevance (13d)%4, score (7d)%100 — deliberately COLLIDING scores
@@ -3242,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "stratified_sample": q_stratified_sample,
         "warc_roundtrip": q_warc_roundtrip,
+        "skew_profile": q_skew_profile,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -4942,6 +4965,24 @@ def oracle_sql() -> dict[str, str]:
                        || (doc_id % 7) || '</p></body></html>')
                      AS payload_md5
             FROM documents WHERE doc_id < 64
+        """,
+        # Skew profiler: same planted hosts, same count/floor/ceil
+        # integer arithmetic, same tie-broken top-10.
+        "skew_profile": """
+            WITH hosts AS (
+              SELECT CASE WHEN doc_id % 5 < 4 THEN 'hot.example.org'
+                          ELSE 'h' || ((doc_id * 7) % 97)
+                               || '.example.org' END AS key
+              FROM documents),
+            c AS (SELECT key, count(*) AS n_rows FROM hosts GROUP BY 1),
+            t AS (SELECT sum(n_rows) AS total FROM c)
+            SELECT key, n_rows,
+                   CAST(floor(n_rows * 1000000.0 / total) AS BIGINT)
+                     AS share_ppm,
+                   CAST(ceil(n_rows / 50.0) AS INT) AS salt_factor
+            FROM c, t
+            ORDER BY n_rows DESC, key
+            LIMIT 10
         """,
         "canonical_urls": """
             SELECT doc_id,

@@ -345,7 +345,7 @@ HEADLINE_QUERIES = [
     "wet_roundtrip", "kn_perplexity", "blocked_terms", "sentence_align",
     "wat_roundtrip", "template_farms", "zorder_keys", "bpe_merges",
     "robots_wildcards", "compression_buckets", "ndcg_eval",
-    "matryoshka_trunc", "centroid_outliers",
+    "matryoshka_trunc", "centroid_outliers", "skew_profile",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -209,6 +209,37 @@ def salted_repartition(df: DataFrame, num_partitions: int,
     )
 
 
+def skew_profile(df: DataFrame, key_col: str = "url",
+                 parse_host: bool = True,
+                 target_rows_per_task: int = 1_000_000,
+                 top: int = 20) -> DataFrame:
+    """Key-skew diagnostic that *plans* ``salted_repartition``: the
+    ``top`` hottest keys with row count, corpus share (ppm) and the
+    salt factor needed to cap any single (key, salt) slice at
+    ``target_rows_per_task`` rows. On a Zipfian crawl the top-1 share
+    decides whether a host-keyed shuffle stragglers — run this BEFORE
+    picking ``salt`` instead of guessing.
+
+    Scale shape: one map-side-combinable ``groupBy(key).count()`` on a
+    key-only projection (payload columns never enter the shuffle); the
+    corpus total is a 1-row aggregate broadcast back, never a global
+    window. Output is host-cardinality metadata capped at ``top``.
+    """
+    key = host_col(F.col(key_col)) if parse_host else F.col(key_col)
+    counts = (df.select(key.alias("key"))
+              .groupBy("key").agg(F.count(F.lit(1)).alias("n_rows")))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(
+                "key", "n_rows",
+                F.floor(F.col("n_rows") * 1_000_000 / F.col("_total"))
+                .cast("bigint").alias("share_ppm"),
+                F.ceil(F.col("n_rows") / F.lit(target_rows_per_task))
+                .cast("int").alias("salt_factor"))
+            .orderBy(F.desc("n_rows"), F.asc("key"))
+            .limit(top))
+
+
 def extract_pages(df: DataFrame, num_partitions: Optional[int] = None,
                   salt: int = 16, keep_warc_day: bool = False,
                   cap_bytes: int = _DEFAULT_BATCH_BYTES,

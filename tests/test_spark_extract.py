@@ -12,6 +12,7 @@ from document_extractor_spark.operators.extract import (
     extract_pages,
     observe_extract,
     salted_repartition,
+    skew_profile,
 )
 from document_extractor_spark.pipeline import read_extracted, run_extract_job
 from document_extractor_spark.plans import (
@@ -89,6 +90,40 @@ def test_salted_repartition_spreads_hot_host(spark):
     # one Zipf-head host must NOT collapse into one partition
     assert len(parts) >= 8
     assert max(p["count"] for p in parts) < 256
+
+
+def test_skew_profile_counts_and_salt(spark):
+    """90 rows on one hot host + 10 singletons: exact count, share
+    (ppm, floored) and the ceil salt factor at 8 rows/task; top cap
+    honoured with hottest-first ordering."""
+    rows = (
+        [{"url": f"https://HOT.example.com/p{i}"} for i in range(90)]
+        + [{"url": f"https://c{i}.example.com/"} for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    out = skew_profile(df, target_rows_per_task=8, top=5).collect()
+    assert len(out) == 5
+    top1 = out[0]
+    # host parsing lowercases (RFC 3986 §6.2.2.1) — one key, not two
+    assert top1["key"] == "hot.example.com"
+    assert top1["n_rows"] == 90
+    assert top1["share_ppm"] == 900_000
+    assert top1["salt_factor"] == 12  # ceil(90 / 8)
+    for r in out[1:]:
+        assert r["n_rows"] == 1 and r["salt_factor"] == 1
+        assert r["share_ppm"] == 10_000
+    # deterministic tie-break on the key at the limit boundary
+    assert [r["key"] for r in out[1:]] == sorted(r["key"] for r in out[1:])
+
+
+def test_skew_profile_raw_key_column(spark):
+    """parse_host=False profiles an arbitrary key column unchanged."""
+    df = spark.createDataFrame(
+        [{"k": "a"}] * 3 + [{"k": "b"}], "k string")
+    out = {r["key"]: r["n_rows"]
+           for r in skew_profile(df, key_col="k", parse_host=False,
+                                 top=10).collect()}
+    assert out == {"a": 3, "b": 1}
 
 
 def test_observe_metrics(spark, pages_df):
