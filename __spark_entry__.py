@@ -1267,6 +1267,23 @@ def q_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq), 6).alias("norm_chk"))
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized cosine top-10 over the real embeddings
+    table (faiss ScalarQuantizer QT_8bit shape, asymmetric distance:
+    query full-precision, database vectors dequantized in-plan).
+    Deterministic quantization makes this approximate tier EXACTLY
+    oracle-able: the DuckDB twin recomputes per-dim min/max, the
+    floor(+0.5) code arithmetic, dequantization, and the identical
+    cosine fold relationally."""
+    from document_extractor_spark.operators.similarity import (
+        sq8_encode, sq8_topk, sq8_train)
+
+    emb = _emb(spark, sf_dir)
+    mins, maxs = sq8_train(emb)
+    return sq8_topk(sq8_encode(emb, mins, maxs), mins, maxs,
+                    _query_vec(spark, sf_dir), k=10)
+
+
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-skew diagnostic over a planted Zipf-extreme crawl: 80% of
     rows land on one hot host, the rest spread across 97 cold hosts.
@@ -3265,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "warc_roundtrip": q_warc_roundtrip,
         "skew_profile": q_skew_profile,
+        "sq8_topk": q_sq8_topk,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -4965,6 +4983,48 @@ def oracle_sql() -> dict[str, str]:
                        || (doc_id % 7) || '</p></body></html>')
                      AS payload_md5
             FROM documents WHERE doc_id < 64
+        """,
+        # SQ8: full relational twin — exact per-dim min/max, the same
+        # floor(+0.5) code arithmetic, dequant + cosine fold in list
+        # order (list_transform keeps index order; per-dim params are
+        # ORDER BY i lists, never an unordered group).
+        "sq8_topk": """
+            WITH mm AS (
+              SELECT i,
+                     min(embedding[CAST(i AS INT)]::DOUBLE) AS mn,
+                     max(embedding[CAST(i AS INT)]::DOUBLE) AS mx
+              FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+              WHERE embedding IS NOT NULL
+              GROUP BY i),
+            p AS (
+              SELECT list(mn ORDER BY i) AS mns,
+                     list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                               ELSE 0.0 END ORDER BY i) AS scs,
+                     list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                               ELSE 0.0 END ORDER BY i) AS stps
+              FROM mm),
+            q AS (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            d AS (
+              SELECT e.vec_id,
+                     list_transform(range(1, 65), i ->
+                       least(255, greatest(0, CAST(floor(
+                         (e.embedding[i]::DOUBLE - mns[i]) * scs[i]
+                         + 0.5) AS INT)))::DOUBLE
+                       * stps[i] + mns[i]) AS dq
+              FROM embeddings e, p
+              WHERE e.embedding IS NOT NULL),
+            s AS (
+              SELECT d.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> dq[i] * q.qv[i]::DOUBLE)) AS dot,
+                     sqrt(list_sum(list_transform(range(1, 65),
+                       i -> dq[i] * dq[i]))) AS nrm_e,
+                     sqrt(list_sum(list_transform(range(1, 65),
+                       i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) AS nrm_q
+              FROM d CROSS JOIN q)
+            SELECT vec_id, round(dot / (nrm_e * nrm_q), 6) AS cosine
+            FROM s ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         # Skew profiler: same planted hosts, same count/floor/ceil
         # integer arithmetic, same tie-broken top-10.

@@ -485,6 +485,75 @@ def pq_topk(encoded: DataFrame, codebooks: list, qvec: list, k: int = 10,
     return brute_force_topk(short, qvec, k, id_col, vec_col)
 
 
+def sq8_train(df: DataFrame, dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> tuple:
+    """Per-dimension (min, max) affine params for 8-bit scalar
+    quantization (the faiss ScalarQuantizer QT_8bit shape). One
+    map-side-combinable aggregate of 2·dim exact min/max expressions —
+    a single metadata row on the driver, independent of corpus size
+    and partitioning (min/max are order-free)."""
+    v = F.col(vec_col).cast("array<double>")
+    row = df.where(F.col(vec_col).isNotNull()).agg(
+        F.array(*[F.min(F.element_at(v, i + 1)) for i in range(dim)])
+        .alias("mins"),
+        F.array(*[F.max(F.element_at(v, i + 1)) for i in range(dim)])
+        .alias("maxs"),
+    ).head()
+    # zero input rows aggregate to an array OF nulls, not a null array
+    if row is None or row["mins"] is None or row["mins"][0] is None:
+        raise ValueError("sq8_train: no non-null vectors to train on")
+    return list(row["mins"]), list(row["maxs"])
+
+
+def sq8_encode(df: DataFrame, mins: list, maxs: list,
+               vec_col: str = "embedding",
+               code_col: str = "sq8_code") -> DataFrame:
+    """Append ``code_col``: per-dimension 8-bit codes
+    ``clamp(floor((x - min)·255/(max - min) + 0.5), 0, 255)`` — pure
+    JVM ``zip_with`` chains, whole-stage codegen, no Python.
+    ``floor(y + 0.5)`` (not ``round``) so the oracle engine's
+    half-rounding mode can never disagree; a degenerate dimension
+    (max == min) encodes 0. At 100 TB the encoded table is the 4×
+    memory cut: 1 byte/dim stored and scanned instead of a float."""
+    scales = [255.0 / (mx - mn) if mx > mn else 0.0
+              for mn, mx in zip(mins, maxs)]
+    v = F.col(vec_col).cast("array<double>")
+    shifted = F.zip_with(v, F.lit(mins).cast("array<double>"),
+                         lambda a, b: a - b)
+    codes = F.zip_with(
+        shifted, F.lit(scales).cast("array<double>"),
+        lambda a, s: F.least(
+            F.lit(255),
+            F.greatest(F.lit(0), F.floor(a * s + 0.5).cast("int"))))
+    return df.withColumn(code_col, codes)
+
+
+def sq8_topk(encoded: DataFrame, mins: list, maxs: list, qvec: list,
+             k: int = 10, id_col: str = "vec_id",
+             code_col: str = "sq8_code") -> DataFrame:
+    """Asymmetric SQ top-k: the query stays full-precision, database
+    vectors dequantize in-plan (``min_i + code_i·(max_i - min_i)/255``
+    — one zip_with chain feeding the same JVM cosine fold as
+    ``brute_force_topk``). Deterministic dequantization is what makes
+    an EXACT SQL oracle possible for this tier: the oracle recomputes
+    min/max, codes, and the identical fold relationally."""
+    steps = [(mx - mn) / 255.0 if mx > mn else 0.0
+             for mn, mx in zip(mins, maxs)]
+    scaled = F.zip_with(F.col(code_col).cast("array<double>"),
+                        F.lit(steps).cast("array<double>"),
+                        lambda c, r: c * r)
+    dq = F.zip_with(scaled, F.lit(mins).cast("array<double>"),
+                    lambda a, b: a + b)
+    return (
+        encoded.where(F.col(code_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(dq, qvec), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def prototypicality_prune(df: DataFrame, centroids: list,
                           keep_low: float = 0.2, keep_high: float = 0.8,
                           id_col: str = "doc_id",

@@ -923,3 +923,61 @@ def test_centroid_distance_flags_outlier(spark):
     # the outlier drags the centroid toward itself; it still sits ~9x
     # farther out than any inlier
     assert got[0]["dist"] > 5 * got[1]["dist"]
+
+
+def test_sq8_roundtrip_codes_and_clamp(spark):
+    """Known affine: dim0 spans [0, 10] → code = floor(x*25.5 + 0.5);
+    a degenerate dim (constant) encodes 0 everywhere; codes live in
+    [0, 255]."""
+    from document_extractor_spark.operators.similarity import (
+        sq8_encode,
+        sq8_train,
+    )
+
+    rows = [(0, [0.0, 7.0]), (1, [10.0, 7.0]), (2, [4.0, 7.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    mins, maxs = sq8_train(df, dim=2)
+    assert mins == [0.0, 7.0] and maxs == [10.0, 7.0]
+    got = {r["vec_id"]: r["sq8_code"]
+           for r in sq8_encode(df, mins, maxs).collect()}
+    assert got[0] == [0, 0]
+    assert got[1] == [255, 0]
+    assert got[2] == [int(4.0 * 25.5 + 0.5), 0]  # 102
+    assert got[3] is None
+
+
+def test_sq8_topk_ranks_like_bruteforce_on_separated_vectors(spark):
+    """With well-separated directions, 8-bit dequantization preserves
+    the exact ranking (and the degenerate dim drops out of scoring)."""
+    from document_extractor_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    rows = [(0, [1.0, 0.0, 5.0]),    # query direction
+            (1, [0.9, 0.1, 5.0]),
+            (2, [0.1, 0.9, 5.0]),
+            (3, [-1.0, 0.2, 5.0]),
+            (4, None)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = [1.0, 0.0, 5.0]
+    mins, maxs = sq8_train(df, dim=3)
+    enc = sq8_encode(df, mins, maxs)
+    got = [r["vec_id"] for r in sq8_topk(enc, mins, maxs, q, k=3).collect()]
+    want = [r["vec_id"]
+            for r in brute_force_topk(df.where("embedding IS NOT NULL"),
+                                      q, k=3).collect()]
+    assert got == want == [0, 1, 2]
+
+
+def test_sq8_train_raises_on_all_null(spark):
+    import pytest as _pytest
+
+    from document_extractor_spark.operators.similarity import sq8_train
+
+    df = spark.createDataFrame([(1, None)],
+                               "vec_id int, embedding array<float>")
+    with _pytest.raises(ValueError, match="no non-null"):
+        sq8_train(df, dim=2)
