@@ -1267,6 +1267,28 @@ def q_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq), 6).alias("norm_chk"))
 
 
+def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over 60 planted RAW1 frames derived from
+    doc_id (payloads generated in an Arrow batch, seed = doc_id % 20 →
+    three byte-identical clones per seed): identical payloads hash to
+    identical dHashes (Hamming 0), while distinct random 16×16 frames
+    sit ~32 bits apart, so the ≤4 pair set is exactly the same-seed
+    clone pairs — a closed form the oracle states directly. URLs are
+    zero-padded so the operator's lexicographic id ordering equals the
+    oracle's numeric pair ordering."""
+    from document_extractor_spark.operators.multimodal import (
+        fake_image_from_seed, image_near_dups)
+
+    imgs = (_docs(spark, sf_dir).where(F.col("doc_id") < 60)
+            .select(
+                F.concat(F.lit("img://"),
+                         F.lpad(F.col("doc_id").cast("string"), 2, "0"))
+                .alias("url"),
+                fake_image_from_seed((F.col("doc_id") % 20).cast("int"))
+                .alias("payload")))
+    return image_near_dups(imgs, max_hamming=4)
+
+
 def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar-quantized cosine top-10 over the real embeddings
     table (faiss ScalarQuantizer QT_8bit shape, asymmetric distance:
@@ -3283,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "skew_profile": q_skew_profile,
         "sq8_topk": q_sq8_topk,
+        "image_dhash_dups": q_image_dhash_dups,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -4983,6 +5006,18 @@ def oracle_sql() -> dict[str, str]:
                        || (doc_id % 7) || '</p></body></html>')
                      AS payload_md5
             FROM documents WHERE doc_id < 64
+        """,
+        # dHash near-dups: byte-identical planted clones → Hamming 0;
+        # the clone-pair set is the closed form.
+        "image_dhash_dups": """
+            SELECT 'img://' || lpad(CAST(a.doc_id AS VARCHAR), 2, '0')
+                     AS url_a,
+                   'img://' || lpad(CAST(b.doc_id AS VARCHAR), 2, '0')
+                     AS url_b,
+                   CAST(0 AS INT) AS hamming
+            FROM documents a JOIN documents b
+              ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
+            WHERE a.doc_id < 60 AND b.doc_id < 60
         """,
         # SQ8: full relational twin — exact per-dim min/max, the same
         # floor(+0.5) code arithmetic, dequant + cosine fold in list

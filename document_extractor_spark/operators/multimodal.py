@@ -211,6 +211,96 @@ def sample_frames(df: DataFrame, every_n: int = 2,
                                                        schema=FRAME_SCHEMA)
 
 
+@F.pandas_udf(T.BinaryType())
+def fake_image_from_seed(seeds: pd.Series) -> pd.Series:
+    """Arrow-batched RAW1 fixture generator: one deterministic 16×16
+    frame per integer seed — equal seeds yield byte-identical payloads
+    (the planted-clone closed form the dHash driver oracle states)."""
+    return seeds.map(lambda s: encode_fake_image(16, 16, seed=int(s)))
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("dhash", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def dhash64(df: DataFrame, payload_col: str = "payload",
+            url_col: str = "url") -> DataFrame:
+    """64-bit difference hash per image (the classic dHash): decode →
+    integer ITU-R 601 luma (299R+587G+114B, no floats → bit-exact on
+    every platform) → deterministic nearest-neighbor 9×8 grid sampling
+    (the same integer-index sampling as ``resize_max_width``) →
+    horizontal gradient bits (left < right), row-major MSB-first, one
+    signed BIGINT. Per-row decode failures isolate into
+    ``decode_error`` with a NULL hash — extraction totality."""
+
+    def hasher(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for u, p in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    px = decode_image_stub(bytes(p))
+                    h, w, _ = px.shape
+                    luma = px.astype(np.int64) @ np.array([299, 587, 114],
+                                                          dtype=np.int64)
+                    ys = np.arange(8) * h // 8
+                    xs = np.arange(9) * w // 9
+                    g = luma[ys][:, xs]                      # (8, 9)
+                    bits = (g[:, :-1] < g[:, 1:]).ravel()    # (64,)
+                    v = 0
+                    for bit in bits:                          # MSB-first
+                        v = (v << 1) | int(bit)
+                    if v >= 1 << 63:                          # wrap signed
+                        v -= 1 << 64
+                    recs.append((u, v, None))
+                except NotImplementedError as exc:
+                    recs.append((u, None, str(exc)))
+            yield pd.DataFrame.from_records(
+                recs, columns=[url_col, "dhash", "decode_error"])
+
+    return df.select(url_col, payload_col).mapInPandas(hasher,
+                                                       schema=DHASH_SCHEMA)
+
+
+def image_near_dups(df: DataFrame, max_hamming: int = 3,
+                    payload_col: str = "payload",
+                    url_col: str = "url") -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance ≤
+    ``max_hamming``, via the same 4×16-bit pigeonhole block join as
+    ``simhash_near_duplicates`` (any pair within distance 3 shares a
+    block): candidates join on (block, value) — never all pairs — and
+    the full distance verifies with one JVM ``bit_count(xor)``.
+    Undecodable payloads carry a NULL hash and drop out of pairing."""
+    sigs = dhash64(df, payload_col, url_col).where(
+        F.col("dhash").isNotNull())
+    blocks = sigs.select(
+        F.col(url_col).alias("id"), F.col("dhash"),
+        F.posexplode(F.array(*[
+            F.shiftright("dhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])).alias("blk", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("url_a"), F.col("b.id").alias("url_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def image_features(df: DataFrame, payload_col: str = "payload",
                    url_col: str = "url") -> DataFrame:
     """Feature extraction: mean RGB + luma histogram (8 bins) as an

@@ -6,8 +6,10 @@ from pyspark.sql import functions as F
 
 from document_extractor_spark.operators.multimodal import (
     decode_image_stub,
+    dhash64,
     encode_fake_image,
     encode_fake_image_white_border,
+    image_near_dups,
     image_features,
     probe_media,
     resize_max_width,
@@ -217,3 +219,55 @@ def test_stream_dedup_foreach_batch_empty_source(spark, tmp_path):
         str(tmp_path / "empty_out"), str(tmp_path / "empty_ckpt"))
     assert out.count() == 0
     assert out.columns == ["url"]
+
+
+def test_dhash_gradient_extremes(spark):
+    """Strictly increasing luma left-to-right → every gradient bit set
+    (signed -1); strictly decreasing → 0. Pins the bit convention and
+    the MSB-first packing."""
+    import numpy as np
+    import struct
+    from document_extractor_spark.operators.multimodal import _MAGIC
+
+    def img(px):
+        h, w, _ = px.shape
+        return _MAGIC + struct.pack("<HH", w, h) + px.astype("uint8").tobytes()
+
+    inc = np.tile(np.arange(18, dtype="uint8")[None, :, None] * 10, (16, 1, 3))
+    dec = inc[:, ::-1]
+    df = spark.createDataFrame(
+        [("img://inc", img(inc)), ("img://dec", img(dec))],
+        "url string, payload binary")
+    got = {r["url"]: r["dhash"] for r in dhash64(df).collect()}
+    assert got["img://inc"] == -1
+    assert got["img://dec"] == 0
+
+
+def test_dhash_decode_error_isolates(spark):
+    df = spark.createDataFrame(
+        [("img://ok", encode_fake_image(16, 16, seed=3)),
+         ("img://bad", b"\x89PNG....not-supported")],
+        "url string, payload binary")
+    got = {r["url"]: r for r in dhash64(df).collect()}
+    assert got["img://ok"]["dhash"] is not None
+    assert got["img://ok"]["decode_error"] is None
+    assert got["img://bad"]["dhash"] is None
+    assert "RAW1" in got["img://bad"]["decode_error"]
+
+
+def test_image_near_dups_clones_only(spark):
+    """Byte-identical clones pair at Hamming 0; distinct random frames
+    (~32 bits apart) never pass the threshold; undecodable rows drop
+    out instead of failing the job."""
+    rows = (
+        [(f"img://a{i}", encode_fake_image(16, 16, seed=7)) for i in range(3)]
+        + [("img://x", encode_fake_image(16, 16, seed=8)),
+           ("img://y", encode_fake_image(16, 16, seed=9)),
+           ("img://junk", b"GIF89a not supported")]
+    )
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    pairs = {(r["url_a"], r["url_b"]): r["hamming"]
+             for r in image_near_dups(df, max_hamming=4).collect()}
+    assert pairs == {("img://a0", "img://a1"): 0,
+                     ("img://a0", "img://a2"): 0,
+                     ("img://a1", "img://a2"): 0}
