@@ -704,6 +704,19 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=64)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch: distinct users per event type
+    with m=64 registers. The whole sketch is pure relational algebra
+    (values never shuffle — only (key, bucket, rank) integer triples
+    with map-side partial max), and the estimator is integer-exact
+    (rational alpha, fixed-point ln table), so the DuckDB oracle
+    recomputes the identical registers AND the identical estimate."""
+    from document_extractor_spark.operators.hll import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(ev, key_col="event_type", value_col="user_id")
+
+
 def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: tag each doc with every (overlapping) crawl-campaign
     window containing its crawl_ts. 10 windows [c*25, c*25+40) over
@@ -3306,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "sq8_topk": q_sq8_topk,
         "image_dhash_dups": q_image_dhash_dups,
+        "hll_distinct": q_hll_distinct,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -3471,7 +3485,13 @@ _MIX_CASE = " ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    from document_extractor_spark.operators.hll import hll_oracle_sql
+
     d = {
+        # HLL twin lives next to the operator so the constants (M, CAP,
+        # alpha, fixed-point ln table) can never drift between engines.
+        "hll_distinct": hll_oracle_sql(
+            "events", "event_type", "user_id"),
         "extract_roundtrip": (
             "SELECT doc_id, 'Document ' || doc_id || chr(10) || chr(10) || text"
             " AS extracted_text FROM documents"
