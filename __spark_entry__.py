@@ -1444,6 +1444,29 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(planted, 5)
 
 
+#: fixed English-ish merge table for the bpe_encode query — the SAME
+#: literals are inlined in the oracle via bpe_encode_oracle_sql
+_BPE_ENCODE_RULES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
+    ("e", "r"), ("o", "n"), ("a", "n"), ("an", "d"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the BPE tokenizer: segment every document with a
+    fixed 8-rule merge table (rank-ordered greedy passes). The merge
+    table is inlined vocabulary metadata, so the corpus pass is one
+    narrow projection — no join, no shuffle, no Python; the oracle
+    runs the IDENTICAL double-separator replace fold in DuckDB and
+    hash-matches the full encoded subword sequence of every doc."""
+    from document_extractor_spark.operators.bpe import bpe_apply_merges
+
+    merges = spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(_BPE_ENCODE_RULES)],
+        "merge_rank int, s1 string, s2 string")
+    return bpe_apply_merges(_docs(spark, sf_dir), merges)
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton layout keys over a planted 2-D grid (x = d%256,
     y = 7d%256, bits=8): the oracle restates the identical interleave
@@ -3320,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": q_sq8_topk,
         "image_dhash_dups": q_image_dhash_dups,
         "hll_distinct": q_hll_distinct,
+        "bpe_encode": q_bpe_encode,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -3485,6 +3509,7 @@ _MIX_CASE = " ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    from document_extractor_spark.operators.bpe import bpe_encode_oracle_sql
     from document_extractor_spark.operators.hll import hll_oracle_sql
 
     d = {
@@ -3492,6 +3517,8 @@ def oracle_sql() -> dict[str, str]:
         # alpha, fixed-point ln table) can never drift between engines.
         "hll_distinct": hll_oracle_sql(
             "events", "event_type", "user_id"),
+        "bpe_encode": bpe_encode_oracle_sql(
+            "documents", _BPE_ENCODE_RULES),
         "extract_roundtrip": (
             "SELECT doc_id, 'Document ' || doc_id || chr(10) || chr(10) || text"
             " AS extracted_text FROM documents"

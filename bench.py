@@ -346,7 +346,7 @@ HEADLINE_QUERIES = [
     "wat_roundtrip", "template_farms", "zorder_keys", "bpe_merges",
     "robots_wildcards", "compression_buckets", "ndcg_eval",
     "matryoshka_trunc", "centroid_outliers", "skew_profile",
-    "sq8_topk", "image_dhash_dups", "hll_distinct",
+    "sq8_topk", "image_dhash_dups", "hll_distinct", "bpe_encode",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N
