@@ -717,6 +717,26 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, key_col="event_type", value_col="user_id")
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra between two planted crawl snapshots: A = every
+    doc url, B = urls of doc_id >= 100 plus 50 brand-new urls — known
+    |A∩B| and |A∪B|. Only sketch hashes move; the oracle recomputes
+    the identical k-min sketches, union sketch, and integer overlap
+    estimates from the exact distinct sets."""
+    from document_extractor_spark.operators.sketch import kmv_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://docs.example.org/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    snap_a = docs.select(url)
+    snap_b = docs.where(F.col("doc_id") >= 100).select(url).unionByName(
+        docs.where(F.col("doc_id") < 50).select(
+            F.concat(F.lit("https://docs.example.org/"),
+                     (F.col("doc_id") + 100000).cast("string"))
+            .alias("url")))
+    return kmv_overlap(snap_a, snap_b, "url", k=64)
+
+
 def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: tag each doc with every (overlapping) crawl-campaign
     window containing its crawl_ts. 10 windows [c*25, c*25+40) over
@@ -3344,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dups": q_image_dhash_dups,
         "hll_distinct": q_hll_distinct,
         "bpe_encode": q_bpe_encode,
+        "kmv_overlap": q_kmv_overlap,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -3519,6 +3540,58 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "user_id"),
         "bpe_encode": bpe_encode_oracle_sql(
             "documents", _BPE_ENCODE_RULES),
+        # KMV set algebra: identical k-min sketches + union sketch +
+        # integer overlap estimates recomputed from the exact sets.
+        # est(n, kth) inlined thrice = the kmv_distinct estimator.
+        "kmv_overlap": """
+            WITH a AS (SELECT DISTINCT
+                         md5('https://docs.example.org/' ||
+                             CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+            b AS (SELECT md5('https://docs.example.org/' ||
+                             CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents WHERE doc_id >= 100
+                  UNION
+                  SELECT md5('https://docs.example.org/' ||
+                             CAST(doc_id + 100000 AS VARCHAR))
+                  FROM documents WHERE doc_id < 50),
+            sa AS (SELECT h FROM a ORDER BY h LIMIT 64),
+            sb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+            ku AS (SELECT h FROM (SELECT h FROM sa
+                                  UNION SELECT h FROM sb) u
+                   ORDER BY h LIMIT 64),
+            ef AS (SELECT
+              (SELECT count(*) FROM ku) AS n_union,
+              (SELECT count(*) FROM ku
+               WHERE h IN (SELECT h FROM sa)
+                 AND h IN (SELECT h FROM sb)) AS n_both,
+              (SELECT count(*) FROM sa) AS na,
+              (SELECT max(h) FROM sa) AS ka,
+              (SELECT count(*) FROM sb) AS nb,
+              (SELECT max(h) FROM sb) AS kb,
+              (SELECT max(h) FROM ku) AS kthu),
+            est AS (SELECT n_union, n_both,
+              CAST(CASE WHEN na < 64 THEN na ELSE floor(63 /
+                (('0x' || substr(ka, 1, 12))::UBIGINT::DOUBLE
+                 / 281474976710656.0)) END AS BIGINT) AS est_a,
+              CAST(CASE WHEN nb < 64 THEN nb ELSE floor(63 /
+                (('0x' || substr(kb, 1, 12))::UBIGINT::DOUBLE
+                 / 281474976710656.0)) END AS BIGINT) AS est_b,
+              CAST(CASE WHEN n_union < 64 THEN n_union ELSE floor(63 /
+                (('0x' || substr(kthu, 1, 12))::UBIGINT::DOUBLE
+                 / 281474976710656.0)) END AS BIGINT) AS est_union
+              FROM ef)
+            SELECT CAST(n_union AS INT) AS n_union,
+                   CAST(n_both AS INT) AS n_both,
+                   est_a, est_b, est_union,
+                   CAST(CASE WHEN n_union > 0
+                        THEN floor(n_both * est_union / n_union)
+                        ELSE 0 END AS BIGINT) AS est_intersection,
+                   CAST(CASE WHEN n_union > 0
+                        THEN floor(1000 * n_both / n_union)
+                        ELSE 0 END AS INT) AS jaccard_milli
+            FROM est
+        """,
         "extract_roundtrip": (
             "SELECT doc_id, 'Document ' || doc_id || chr(10) || chr(10) || text"
             " AS extracted_text FROM documents"

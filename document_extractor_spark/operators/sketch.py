@@ -82,12 +82,103 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
     merged = part.groupBy("key").agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_ks"))
     n = F.size("_ks")
-    kth = F.element_at("_ks", n)
-    frac = (F.conv(F.substring(kth, 1, _FRAC_HEX), 16, 10).cast("double")
-            / F.lit(float(16 ** _FRAC_HEX)))
-    est = F.when(n < k, n.cast("double")).otherwise(F.lit(k - 1) / frac)
+    est = _kmv_estimate(n, F.element_at("_ks", n), k)
     return merged.select(
         "key",
         n.cast("int").alias("n_kept"),
-        F.floor(est).cast("bigint").alias("est_distinct"),
+        est.alias("est_distinct"),
     )
+
+
+def _kmv_estimate(n, kth, k):
+    """(k-1)/frac(kth-hash) estimator as a Column — exact below k.
+    Shared by the per-key sketch above and the set-algebra below so the
+    fraction convention can never drift."""
+    frac = (F.conv(F.substring(kth, 1, _FRAC_HEX), 16, 10).cast("double")
+            / F.lit(float(16 ** _FRAC_HEX)))
+    est = F.when(n < k, n.cast("double")).otherwise(F.lit(k - 1) / frac)
+    return F.floor(est).cast("bigint")
+
+
+def _global_kmv(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """≤k rows ``(h)``: the k minimum md5 hashes of the column's
+    DISTINCT value set — partition-local k-min partials (no shuffle of
+    raw values), then one metadata-scale global fold."""
+    hashed = df.select(
+        F.md5(F.col(value_col).cast("string")).alias("h"),
+    ).where(F.col("h").isNotNull())
+
+    def _partials(batches):
+        import pandas as pd
+
+        acc: set = set()
+        for pdf in batches:
+            acc.update(pdf["h"])
+            if len(acc) > 4 * k:
+                acc = set(sorted(acc)[:k])
+        yield pd.DataFrame({"h": sorted(acc)[:k]})
+
+    part = hashed.mapInPandas(_partials, schema="h string")
+    return (part.groupBy()
+            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k)
+                 .alias("_ks"))
+            .select(F.explode("_ks").alias("h")))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, value_col: str,
+                k: int = 64) -> DataFrame:
+    """KMV set algebra between two corpora (Beyer et al. 2007, the
+    theta-sketch shape): estimate |A|, |B|, |A∪B|, |A∩B| and the
+    Jaccard overlap of two DISTINCT value sets — e.g. shared URLs
+    between two crawl snapshots — while moving only sketch hashes.
+
+    Method: the k-min sketch of A∪B is the k smallest of S_A ∪ S_B
+    (k-min is a semilattice, so the combined sketch is a valid KMV
+    sketch of the union); ρ = |{h ∈ K_∪ : h ∈ S_A ∧ h ∈ S_B}| / |K_∪|
+    estimates the Jaccard coefficient, and |A∩B| ≈ ρ · est(|A∪B|).
+    All arithmetic past the estimator's one double division is
+    integer (floors), and every output is a pure function of the two
+    input SETS — the DuckDB oracle recomputes all of it exactly.
+
+    Returns ONE row: ``(n_union, n_both, est_a, est_b, est_union,
+    est_intersection, jaccard_milli)``. Exact when both sides have
+    fewer than k distinct values. Scale shape: each corpus collapses
+    to ≤k hashes via partition-local partials; everything after is
+    metadata-scale (≤2k rows)."""
+    if k < 2:
+        raise ValueError("k must be at least 2")
+    sa = _global_kmv(a, value_col, k).select(
+        "h", F.lit(True).alias("_in_a"))
+    sb = _global_kmv(b, value_col, k).select(
+        "h", F.lit(True).alias("_in_b"))
+    u = (sa.join(sb, "h", "full_outer")
+         .select("h",
+                 F.coalesce("_in_a", F.lit(False)).alias("in_a"),
+                 F.coalesce("_in_b", F.lit(False)).alias("in_b"))
+         .orderBy("h").limit(k))
+    est_a = sa.groupBy().agg(
+        _kmv_estimate(F.count("*"), F.max("h"), k).alias("est_a"))
+    est_b = sb.groupBy().agg(
+        _kmv_estimate(F.count("*"), F.max("h"), k).alias("est_b"))
+    agg = u.groupBy().agg(
+        F.count("*").cast("int").alias("n_union"),
+        F.coalesce(F.sum((F.col("in_a") & F.col("in_b")).cast("int")),
+                   F.lit(0)).cast("int").alias("n_both"),
+        _kmv_estimate(F.count("*"), F.max("h"), k).alias("est_union"))
+    # three 1-row frames joined on a constant key — metadata-scale by
+    # construction (a broadcast hash join, not a cross join)
+    j = F.lit(1).alias("_j")
+    out = (agg.select(j, "*")
+           .join(F.broadcast(est_a.select(j, "*")), "_j")
+           .join(F.broadcast(est_b.select(j, "*")), "_j"))
+    nu = F.col("n_union").cast("bigint")
+    est_int = F.when(nu > 0, F.floor(
+        F.col("n_both").cast("bigint") * F.col("est_union") / nu)
+    ).otherwise(0)
+    jac = F.when(nu > 0, F.floor(
+        F.lit(1000).cast("bigint") * F.col("n_both").cast("bigint") / nu)
+    ).otherwise(0)
+    return out.select(
+        "n_union", "n_both", "est_a", "est_b", "est_union",
+        est_int.cast("bigint").alias("est_intersection"),
+        jac.cast("int").alias("jaccard_milli"))
