@@ -737,6 +737,19 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(snap_a, snap_b, "url", k=64)
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR log-bucket quantile sketch: per-source n_chars p50/p95/p99.
+    The deterministic mergeable alternative to approx_percentile's
+    t-digest — bucket floors are pure integer/bit functions of each
+    value, so the DuckDB oracle recomputes the identical histogram and
+    the identical lower-rank quantile picks (source_quantiles keeps the
+    EXACT percentile twin; this is its bounded-memory 100-TB ladder
+    rung, cross-engine-verified instead of trust-me)."""
+    from document_extractor_spark.operators.sketch import hdr_quantiles
+
+    return hdr_quantiles(_docs(spark, sf_dir), "source", "n_chars")
+
+
 def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: tag each doc with every (overlapping) crawl-campaign
     window containing its crawl_ts. 10 windows [c*25, c*25+40) over
@@ -3365,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bpe_encode": q_bpe_encode,
         "kmv_overlap": q_kmv_overlap,
+        "hdr_quantiles": q_hdr_quantiles,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -3540,6 +3554,37 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "user_id"),
         "bpe_encode": bpe_encode_oracle_sql(
             "documents", _BPE_ENCODE_RULES),
+        # HDR quantile sketch: identical log-bucket floors (bin-length
+        # exponent, power-of-two division is exact in double in both
+        # engines) + identical lower-rank quantile picks.
+        "hdr_quantiles": """
+            WITH staged AS (SELECT source AS key,
+                                   CAST(n_chars AS BIGINT) AS v
+                            FROM documents
+                            WHERE n_chars IS NOT NULL AND n_chars >= 0),
+            pb AS (SELECT key, v,
+                          CAST(power(2, greatest(length(bin(v)) - 6, 0))
+                               AS BIGINT) AS p
+                   FROM staged),
+            hist AS (SELECT key,
+                            CAST(CAST(floor(v / p) AS BIGINT) * p
+                                 AS BIGINT) AS b,
+                            count(*) AS c
+                     FROM pb GROUP BY key, b),
+            cum AS (SELECT key, b,
+                           sum(c) OVER (PARTITION BY key ORDER BY b)
+                             AS cum,
+                           sum(c) OVER (PARTITION BY key) AS n
+                    FROM hist)
+            SELECT key, CAST(max(n) AS BIGINT) AS n_values,
+                   CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN b END)
+                        AS BIGINT) AS q500,
+                   CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN b END)
+                        AS BIGINT) AS q950,
+                   CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN b END)
+                        AS BIGINT) AS q990
+            FROM cum GROUP BY key
+        """,
         # KMV set algebra: identical k-min sketches + union sketch +
         # integer overlap estimates recomputed from the exact sets.
         # est(n, kth) inlined thrice = the kmv_distinct estimator.

@@ -182,3 +182,57 @@ def kmv_overlap(a: DataFrame, b: DataFrame, value_col: str,
         "n_union", "n_both", "est_a", "est_b", "est_union",
         est_int.cast("bigint").alias("est_intersection"),
         jac.cast("int").alias("jaccard_milli"))
+
+
+def hdr_quantiles(df: DataFrame, key_col: str, value_col: str,
+                  quantiles=(0.5, 0.95, 0.99),
+                  sub_bits: int = 5) -> DataFrame:
+    """HDR-histogram-style quantile sketch (log2 major buckets,
+    ``sub_bits`` linear sub-buckets) — the deterministic, exactly-
+    mergeable alternative to ``approx_percentile``'s t-digest, whose
+    estimate a DuckDB oracle can recompute bit-for-bit.
+
+    Each non-negative integer value rounds DOWN to its bucket floor
+    (the value with all bits below the top ``sub_bits+1`` cleared), so
+    the relative error is bounded by ``2^-sub_bits`` (~3% at the
+    default 5) and the sketch state per key is at most
+    ``2^(sub_bits+1) * 52`` bucket counters — a pure
+    ``groupBy(key, bucket).count()`` that partial-aggregates map-side;
+    raw values never shuffle. Quantile q = the smallest bucket floor
+    whose cumulative count reaches ``ceil(q * n)`` (the lower
+    interpolation-free rank, matching the oracle's CASE ladder).
+    Unlike t-digest/KLL the result is a pure function of the input
+    MULTISET — independent of partitioning, order, batching, retries.
+
+    Negative or NULL values are ignored; values must fit 2^52 (the
+    exact-double range both engines share for ``power(2, g)``).
+    Returns one row per key: ``(key, n_values, q<NNN> ...)`` with
+    bucket-floor BIGINTs, e.g. ``q500`` for the median.
+    """
+    if not 1 <= sub_bits <= 16:
+        raise ValueError(f"sub_bits must be in [1, 16], got {sub_bits}")
+    qs = sorted(quantiles)
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    v = F.col(value_col).cast("bigint")
+    staged = (df.where(v.isNotNull() & (v >= 0))
+                .select(F.col(key_col).alias("key"), v.alias("v")))
+    g = F.greatest(F.length(F.bin("v")) - F.lit(1 + sub_bits), F.lit(0))
+    p = F.pow(F.lit(2.0), g).cast("bigint")
+    hist = (staged.select("key", (F.floor(F.col("v") / p) * p)
+                          .cast("bigint").alias("b"))
+            .groupBy("key", "b").agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("b")
+    wall = Window.partitionBy("key")
+    cum = (hist
+           .withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wall)))
+    aggs = [F.max("n").cast("bigint").alias("n_values")]
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("b")))
+            .cast("bigint").alias(f"q{int(round(q * 1000)):03d}"))
+    return cum.groupBy("key").agg(*aggs)
