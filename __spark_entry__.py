@@ -750,6 +750,31 @@ def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(_docs(spark, sf_dir), "source", "n_chars")
 
 
+def q_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) routing of every doc url to an 8-fetcher fleet
+    and to the same fleet plus one — per-url stable shard assignment
+    with the minimal-disruption property (moved ⇒ moved to the added
+    fetcher; pytest asserts it exactly). Zero shuffle: the fleet is an
+    inlined array literal and assignment is an in-row argmax; the
+    oracle runs the identical list_max over identical md5 weights."""
+    from document_extractor_spark.operators.routing import (
+        rendezvous_assign)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://docs.example.org/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    base = docs.select("doc_id", url)
+    a = rendezvous_assign(base, "url", _FLEET_8, out_col="shard_8")
+    b = rendezvous_assign(a, "url", _FLEET_9, out_col="shard_9")
+    return b.select(
+        "doc_id", "shard_8", "shard_9",
+        (F.col("shard_8") != F.col("shard_9")).alias("moved"))
+
+
+_FLEET_8 = [f"fetcher-{i}" for i in range(8)]
+_FLEET_9 = [f"fetcher-{i}" for i in range(9)]
+
+
 def q_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: tag each doc with every (overlapping) crawl-campaign
     window containing its crawl_ts. 10 windows [c*25, c*25+40) over
@@ -3379,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "kmv_overlap": q_kmv_overlap,
         "hdr_quantiles": q_hdr_quantiles,
+        "rendezvous_routing": q_rendezvous_routing,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -3546,8 +3572,20 @@ _MIX_CASE = " ".join(
 def oracle_sql() -> dict[str, str]:
     from document_extractor_spark.operators.bpe import bpe_encode_oracle_sql
     from document_extractor_spark.operators.hll import hll_oracle_sql
+    from document_extractor_spark.operators.routing import (
+        rendezvous_oracle_expr)
 
+    _rdv_url = "'https://docs.example.org/' || CAST(doc_id AS VARCHAR)"
     d = {
+        "rendezvous_routing": f"""
+            SELECT doc_id,
+                   {rendezvous_oracle_expr(_rdv_url, _FLEET_8)} AS shard_8,
+                   {rendezvous_oracle_expr(_rdv_url, _FLEET_9)} AS shard_9,
+                   {rendezvous_oracle_expr(_rdv_url, _FLEET_8)}
+                     <> {rendezvous_oracle_expr(_rdv_url, _FLEET_9)}
+                     AS moved
+            FROM documents
+        """,
         # HLL twin lives next to the operator so the constants (M, CAP,
         # alpha, fixed-point ln table) can never drift between engines.
         "hll_distinct": hll_oracle_sql(
