@@ -750,6 +750,38 @@ def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(_docs(spark, sf_dir), "source", "n_chars")
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog parity: the events table replayed as a
+    REAL Structured Streaming job (file micro-batches, one file per
+    trigger, applyInPandasWithState register state, update-mode memory
+    sink). Register max is commutative and idempotent, so the final
+    per-key state equals the batch sketch EXACTLY regardless of batch
+    slicing — the oracle is the identical batch HLL oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_to_memory, stream_hll_distinct)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id")
+    inp = os.path.join(
+        tempfile.mkdtemp(prefix="sg_stream_hll_"), "in")
+    ev.repartition(4).write.mode("overwrite").parquet(inp)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    out = stream_hll_distinct(stream, "event_type", "user_id")
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name, output_mode="update")
+    mem = spark.table(name)
+    final = mem.groupBy("key").agg(
+        F.max(F.struct("updates", "n_used", "est_distinct")).alias("s"))
+    return final.select(
+        "key", F.col("s.n_used").alias("n_used"),
+        F.col("s.est_distinct").cast("bigint").alias("est_distinct"))
+
+
 def q_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) routing of every doc url to an 8-fetcher fleet
     and to the same fleet plus one — per-url stable shard assignment
@@ -3405,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "hdr_quantiles": q_hdr_quantiles,
         "rendezvous_routing": q_rendezvous_routing,
+        "stream_hll": q_stream_hll,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -3589,6 +3622,10 @@ def oracle_sql() -> dict[str, str]:
         # HLL twin lives next to the operator so the constants (M, CAP,
         # alpha, fixed-point ln table) can never drift between engines.
         "hll_distinct": hll_oracle_sql(
+            "events", "event_type", "user_id"),
+        # streaming twin: final register state == batch sketch, so the
+        # batch oracle attests the streaming job too
+        "stream_hll": hll_oracle_sql(
             "events", "event_type", "user_id"),
         "bpe_encode": bpe_encode_oracle_sql(
             "documents", _BPE_ENCODE_RULES),

@@ -60,15 +60,12 @@ LN_SCALE = 1 << 20
 LN_TABLE = [round(math.log(M / v) * LN_SCALE) for v in range(1, M + 1)]
 
 
-def hll_distinct(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
-    """Per-``key_col`` HyperLogLog distinct-count of ``value_col``.
-
-    Returns ``(key, n_used, est_distinct)``: the number of touched
-    registers and the corrected estimate (linear counting below 2.5m,
-    register harmonic mean above). NULL values are ignored, like
-    ``count(DISTINCT ...)``; a NULL key is a group like any other.
-    Deterministic under any partitioning, batching, or retry order.
-    """
+def bucket_rank_projection(df: DataFrame, key_col: str,
+                           value_col: str) -> DataFrame:
+    """``(key, bucket, rank)`` integer triples — the narrow projection
+    both the batch sketch below and the streaming twin
+    (`streaming.jobs.stream_hll_distinct`) fold registers from. The
+    value itself never leaves this projection."""
     # staged narrow projection: hash once, then derive bucket/rank from
     # the staged column (repo rule — never inline a non-trivial
     # expression into multiple consumers)
@@ -93,7 +90,33 @@ def hll_distinct(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     rank = F.when(F.length("stripped") == 0, F.lit(CAP)).otherwise(
         F.least(lz_hex * 4 + extra + 1, F.lit(CAP)))
 
-    projected = staged.select("key", "bucket", rank.alias("rank"))
+    return staged.select("key", "bucket", rank.alias("rank"))
+
+
+def estimate_from_registers(regs) -> tuple:
+    """(n_used, est_distinct) from a ``{bucket: rank}`` register map —
+    the documented integer estimator, importable by the streaming twin
+    and tests so the formula exists exactly once."""
+    n_used = len(regs)
+    v_empty = M - n_used
+    s_total = sum(1 << (CAP - r) for r in regs.values()) \
+        + v_empty * (1 << CAP)
+    raw = (ALPHA_MILLI * M * M * (1 << CAP)) // (1000 * s_total)
+    if raw <= 5 * M // 2 and v_empty > 0:
+        return n_used, (M * LN_TABLE[v_empty - 1]) // LN_SCALE
+    return n_used, raw
+
+
+def hll_distinct(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-``key_col`` HyperLogLog distinct-count of ``value_col``.
+
+    Returns ``(key, n_used, est_distinct)``: the number of touched
+    registers and the corrected estimate (linear counting below 2.5m,
+    register harmonic mean above). NULL values are ignored, like
+    ``count(DISTINCT ...)``; a NULL key is a group like any other.
+    Deterministic under any partitioning, batching, or retry order.
+    """
+    projected = bucket_rank_projection(df, key_col, value_col)
     registers = projected.groupBy("key", "bucket").agg(
         F.max("rank").alias("reg"))
     folded = registers.groupBy("key").agg(

@@ -213,3 +213,70 @@ def run_stream_dedup_foreach_batch(spark: SparkSession, input_path: str,
         if "PATH_NOT_FOUND" in str(e):
             return spark.createDataFrame([], "url string")
         raise
+
+
+def stream_hll_distinct(keyed_stream: DataFrame, key_col: str,
+                        value_col: str) -> DataFrame:
+    """Streaming HyperLogLog: continuous per-key distinct-count
+    estimates via ``applyInPandasWithState`` — state is the m=64
+    register array (one small int tuple per key, bounded by key
+    cardinality, NEVER by stream length — the whole point of carrying
+    a sketch instead of a seen-set).
+
+    The (bucket, rank) projection is the SAME JVM-side expression as
+    the batch operator (``operators.hll.bucket_rank_projection``), and
+    register max is commutative/idempotent, so the final state after
+    any micro-batch slicing equals the batch sketch exactly — the
+    driver oracle for the streaming query IS the batch oracle. Each
+    trigger emits (key, updates, n_used, est_distinct) for keys seen
+    in that batch (update mode); ``updates`` is a monotone per-key
+    batch counter so a final-state reader takes the max-``updates``
+    row per key."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.hll import (
+        M, bucket_rank_projection, estimate_from_registers)
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("updates", T.LongType()),
+        T.StructField("n_used", T.IntegerType()),
+        T.StructField("est_distinct", T.LongType()),
+    ])
+    # registers as a fixed-width int array + the update counter
+    state_schema = T.StructType([
+        T.StructField("regs", T.ArrayType(T.IntegerType())),
+        T.StructField("updates", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            regs_list, updates = state.get
+            regs_list = list(regs_list)
+        else:
+            regs_list, updates = [0] * M, 0
+        for pdf in pdfs:
+            for b, r in zip(pdf["bucket"].to_numpy(),
+                            pdf["rank"].to_numpy()):
+                b = int(b)
+                if r > regs_list[b]:
+                    regs_list[b] = int(r)
+        updates += 1
+        state.update((regs_list, updates))
+        n_used, est = estimate_from_registers(
+            {b: r for b, r in enumerate(regs_list) if r > 0})
+        yield pd.DataFrame([{
+            "key": key[0], "updates": updates,
+            "n_used": n_used, "est_distinct": est,
+        }])
+
+    projected = bucket_rank_projection(keyed_stream, key_col, value_col)
+    return projected.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

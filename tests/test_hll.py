@@ -90,3 +90,36 @@ def test_ln_table_constants():
     for v in (1, 2, 17, 64):
         assert LN_TABLE[v - 1] == round(math.log(M / v) * LN_SCALE)
     assert LN_TABLE[M - 1] == 0  # ln(1)
+
+
+def test_stream_hll_equals_batch(spark, tmp_path):
+    """Micro-batch slicing invariance: the streaming sketch's final
+    state equals the batch sketch exactly (register max is commutative
+    and idempotent), at 1-file and 4-file trigger granularities."""
+    from document_extractor_spark.operators.hll import hll_distinct
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_to_memory, stream_hll_distinct)
+
+    rows = [((i * 13) % 5, (i * 7919) % 400) for i in range(3000)]
+    df = spark.createDataFrame(
+        [(f"k{k}", v) for k, v in rows], "event_type string, v bigint")
+    batch = sorted(
+        tuple(r) for r in hll_distinct(df, "event_type", "v").collect())
+
+    inp = str(tmp_path / "in")
+    df.repartition(6).write.mode("overwrite").parquet(inp)
+    for n, files_per in (("one", 1), ("four", 4)):
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", files_per).parquet(inp))
+        out = stream_hll_distinct(stream, "event_type", "v")
+        run_stream_to_memory(out, f"t_stream_hll_{n}",
+                             output_mode="update")
+        mem = spark.table(f"t_stream_hll_{n}")
+        from pyspark.sql import functions as SF
+        final = (mem.groupBy("key")
+                 .agg(SF.max(SF.struct("updates", "n_used",
+                                       "est_distinct")).alias("s"))
+                 .select("key", "s.n_used",
+                         SF.col("s.est_distinct").cast("bigint")
+                         .alias("est_distinct")))
+        assert sorted(tuple(r) for r in final.collect()) == batch, n
