@@ -782,6 +782,27 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.est_distinct").cast("bigint").alias("est_distinct"))
 
 
+def q_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning report over the Morton layout: the planted 2-D
+    grid (x = d%256, y = 7d%256) keyed at bits=8, zoned by the key's
+    high 6 bits (64 spatial blocks), against the conjunctive predicate
+    x∈[32,47] ∧ y∈[64,95]. Per zone: the row-group min-max envelope a
+    writer would persist and the reader's scan/skip verdict — the
+    oracle restates the interleave algebra, envelopes, and verdicts."""
+    from document_extractor_spark.operators.layout import (
+        with_zorder_key, zone_maps)
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        (d % 256).cast("int").alias("x"),
+        ((d * 7) % 256).cast("int").alias("y"))
+    keyed = with_zorder_key(planted, ["x", "y"], bits=8).withColumn(
+        "zone", F.shiftright("zorder_key", 10))
+    return zone_maps(keyed, "zone", ["x", "y"],
+                     {"x": (32, 47), "y": (64, 95)})
+
+
 def q_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) routing of every doc url to an 8-fetcher fleet
     and to the same fleet plus one — per-url stable shard assignment
@@ -3438,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles": q_hdr_quantiles,
         "rendezvous_routing": q_rendezvous_routing,
         "stream_hll": q_stream_hll,
+        "zone_pruning": q_zone_pruning,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -5437,6 +5459,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS INT), 'aa', 'ab', CAST(2 * n AS BIGINT) FROM n
         """,
         # Morton key: identical interleave bit algebra in SQL.
+        "zone_pruning": """
+            WITH keyed AS (
+              SELECT CAST(doc_id % 256 AS INT) AS x,
+                     CAST((doc_id * 7) % 256 AS INT) AS y,
+                     CAST(list_aggregate(list_transform(range(0, 8),
+                       i -> ((((doc_id % 256) >> i) & 1) << (2*i))
+                          + (((((doc_id * 7) % 256) >> i) & 1)
+                             << (2*i+1))),
+                       'sum') AS BIGINT) >> 10 AS zone
+              FROM documents),
+            z AS (SELECT zone, count(*) AS n_rows,
+                         min(x) AS x_min, max(x) AS x_max,
+                         min(y) AS y_min, max(y) AS y_max
+                  FROM keyed GROUP BY zone)
+            SELECT zone, n_rows, x_min, x_max, y_min, y_max,
+                   (x_max >= 32 AND x_min <= 47
+                    AND y_max >= 64 AND y_min <= 95) AS scanned
+            FROM z
+        """,
         "zorder_keys": """
             SELECT doc_id,
                    CAST(doc_id % 256 AS INT) AS x,

@@ -60,3 +60,42 @@ def with_zorder_key(df: DataFrame, cols, bits: int = 16,
     ``repartitionByRange(out_col).sortWithinPartitions(out_col)`` ahead
     of the parquet writer for multi-dimension row-group pruning."""
     return df.withColumn(out_col, zorder_key(cols, bits=bits))
+
+
+def zone_maps(df: DataFrame, zone_col: str, stat_cols,
+              predicates: dict | None = None) -> DataFrame:
+    """Write-time zone statistics (the parquet row-group / Iceberg
+    manifest min-max metadata) made explicit and queryable, so a
+    layout's pruning power is MEASURED instead of asserted: one row per
+    zone with ``(zone, n_rows, <c>_min, <c>_max ..., scanned)`` where
+    ``scanned`` is the reader's verdict for a conjunction of inclusive
+    range predicates ``{col: (lo, hi)}`` — a zone is skipped exactly
+    when any predicate's range misses the zone's [min, max] envelope.
+
+    Pair with ``with_zorder_key``: zone = the Morton key's high bits →
+    each zone is a spatial block, and a 2-D range predicate prunes to
+    the few blocks it intersects; the same zoning over a row-id layout
+    scans everything (the pytest states both, quantified). Scale shape:
+    one map-side-combined ``groupBy(zone)`` over zone keys — metadata
+    out, no second pass over the data; the scan verdict is pure column
+    algebra over the zone stats."""
+    stat_cols = list(stat_cols)
+    if not stat_cols:
+        raise ValueError("stat_cols must be non-empty")
+    predicates = dict(predicates or {})
+    unknown = set(predicates) - set(stat_cols)
+    if unknown:
+        raise ValueError(f"predicate columns {sorted(unknown)} "
+                         "not in stat_cols")
+    for c, (lo, hi) in predicates.items():
+        if lo > hi:
+            raise ValueError(f"predicate on {c}: lo {lo} > hi {hi}")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    z = df.groupBy(F.col(zone_col).alias("zone")).agg(*aggs)
+    scanned = F.lit(True)
+    for c, (lo, hi) in sorted(predicates.items()):
+        scanned = scanned & (F.col(f"{c}_max") >= F.lit(lo)) \
+            & (F.col(f"{c}_min") <= F.lit(hi))
+    return z.withColumn("scanned", scanned)
