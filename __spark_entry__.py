@@ -782,6 +782,22 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.est_distinct").cast("bigint").alias("est_distinct"))
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-query percolation over the real corpus text: three
+    keyword subscriptions (boolean AND) matched at ingest — rules
+    broadcast, corpus text never shuffled, containment = term-count
+    equality. The oracle restates the identical rule table inline and
+    joins it against the shared tokenizer twin."""
+    from document_extractor_spark.operators.percolate import percolate
+
+    rules = spark.createDataFrame(
+        [("r_the_and", ["the", "and"]),
+         ("r_of_to", ["of", "to"]),
+         ("r_never", ["the", "zzznosuchtokenzzz"])],
+        "query_id string, terms array<string>")
+    return percolate(_docs(spark, sf_dir), rules)
+
+
 def q_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning report over the Morton layout: the planted 2-D
     grid (x = d%256, y = 7d%256) keyed at bits=8, zoned by the key's
@@ -3460,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_routing": q_rendezvous_routing,
         "stream_hll": q_stream_hll,
         "zone_pruning": q_zone_pruning,
+        "percolate": q_percolate,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -5459,6 +5476,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS INT), 'aa', 'ab', CAST(2 * n AS BIGINT) FROM n
         """,
         # Morton key: identical interleave bit algebra in SQL.
+        "percolate": """
+            WITH rules(query_id, terms) AS (VALUES
+              ('r_the_and', ['the', 'and']),
+              ('r_of_to', ['of', 'to']),
+              ('r_never', ['the', 'zzznosuchtokenzzz'])),
+            q AS (SELECT query_id,
+                         len(list_distinct(list_transform(terms,
+                             t -> lower(t)))) AS n_terms,
+                         unnest(list_distinct(list_transform(terms,
+                             t -> lower(t)))) AS term
+                  FROM rules),
+            d AS (SELECT DISTINCT doc_id, tok AS term
+                  FROM (SELECT doc_id,
+                               unnest(list_filter(
+                                 regexp_split_to_array(
+                                   trim(lower(text)), '\\s+'),
+                                 t -> t <> '')) AS tok
+                        FROM documents)),
+            hits AS (SELECT d.doc_id, q.query_id,
+                            count(*) AS h, max(q.n_terms) AS need
+                     FROM d JOIN q USING (term)
+                     GROUP BY d.doc_id, q.query_id)
+            SELECT doc_id, query_id FROM hits WHERE h = need
+        """,
         "zone_pruning": """
             WITH keyed AS (
               SELECT CAST(doc_id % 256 AS INT) AS x,
