@@ -782,6 +782,20 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.est_distinct").cast("bigint").alias("est_distinct"))
 
 
+def q_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 99,991-fetch crawl budget
+    across sources scored by their doc counts — quotas sum EXACTLY to
+    the budget, remainder ties break by host name. All integer: the
+    oracle recomputes bases, remainders, and the top-leftover picks
+    bit-for-bit."""
+    from document_extractor_spark.operators.frontier import (
+        apportion_budget)
+
+    scores = (_docs(spark, sf_dir).groupBy(F.col("source").alias("host"))
+              .agg(F.count(F.lit(1)).alias("score")))
+    return apportion_budget(scores, 99991)
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing-query percolation over the real corpus text: three
     keyword subscriptions (boolean AND) matched at ingest — rules
@@ -3477,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "zone_pruning": q_zone_pruning,
         "percolate": q_percolate,
+        "apportion_budget": q_apportion_budget,
         # --- round-5 new operators (this session) ---
         "block_profile": q_block_profile,
         "count_min_freq": q_count_min_freq,
@@ -5476,6 +5491,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS INT), 'aa', 'ab', CAST(2 * n AS BIGINT) FROM n
         """,
         # Morton key: identical interleave bit algebra in SQL.
+        "apportion_budget": """
+            WITH s AS (SELECT source AS host, count(*) AS score
+                       FROM documents GROUP BY source),
+            t AS (SELECT sum(score) AS total FROM s),
+            b AS (SELECT host, score,
+                         score * 99991 // total AS base,
+                         score * 99991 % total AS rem
+                  FROM s, t),
+            l AS (SELECT 99991 - sum(base) AS leftover FROM b),
+            r AS (SELECT host,
+                         row_number() OVER (ORDER BY rem DESC, host ASC)
+                           AS rn
+                  FROM b)
+            SELECT b.host, CAST(b.score AS BIGINT) AS score,
+                   CAST(b.base + CASE WHEN r.rn <= l.leftover
+                                      THEN 1 ELSE 0 END AS BIGINT)
+                     AS quota
+            FROM b JOIN r USING (host), l
+        """,
         "percolate": """
             WITH rules(query_id, terms) AS (VALUES
               ('r_the_and', ['the', 'and']),

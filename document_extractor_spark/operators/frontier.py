@@ -197,3 +197,63 @@ def change_rate_estimates(captures: DataFrame,
                        / rate).cast("bigint"))
         .alias("revisit_interval_sec"),
     )
+
+
+def apportion_budget(scores: DataFrame, budget: int,
+                     key_col: str = "host",
+                     score_col: str = "score") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global integer
+    fetch budget across hosts by integer priority score: each host
+    gets ``floor(budget * score / total)`` plus one extra for the
+    hosts with the largest remainders, so quotas sum EXACTLY to
+    ``budget`` — the crawl-planning step between host scoring
+    (host_profile / wilson_host_rank) and per-host capping
+    (cap_per_host), e.g. splitting a 10^9-fetch daily budget across
+    10^7 hosts proportionally to their quality scores.
+
+    Scores must be non-negative integers (page counts, milli-scores):
+    ``budget * score`` stays in exact BIGINT, so base quotas and
+    remainders are integer-exact and the DuckDB oracle recomputes them
+    bit-for-bit. Ties in the remainder rank break by host name
+    ascending — apportionment is a pure function of the input.
+
+    Scale shape: ``total`` and the leftover count are two 1-row
+    aggregates (metadata-scale driver values, the PageRank-counter
+    discipline); the top-``leftover`` selection is a distributed
+    TakeOrdered heap (``orderBy().limit()``), NEVER a single-partition
+    global window; the +1 rejoin is a broadcast semi join on host.
+
+    Returns ``(host, score, quota)``. Raises if the budget is negative,
+    any score is negative/NULL, or all scores are zero with a nonzero
+    budget (nothing to apportion by)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    s = scores.select(F.col(key_col).alias("host"),
+                      F.col(score_col).cast("bigint").alias("score"))
+    bad = s.where(F.col("score").isNull() | (F.col("score") < 0))
+    if bad.take(1):
+        raise ValueError("scores must be non-negative integers")
+    tot_row = s.groupBy().agg(F.sum("score").alias("t")).collect()
+    total = tot_row[0]["t"] if tot_row and tot_row[0]["t"] else 0
+    if total == 0:
+        if budget > 0:
+            raise ValueError(
+                "all scores are zero; cannot apportion a nonzero budget")
+        return s.select("host", "score",
+                        F.lit(0).cast("bigint").alias("quota"))
+    # `div` is true BIGINT division (no double round-trip — a 10^18
+    # product would lose low bits through a double)
+    based = s.select(
+        "host", "score",
+        F.expr(f"score * {budget} div {total}").alias("_base"),
+        F.expr(f"score * {budget} % {total}").alias("_rem"))
+    leftover = budget - based.groupBy().agg(
+        F.sum("_base").alias("b")).collect()[0]["b"]
+    top = (based.orderBy(F.col("_rem").desc(), F.col("host").asc())
+           .limit(int(leftover))
+           .select("host", F.lit(1).cast("bigint").alias("_extra")))
+    return (based.join(F.broadcast(top), "host", "left")
+            .select("host", "score",
+                    (F.col("_base")
+                     + F.coalesce(F.col("_extra"), F.lit(0)))
+                    .cast("bigint").alias("quota")))

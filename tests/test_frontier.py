@@ -1,5 +1,6 @@
 """Revisit scheduling (operators/frontier.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from document_extractor_spark.operators.frontier import (
@@ -177,3 +178,58 @@ def test_change_rate_plan_is_jvm_only(spark):
     df = spark.createDataFrame(
         [("u", 0, "d")], "url string, ts_epoch bigint, digest string")
     assert_no_python(change_rate_estimates(df))
+
+
+def test_apportion_sums_exactly_and_matches_python(spark):
+    from document_extractor_spark.operators.frontier import (
+        apportion_budget)
+
+    rows = [(f"h{i:02d}", (i * 37) % 101) for i in range(40)]
+    budget = 1000
+    got = {r["host"]: r["quota"]
+           for r in apportion_budget(
+               spark.createDataFrame(rows, "host string, score bigint"),
+               budget).collect()}
+    total = sum(s for _, s in rows)
+    base = {h: s * budget // total for h, s in rows}
+    rem = {h: s * budget % total for h, s in rows}
+    leftover = budget - sum(base.values())
+    extras = set(
+        h for h, _ in sorted(rows, key=lambda p: (-rem[p[0]], p[0]))
+        [:leftover])
+    want = {h: base[h] + (1 if h in extras else 0) for h, _ in rows}
+    assert got == want
+    assert sum(got.values()) == budget
+
+
+def test_apportion_edge_cases(spark):
+    from document_extractor_spark.operators.frontier import (
+        apportion_budget)
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "host string, score bigint")
+    # zero budget over zero scores is fine; nonzero budget is not
+    assert {r["quota"] for r in apportion_budget(df, 0).collect()} == {0}
+    with pytest.raises(ValueError, match="all scores are zero"):
+        apportion_budget(df, 10)
+    with pytest.raises(ValueError, match="non-negative"):
+        apportion_budget(spark.createDataFrame(
+            [("a", -1)], "host string, score bigint"), 10)
+    with pytest.raises(ValueError, match="budget"):
+        apportion_budget(df, -1)
+
+
+def test_apportion_plan_no_global_window(spark):
+    """The top-leftover selection must be a TakeOrdered heap, not a
+    single-partition global window."""
+    from document_extractor_spark.operators.frontier import (
+        apportion_budget)
+    from document_extractor_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(f"h{i}", i + 1) for i in range(10)], "host string, score bigint")
+    out = apportion_budget(df, 57)
+    plan = physical_plan(out)
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+    assert sum(r["quota"] for r in out.collect()) == 57
