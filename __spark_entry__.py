@@ -1059,6 +1059,86 @@ def q_host_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host_fail_frac", "host_keep")
 
 
+_LINMODEL_DIM = 512
+
+
+def _linmodel_weights() -> list[int]:
+    """Planted fastText-style model over the corpus vocabulary: milli
+    log-odds for quality words (fast/vector/spark/query) vs junk words
+    (slow/dup/small) plus two bigram features. Hash collisions sum —
+    exactly as the hashing trick behaves in production models."""
+    from document_extractor_spark.operators.linmodel import bucket_of
+
+    w = [0] * _LINMODEL_DIM
+    for tok, v in (("fast", 900), ("vector", 700), ("spark", 500),
+                   ("query", 400), ("slow", -800), ("dup", -700),
+                   ("small", -300), ("slow_slow", -500),
+                   ("fast_key", 300)):
+        w[bucket_of(tok, _LINMODEL_DIM)] += v
+    return w
+
+
+def q_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality score over the real corpus
+    text: unigram+bigram md5 buckets, integer milli-weights, in-row
+    fold — ONE narrow projection, no shuffle. The oracle twin
+    recomputes every score bit-for-bit from the same weight list."""
+    from document_extractor_spark.operators.linmodel import (
+        hashed_linear_score)
+
+    return hashed_linear_score(
+        _docs(spark, sf_dir), _linmodel_weights(), bias_milli=50,
+        threshold_milli=0).select(
+        "doc_id", "q_n_feats", "q_score_milli", "q_keep")
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-multiplicity sampling weights over the corpus augmented
+    with planted clones of docs 0..49 (the exact_dup_groups fixture),
+    so clone pairs weigh 500000 ppm and singletons 1000000."""
+    from document_extractor_spark.operators.dedup import soft_dedup_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = d.union(
+        d.where(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return soft_dedup_weights(aug)
+
+
+def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host reciprocity over a planted 37-host ring: every host links
+    forward (+1 mod 37), even hosts also link backward (−1), so odd
+    hosts are fully reciprocated (1000000 ppm) and even hosts half
+    (500000) — the closed form the oracle states."""
+    from document_extractor_spark.operators.links import reciprocity
+
+    ms = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 37).alias("m")).distinct())
+
+    def h(c):
+        return F.concat(F.lit("h"), c.cast("string"),
+                        F.lit(".example.org"))
+
+    fwd = ms.select(h(F.col("m")).alias("src_host"),
+                    h((F.col("m") + 1) % 37).alias("dst_host"))
+    bwd = (ms.where(F.col("m") % 2 == 0)
+           .select(h(F.col("m")).alias("src_host"),
+                   h((F.col("m") + 36) % 37).alias("dst_host")))
+    return reciprocity(fwd.union(bwd))
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: vectors 0..7 are the training
+    batch; per anchor, the 5 most-cosine-similar DIFFERENT-label
+    corpus vectors, ranked after 6-place rounding so both engines
+    order identically."""
+    from document_extractor_spark.operators.similarity import (
+        hard_negatives)
+
+    emb = _emb(spark, sf_dir)
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
 def q_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host quota over planted hosts: host = doc_id % 7, quality =
     (doc_id*7) % 13 (deliberately collides within a host so the md5 tie
@@ -3538,6 +3618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup_bloom": q_snapshot_dedup_bloom,
         "inverted_index": q_inverted_index,
         "host_quality_filter": q_host_quality_filter,
+        "hashed_quality": q_hashed_quality,
+        "soft_dedup": q_soft_dedup,
+        "reciprocal_links": q_reciprocal_links,
+        "hard_negatives": q_hard_negatives,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -3659,6 +3743,8 @@ _MIX_CASE = " ".join(
 def oracle_sql() -> dict[str, str]:
     from document_extractor_spark.operators.bpe import bpe_encode_oracle_sql
     from document_extractor_spark.operators.hll import hll_oracle_sql
+    from document_extractor_spark.operators.linmodel import (
+        linmodel_oracle_sql)
     from document_extractor_spark.operators.routing import (
         rendezvous_oracle_expr)
 
@@ -5264,6 +5350,77 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n < 2 OR CAST(nf AS DOUBLE) / n
                             <= 0.3::DOUBLE, TRUE) AS host_keep
             FROM p LEFT JOIN v USING (host)
+        """,
+        # fastText-style hashed linear model: the twin is generated by
+        # the operator module from the SAME weight list, so bucket math
+        # and NULL policy cannot drift.
+        "hashed_quality": linmodel_oracle_sql(
+            "documents", "doc_id", "text", _linmodel_weights(),
+            bias_milli=50, threshold_milli=0),
+        # Soft dedup: inverse-multiplicity ppm weights over the same
+        # augmented corpus as exact_dup_groups.
+        "soft_dedup": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id < 50),
+            k AS (SELECT doc_id, md5({_NORM}) AS h FROM aug
+                  WHERE text IS NOT NULL),
+            c AS (SELECT h, count(*) AS n FROM k GROUP BY h)
+            SELECT k.doc_id, CAST(c.n AS BIGINT) AS n_dups,
+                   CAST(1000000 // c.n AS BIGINT) AS weight_ppm
+            FROM k JOIN c USING (h)
+        """,
+        # Reciprocity closed form on the planted 37-host ring: odd
+        # hosts 1/1 reciprocated, even hosts 1/2.
+        "reciprocal_links": """
+            WITH ms AS (SELECT DISTINCT doc_id % 37 AS m FROM documents),
+            e AS (
+              SELECT 'h' || m || '.example.org' AS s,
+                     'h' || ((m + 1) % 37) || '.example.org' AS d
+              FROM ms
+              UNION
+              SELECT 'h' || m || '.example.org',
+                     'h' || ((m + 36) % 37) || '.example.org'
+              FROM ms WHERE m % 2 = 0),
+            r AS (
+              SELECT e.s, e.d,
+                     CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS back
+              FROM e LEFT JOIN e b ON e.s = b.d AND e.d = b.s)
+            SELECT s AS host, count(*) AS n_out_hosts,
+                   CAST(sum(back) AS BIGINT) AS n_reciprocal,
+                   CAST(sum(back) * 1000000 // count(*) AS BIGINT)
+                     AS reciprocity_ppm
+            FROM r GROUP BY s
+        """,
+        # Hard negatives: exact different-label cosine top-5 per
+        # anchor, rounded-then-ranked exactly like the operator.
+        "hard_negatives": """
+            WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
+                              label AS albl
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (
+              SELECT a.anchor_id, e.vec_id AS neg_id,
+                round(
+                  list_sum(list_transform(range(1, 65),
+                    i -> e.embedding[i]::DOUBLE * a.av[i]::DOUBLE))
+                  / nullif(
+                      sqrt(list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE
+                             * e.embedding[i]::DOUBLE)))
+                      * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> a.av[i]::DOUBLE * a.av[i]::DOUBLE))),
+                      0), 6) AS cosine
+              FROM embeddings e JOIN a ON e.label <> a.albl),
+            r AS (
+              SELECT anchor_id, neg_id, cosine,
+                     row_number() OVER (PARTITION BY anchor_id
+                                        ORDER BY cosine DESC, neg_id)
+                       AS rnk
+              FROM s WHERE cosine IS NOT NULL)
+            SELECT anchor_id, neg_id, cosine, CAST(rnk AS INT) AS rnk
+            FROM r WHERE rnk <= 5
         """,
         # ExactSubstr duplicate spans over the planted corpus (see
         # _span_planted): group winners are doc_id < 5; every other

@@ -348,7 +348,8 @@ HEADLINE_QUERIES = [
     "matryoshka_trunc", "centroid_outliers", "skew_profile",
     "sq8_topk", "image_dhash_dups", "hll_distinct", "bpe_encode",
     "kmv_overlap", "hdr_quantiles", "rendezvous_routing", "stream_hll",
-    "zone_pruning", "percolate", "apportion_budget",
+    "zone_pruning", "percolate", "apportion_budget", "hashed_quality",
+    "soft_dedup", "reciprocal_links", "hard_negatives",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -800,3 +800,44 @@ def verify_pairs_editdistance(pairs: DataFrame, text_a: str = "text_a",
     )
     return out.withColumn(
         "is_dup", F.col("sim_ppm") >= F.lit(int(sim_threshold_ppm)))
+
+
+# ---------------------------------------------------------------------------
+# 6. Soft dedup — inverse-multiplicity sampling weights
+# ---------------------------------------------------------------------------
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       scale_ppm: int = 1_000_000) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates, keep
+    every copy and assign it a sampling weight inversely proportional
+    to its multiplicity — ``weight_ppm = scale_ppm div n_dups`` — so a
+    paragraph-identical press release mirrored on 40 sites contributes
+    one document's worth of gradient in expectation (the reweight-not-
+    remove strategy of SoftDedup, He et al. 2024, which preserves the
+    long tail a hard dedup throws away while still de-emphasizing
+    boilerplate-heavy mass duplicates).
+
+    Scale shape: the multiplicity count shuffles only ``(id, 16-byte
+    content hash)`` — the corpus text NEVER moves (the
+    drop_boilerplate_lines discipline); the count table (one row per
+    DISTINCT hash) joins back on the hash key with map-side partial
+    aggregation ahead of both shuffles. Weights are integer ppm, so
+    the DuckDB twin reproduces them bit-for-bit.
+
+    NULL-text rows carry no content evidence and are excluded (a NULL
+    hash would silently vanish in the join anyway — better explicit).
+    Output: ``(id, n_dups, weight_ppm)``, one row per surviving input
+    row.
+    """
+    if scale_ppm <= 0:
+        raise ValueError(f"scale_ppm must be positive, got {scale_ppm}")
+    keyed = (df.where(F.col(text_col).isNotNull())
+             .select(F.col(id_col),
+                     content_hash(text_col).alias("_h")))
+    counts = keyed.groupBy("_h").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (keyed.join(counts, "_h")
+            .select(id_col, "n_dups",
+                    F.expr(f"{int(scale_ppm)} div n_dups")
+                    .cast("bigint").alias("weight_ppm")))

@@ -579,3 +579,41 @@ def resolve_redirects(edges: DataFrame, src: str = "src_url",
             (F.col("_s").isNull() & (F.col("hops") <= max_hops))
             .alias("resolved"))
     )
+
+
+def reciprocity(edges: DataFrame, src: str = "src_host",
+                dst: str = "dst_host") -> DataFrame:
+    """Per-host link reciprocity over the directed host graph: of the
+    DISTINCT hosts A links to, what fraction link back? Link-exchange
+    rings and paid-backlink farms show reciprocity near 1 while
+    organic editorial linking is strongly asymmetric (the classic
+    Garlaschelli & Loffredo 2004 reciprocity signal, applied per-host)
+    — the companion to ``triangle_counts``' clustering view of the
+    same spam shape.
+
+    Scale shape: dedupe to distinct host-pair edges (self-loops and
+    NULLs out), then probe the edge set with its own reversal via a
+    LEFT join on the (dst, src) pair — edge-keyed, map-side
+    combinable, no vertex-degree fan-out: a celebrity host's rows
+    spread across partitions by the PAIR key, so power-law hubs do
+    not make a hot partition. Final agg groups on the host key.
+    Output: ``(host, n_out_hosts, n_reciprocal, reciprocity_ppm)``
+    with the exact integer ratio ``n_reciprocal * 10^6 div
+    n_out_hosts``.
+    """
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+         .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .distinct())
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"),
+                   F.lit(1).alias("_back"))
+    return (e.join(rev, ["_s", "_d"], "left")
+            .groupBy(F.col("_s").alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_out_hosts"),
+                 F.sum(F.coalesce(F.col("_back"), F.lit(0)))
+                 .alias("n_reciprocal"))
+            .select("host", "n_out_hosts",
+                    F.col("n_reciprocal").cast("bigint")
+                    .alias("n_reciprocal"),
+                    F.expr("n_reciprocal * 1000000 div n_out_hosts")
+                    .cast("bigint").alias("reciprocity_ppm")))

@@ -721,3 +721,72 @@ def centroid_distances(df: DataFrame, centroids: DataFrame = None,
         F.col(id_col), "label",
         F.round(F.sqrt(ssum.cast("double") / F.lit(1e9)), 6).alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for embedding-model training batches
+# ---------------------------------------------------------------------------
+
+#: an anchor set is one training batch — bounded metadata inlined into
+#: the plan (the rendezvous shard-list discipline), not a data table
+_MAX_ANCHORS = 64
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Mine the top-``k`` hard negatives per anchor: corpus vectors
+    most cosine-similar to the anchor but carrying a DIFFERENT label —
+    the contrastive-training batch-mining step (the in-batch-negatives
+    upgrade of DPR / SimCSE pipelines: the best negatives are the
+    near-misses, not random rows).
+
+    ``anchors`` (id, vec, label) is a training BATCH — bounded
+    metadata, guarded at ``_MAX_ANCHORS`` and inlined into the plan as
+    literal structs, so scoring is one narrow in-row ``transform`` per
+    corpus row: no join, no crossJoin, no Python. The per-anchor
+    top-k is a row_number window over the NARROW exploded projection
+    ``(anchor_id, anchor_label, candidate id, rounded cosine)`` — the
+    corpus vectors never pass the explode. At larger anchor sets or
+    tighter latency, pre-block candidates with ``ivf_index`` /
+    ``srp_index`` and feed the pruned corpus here — the operator
+    composes; exactness is per-block.
+
+    Cosine is rounded to 6 places BEFORE ranking (ties then break on
+    candidate id) so the DuckDB twin ranks identically. Zero-norm
+    vectors score NULL and never reach a top-k. Output:
+    ``(anchor_id, neg_id, cosine, rnk)``, ``rnk`` in 1..k.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    rows = anchors.select(F.col(id_col), F.col(vec_col),
+                          F.col(label_col)).take(_MAX_ANCHORS + 1)
+    if len(rows) > _MAX_ANCHORS:
+        raise ValueError(
+            f"anchor set exceeds {_MAX_ANCHORS}: a training batch is "
+            "bounded metadata — pre-block larger sets with ivf_index")
+    if not rows:
+        raise ValueError("anchor set is empty")
+    scored = F.array(*[
+        F.struct(
+            F.lit(r[id_col]).alias("_aid"),
+            F.lit(r[label_col]).alias("_albl"),
+            F.round(cosine_similarity(F.col(vec_col),
+                                      [float(x) for x in r[vec_col]]),
+                    6).alias("_cos"))
+        for r in rows
+    ])
+    from pyspark.sql import Window
+
+    staged = (corpus.select(F.col(id_col), F.col(label_col),
+                            scored.alias("_sc"))
+              .select(id_col, label_col, F.explode_outer("_sc").alias("_a"))
+              .where((F.col(f"_a._albl") != F.col(label_col))
+                     & F.col("_a._cos").isNotNull())
+              .select(F.col("_a._aid").alias("anchor_id"),
+                      F.col(id_col).alias("neg_id"),
+                      F.col("_a._cos").alias("cosine")))
+    w = (Window.partitionBy("anchor_id")
+         .orderBy(F.col("cosine").desc(), F.col("neg_id")))
+    return (staged.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))

@@ -551,3 +551,40 @@ def test_contradictory_and_self_edges(spark):
     df = spark.createDataFrame([("a", "b")], "src_url string, dst_url string")
     with _pt.raises(ValueError, match="max_hops"):
         resolve_redirects(df, max_hops=0)
+
+
+# ---------------------------------------------------------------------------
+# reciprocity
+# ---------------------------------------------------------------------------
+
+
+def test_reciprocity_mixed_graph(spark):
+    from document_extractor_spark.operators.links import reciprocity
+
+    edges = [
+        ("a", "b"), ("b", "a"),          # reciprocated pair
+        ("a", "c"),                      # one-way
+        ("c", "d"), ("d", "c"),          # reciprocated pair
+        ("d", "d"),                      # self-loop: ignored
+        ("a", "b"),                      # duplicate edge: deduped
+        (None, "x"), ("x", None),        # NULLs: ignored
+    ]
+    got = {r["host"]: (r["n_out_hosts"], r["n_reciprocal"],
+                       r["reciprocity_ppm"])
+           for r in reciprocity(spark.createDataFrame(
+               edges, "src_host string, dst_host string")).collect()}
+    assert got == {
+        "a": (2, 1, 500000),
+        "b": (1, 1, 1000000),
+        "c": (1, 1, 1000000),
+        "d": (1, 1, 1000000),
+    }
+
+
+def test_reciprocity_plan_is_jvm_only(spark):
+    from document_extractor_spark.operators.links import reciprocity
+    from document_extractor_spark.plans import assert_no_python
+
+    df = spark.createDataFrame(
+        [("a", "b")], "src_host string, dst_host string")
+    assert_no_python(reciprocity(df))
