@@ -42,6 +42,23 @@ _MAX_DIM = 4096
 #: on both engines)
 _HEX = 8
 
+#: weights are stored biased by this offset in a fixed-width hex string
+#: (6 hex chars per bucket), so the model is ONE string constant in the
+#: plan — a ``CreateArray(dim)`` literal is rebuilt per lookup inside a
+#: higher-order-function lambda (measured ~3.7 µs/feature), a string
+#: literal is a single constant object and ``substring`` on it is an
+#: offset read. Bound: |weight| < 2^20 milli (±1048 full units).
+_W_OFF = 1 << 20
+_W_HEX = 6
+
+
+def _weight_table(weights: list[int]) -> str:
+    for x in weights:
+        if abs(x) >= _W_OFF:
+            raise ValueError(
+                f"|weight| must be < {_W_OFF} milli, got {x}")
+    return "".join(format(x + _W_OFF, f"0{_W_HEX}x") for x in weights)
+
 
 def bucket_of(feature: str, dim: int) -> int:
     """Python twin of the bucket function — for fixtures and tests."""
@@ -56,19 +73,26 @@ def _bucket(col: Column, dim: int) -> Column:
 
 def _features(text_col: str, bigrams: bool) -> Column:
     """Lowercased unigrams (+ adjacent bigrams joined by ``_``) as one
-    in-row array. ``sequence(1, n-1)`` would count DOWN for n<2 (Spark
-    sequences are bidirectional), hence the size guard."""
+    in-row array.
+
+    The bigram list is ``zip_with(toks, toks[2:], concat)`` — NOT
+    ``transform(sequence(1, n-1), i -> element_at(toks, i) ...)``:
+    Catalyst inlines the ``toks`` sub-expression into every lambda
+    reference, so the element_at formulation re-tokenizes the document
+    once per bigram index — O(tokens²) work per row (measured 10× on
+    the sf0.1 corpus). ``zip_with`` references each input array once;
+    the shorter side is null-padded, so the trailing (last_tok, NULL)
+    pair drops in the filter."""
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     if not bigrams:
         return toks
-    n = F.size(toks)
-    bi = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit("_"),
-                               F.element_at(toks, i + 1))),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bi = F.filter(
+        F.zip_with(
+            toks, shifted,
+            lambda x, y: F.when(y.isNotNull(),
+                                F.concat(x, F.lit("_"), y))),
+        lambda t: t.isNotNull())
     return F.concat(toks, bi)
 
 
@@ -90,20 +114,33 @@ def hashed_linear_score(df: DataFrame, weights_milli,
         raise ValueError(
             f"weight vector must have 1..{_MAX_DIM} buckets, got {len(w)}")
     dim = len(w)
-    w_arr = F.array(*[F.lit(x).cast("long") for x in w])
-    feats = _features(text_col, bigrams)
-    score = F.when(
+    wtab = F.lit(_weight_table(w))
+
+    def lookup(t: Column) -> Column:
+        return (F.conv(F.substring(wtab, _bucket(t, dim) * _W_HEX + 1,
+                                   _W_HEX), 16, 10)
+                .cast("bigint") - _W_OFF)
+
+    # ONE fold builds (count, score) together; the three output columns
+    # are field reads off the identical struct subtree, which codegen's
+    # subexpression elimination evaluates once (wrapping score and count
+    # in separate `when` trees measurably re-ran the whole fold per
+    # output column).
+    acc0 = F.struct(F.lit(0).cast("int").alias("n"),
+                    F.lit(int(bias_milli)).cast("long").alias("s"))
+    st = F.when(
         F.col(text_col).isNotNull(),
         F.aggregate(
-            feats, F.lit(int(bias_milli)).cast("long"),
-            lambda acc, t: acc + F.element_at(w_arr, _bucket(t, dim) + 1)))
+            _features(text_col, bigrams), acc0,
+            lambda a, t: F.struct((a["n"] + 1).alias("n"),
+                                  (a["s"] + lookup(t)).alias("s"))))
     return df.withColumns({
         f"{out_prefix}_n_feats":
-            F.when(F.col(text_col).isNotNull(), F.size(feats))
-            .otherwise(F.lit(0)).cast("int"),
-        f"{out_prefix}_score_milli": score,
+            F.coalesce(st["n"], F.lit(0)).cast("int"),
+        f"{out_prefix}_score_milli": st["s"],
         f"{out_prefix}_keep":
-            F.coalesce(score >= F.lit(int(threshold_milli)), F.lit(False)),
+            F.coalesce(st["s"] >= F.lit(int(threshold_milli)),
+                       F.lit(False)),
     })
 
 
@@ -115,8 +152,8 @@ def linmodel_oracle_sql(table: str, id_col: str, text_col: str,
     """DuckDB twin of :func:`hashed_linear_score` — lives next to the
     operator so tokenization, bucket math, and NULL policy can't
     drift. Emits ``(id, n_feats, score_milli, keep)``."""
-    w = ", ".join(str(int(x)) for x in weights_milli)
-    dim = len(list(weights_milli))
+    wl = [int(x) for x in weights_milli]
+    dim = len(wl)
     uni = (f"list_filter(regexp_split_to_array(trim(lower({text_col})),"
            r" '\s+'), t -> t <> '')")
     if bigrams:
@@ -125,10 +162,12 @@ def linmodel_oracle_sql(table: str, id_col: str, text_col: str,
                  f" i -> u[i] || '_' || u[i+1]) ELSE [] END)")
     else:
         feats = "u"
-    lookup = (f"list_transform(f, t -> wl[CAST(('0x' || "
-              f"substr(md5(t), 1, {_HEX}))::UBIGINT % {dim} AS INT) + 1])")
+    lookup = (
+        f"list_transform(f, t -> ('0x' || substr(wl, "
+        f"CAST(('0x' || substr(md5(t), 1, {_HEX}))::UBIGINT % {dim} "
+        f"AS INT) * {_W_HEX} + 1, {_W_HEX}))::BIGINT - {_W_OFF})")
     return f"""
-        WITH w AS (SELECT [{w}]::BIGINT[] AS wl),
+        WITH w AS (SELECT '{_weight_table(wl)}' AS wl),
         u AS (SELECT {id_col}, {text_col}, {uni} AS u FROM {table}),
         f AS (SELECT {id_col}, {text_col}, {feats} AS f FROM u),
         s AS (SELECT {id_col},
