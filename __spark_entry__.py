@@ -3,19 +3,15 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family (SURVEY.md §2 / §2.10), cross-checked against DuckDB at sf0.01:
-46 queries, 40 with exact SQL oracles (incl. the Structured Streaming
-ingest-dedup job, PDF position/margin geometry, and the curation
-family: 13-gram benchmark decontamination, staged PII redaction,
-deterministic md5-bucket data-mix sampling).
+171 queries, ALL with exact SQL oracles (incl. the Structured
+Streaming jobs, PDF position/margin geometry, the full curation
+family, the dedup/ANN family via planted closed forms, and the
+crawl/link-graph/sketch/training-transform tiers).
 
-Oracle-less entries (rows-only check) are the genuinely non-SQL ops:
-MinHash-LSH / SimHash signatures + embedding near-dups (xxhash64 / SRP
-hashing has no DuckDB twin), ANN + IVF top-k (approximate by
-construction), language ID (stopword/script tables). Their correctness
-is pytest-gated
-instead: MinHash candidate recall vs exact Jaccard ground truth, SimHash
-Hamming properties, ANN recall vs brute force
-(tests/test_dedup_similarity.py).
+Registration ORDER is the attestation priority: the correctness
+driver attests a prefix of this dict (50 keys in round 4), so entries
+not yet covered by a driver CORRECTNESS row come first; every entry is
+also locally hard-verified by tests/test_oracle_parity.py either way.
 """
 
 from __future__ import annotations
@@ -1137,6 +1133,18 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length-bucket batching plan over the corpus
+    (max_len=256, min_bucket=32): per-bucket doc counts and exact
+    integer padding-waste ppm. Bucket = 1 << length(bin(n-1)) — no
+    float log2 — so both engines bucket identically."""
+    from document_extractor_spark.operators.curation import (
+        length_bucket_stats)
+
+    return length_bucket_stats(_docs(spark, sf_dir), max_len=256,
+                               min_bucket=32)
 
 
 def q_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3622,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "reciprocal_links": q_reciprocal_links,
         "hard_negatives": q_hard_negatives,
+        "length_buckets": q_length_buckets,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -5421,6 +5430,26 @@ def oracle_sql() -> dict[str, str]:
               FROM s WHERE cosine IS NOT NULL)
             SELECT anchor_id, neg_id, cosine, CAST(rnk AS INT) AS rnk
             FROM r WHERE rnk <= 5
+        """,
+        # Length-bucket batching plan: integer-exact power-of-two
+        # buckets (1 << length(bin(n-1)) — no float log2).
+        "length_buckets": r"""
+            WITH t AS (
+              SELECT least(len(list_filter(regexp_split_to_array(
+                       trim(text), '\s+'), x -> x <> '')), 256) AS n
+              FROM documents WHERE text IS NOT NULL),
+            b AS (SELECT CASE WHEN n <= 1 THEN 1
+                              ELSE 1 << length(bin(n - 1)) END AS raw, n
+                  FROM t),
+            c AS (SELECT greatest(least(raw, 256), 32) AS bucket, n
+                  FROM b)
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS sum_tokens,
+                   CAST(sum(bucket - n) AS BIGINT) AS sum_pad,
+                   CAST(sum(bucket - n) * 1000000
+                        // (sum(bucket - n) + sum(n)) AS BIGINT)
+                     AS pad_waste_ppm
+            FROM c GROUP BY bucket
         """,
         # ExactSubstr duplicate spans over the planted corpus (see
         # _span_planted): group winners are doc_id < 5; every other

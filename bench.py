@@ -349,7 +349,7 @@ HEADLINE_QUERIES = [
     "sq8_topk", "image_dhash_dups", "hll_distinct", "bpe_encode",
     "kmv_overlap", "hdr_quantiles", "rendezvous_routing", "stream_hll",
     "zone_pruning", "percolate", "apportion_budget", "hashed_quality",
-    "soft_dedup", "reciprocal_links", "hard_negatives",
+    "soft_dedup", "reciprocal_links", "hard_negatives", "length_buckets",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

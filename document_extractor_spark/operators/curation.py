@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_df
+from ..functions.text import shingles_df, token_count
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap, GPT-3/PaLM-style 13-gram rule)
@@ -885,3 +885,55 @@ def term_blocklist_filter(docs: DataFrame, terms: DataFrame,
             .alias("keep"),
         )
     )
+
+
+def length_bucket_stats(docs: DataFrame, max_len: int = 2048,
+                        min_bucket: int = 32,
+                        text_col: str = "text") -> DataFrame:
+    """Length-bucketed batching plan: assign each document to the
+    smallest power-of-two token bucket that holds it (clamped to
+    ``[min_bucket, max_len]``) and report per-bucket padding economics
+    — the planning step for encoder-style inference/training batches,
+    where batching a 40-token doc with a 2000-token doc wastes 98% of
+    the batch as pad tokens (``pack_sequences`` is the decoder-side
+    answer; this is the bucketing answer when documents must stay
+    intact).
+
+    The bucket is integer-exact in both engines (no float log2, whose
+    rounding at exact powers of two differs per libm): the oracle twin
+    computes ``1 << length(bin(n-1))``, the Spark side an equivalent
+    when-ladder over the bounded power-of-two set. Docs over
+    ``max_len`` clamp into the top bucket (they would be truncated to
+    fit), NULL-text docs carry no tokens and are excluded. One narrow in-row projection + one
+    aggregation over ≤ log2(max_len) bucket keys — nothing at corpus
+    scale shuffles more than (bucket, two counters) rows.
+
+    Output per bucket: ``(bucket, n_docs, sum_tokens, sum_pad,
+    pad_waste_ppm)`` where waste = pad / (pad + tokens) of a batch
+    padded to the bucket width.
+    """
+    if max_len < min_bucket or min_bucket < 1:
+        raise ValueError(
+            f"need 1 <= min_bucket <= max_len, got {min_bucket}/{max_len}")
+    if max_len & (max_len - 1) or min_bucket & (min_bucket - 1):
+        raise ValueError("min_bucket and max_len must be powers of two")
+    n = F.least(token_count(text_col), F.lit(int(max_len)))
+    # ≤ log2(max_len / min_bucket) + 1 integer comparisons — the bucket
+    # set is plan metadata, so the ladder is a when-chain, not bit math
+    bucket = F.when(n <= min_bucket, F.lit(int(min_bucket)))
+    p = min_bucket
+    while p < max_len:
+        p *= 2
+        bucket = bucket.when(n <= p, F.lit(int(p)))
+    return (docs.where(F.col(text_col).isNotNull())
+            .select(bucket.alias("bucket"), n.alias("_n"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_n").alias("sum_tokens"),
+                 (F.sum(F.col("bucket") - F.col("_n")))
+                 .alias("sum_pad"))
+            .select("bucket", "n_docs",
+                    F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
+                    F.col("sum_pad").cast("bigint").alias("sum_pad"),
+                    F.expr("sum_pad * 1000000 div (sum_pad + sum_tokens)")
+                    .cast("bigint").alias("pad_waste_ppm")))

@@ -11,11 +11,12 @@ keep/drop verdict is a threshold on that score. Everything is integer
 fixed-point, so the DuckDB twin reproduces scores bit-for-bit.
 
 Scale shape: the weight vector is MODEL metadata (≤``_MAX_DIM``
-buckets), inlined as an array literal — scoring is ONE narrow
-whole-stage-codegen projection per row: in-row ``transform`` builds the
-feature list, in-row ``aggregate`` folds weight lookups. No join, no
-explode, no shuffle, no Python — at 10^12 documents the scoring pass
-costs exactly one scan. Training IS distributed (a bucket-count
+buckets), inlined as ONE fixed-width hex-string constant — scoring is
+one narrow whole-stage-codegen projection per row: in-row ``zip_with``
+builds the feature list, one in-row ``aggregate`` folds (count, score)
+together, and each weight lookup is a ``substring`` offset read into
+the constant. No join, no explode, no shuffle, no Python — at 10^12
+documents the scoring pass costs exactly one scan. Training IS distributed (a bucket-count
 ``groupBy`` with map-side partial aggregation, ≤``dim`` groups); only
 the final ≤``dim``-row count table — model parameters, not data —
 comes to the driver, the PageRank-counter discipline.

@@ -934,3 +934,58 @@ def test_term_blocklist_plan_and_guard(spark):
     assert_no_python(term_blocklist_filter(docs, terms, fold=True))
     with pytest.raises(ValueError, match="max_hits"):
         term_blocklist_filter(docs, terms, max_hits=-1)
+
+
+# ---------------------------------------------------------------------------
+# length_bucket_stats
+# ---------------------------------------------------------------------------
+
+
+def test_length_buckets_exact(spark):
+    from document_extractor_spark.operators.curation import (
+        length_bucket_stats)
+
+    rows = [
+        (0, "one two three"),             # 3 tokens  -> bucket 4 -> min 8
+        (1, " ".join(["t"] * 8)),         # 8 tokens  -> bucket 8
+        (2, " ".join(["t"] * 9)),         # 9 tokens  -> bucket 16
+        (3, " ".join(["t"] * 40)),        # 40 > max  -> clamped to 32
+        (4, ""),                          # 0 tokens  -> min bucket
+        (5, None),                        # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["bucket"]: (r["n_docs"], r["sum_tokens"], r["sum_pad"],
+                         r["pad_waste_ppm"])
+           for r in length_bucket_stats(df, max_len=32,
+                                        min_bucket=8).collect()}
+    # bucket 8: docs 0 (3 tok, pad 5), 1 (8 tok, pad 0), 4 (0 tok, pad 8)
+    assert got[8] == (3, 11, 13, 13 * 1_000_000 // 24)
+    assert got[16] == (1, 9, 7, 7 * 1_000_000 // 16)
+    assert got[32] == (1, 32, 0, 0)
+    assert set(got) == {8, 16, 32}
+
+
+def test_length_buckets_guards(spark):
+    import pytest as _pt
+
+    from document_extractor_spark.operators.curation import (
+        length_bucket_stats)
+
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with _pt.raises(ValueError, match="powers of two"):
+        length_bucket_stats(df, max_len=100)
+    with _pt.raises(ValueError, match="min_bucket"):
+        length_bucket_stats(df, max_len=16, min_bucket=32)
+
+
+def test_length_buckets_plan_narrow(spark):
+    from document_extractor_spark.operators.curation import (
+        length_bucket_stats)
+    from document_extractor_spark.plans import assert_no_python, physical_plan
+
+    df = spark.createDataFrame([(0, "x y z")], "doc_id bigint, text string")
+    out = length_bucket_stats(df)
+    assert_no_python(out)
+    for line in physical_plan(out).splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
