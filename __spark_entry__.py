@@ -1135,6 +1135,36 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
+def q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup gate: the corpus is the historical LSH
+    index; the 'new snapshot' is 50 exact clones (est 1.0 → dropped,
+    best match = min token-equal historical id) plus 50 fresh docs
+    whose shingles exist nowhere in history (no candidate → kept,
+    NULL match) — the closed form the oracle states."""
+    from document_extractor_spark.operators.dedup import (
+        ingest_near_dups,
+        minhash_index,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = minhash_index(d)
+    clones = (d.where(F.col("doc_id") < 50)
+              .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    fresh = (d.where(F.col("doc_id") < 50)
+             .select((F.col("doc_id") + 300000).alias("doc_id"),
+                     F.concat(F.lit("zzz qqq www d"),
+                              F.col("doc_id").cast("string"))
+                     .alias("text")))
+    out = ingest_near_dups(clones.union(fresh), idx)
+    # unmatched docs carry NULL match/estimate; the value-hash compare
+    # sorts rows, so surface them as (-1, 0.0) sentinels in BOTH engines
+    return out.select(
+        "id",
+        F.coalesce("best_match_id", F.lit(-1)).alias("best_match_id"),
+        F.coalesce("jaccard_est", F.lit(0.0)).alias("jaccard_est"),
+        "keep")
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two length-bucket batching plan over the corpus
     (max_len=256, min_bucket=32): per-bucket doc counts and exact
@@ -3631,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_links": q_reciprocal_links,
         "hard_negatives": q_hard_negatives,
         "length_buckets": q_length_buckets,
+        "ingest_near_dups": q_ingest_near_dups,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -5430,6 +5461,27 @@ def oracle_sql() -> dict[str, str]:
               FROM s WHERE cosine IS NOT NULL)
             SELECT anchor_id, neg_id, cosine, CAST(rnk AS INT) AS rnk
             FROM r WHERE rnk <= 5
+        """,
+        # Incremental near-dup gate closed form: exact clones carry an
+        # identical shingle set, so all 32 MinHash components agree
+        # (est = 1.0, dropped; ties among token-identical historical
+        # docs break to min id); the fresh docs' shingles exist
+        # nowhere in history, so no band can collide at est >= 0.8.
+        "ingest_near_dups": r"""
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\s+'), x -> x <> '') AS tk
+              FROM documents),
+            c AS (SELECT doc_id + 200000 AS id, tk FROM t
+                  WHERE doc_id < 50),
+            m AS (SELECT c.id, min(t2.doc_id) AS best
+                  FROM c JOIN t t2 ON t2.tk = c.tk GROUP BY c.id)
+            SELECT id, best AS best_match_id, 1.0::DOUBLE AS jaccard_est,
+                   false AS keep
+            FROM m
+            UNION ALL
+            SELECT doc_id + 300000, CAST(-1 AS BIGINT), 0.0::DOUBLE, true
+            FROM documents WHERE doc_id < 50
         """,
         # Length-bucket batching plan: integer-exact power-of-two
         # buckets (1 << length(bin(n-1)) — no float log2).

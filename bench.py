@@ -350,6 +350,7 @@ HEADLINE_QUERIES = [
     "kmv_overlap", "hdr_quantiles", "rendezvous_routing", "stream_hll",
     "zone_pruning", "percolate", "apportion_budget", "hashed_quality",
     "soft_dedup", "reciprocal_links", "hard_negatives", "length_buckets",
+    "ingest_near_dups",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

@@ -841,3 +841,95 @@ def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_dups",
                     F.expr(f"{int(scale_ppm)} div n_dups")
                     .cast("bigint").alias("weight_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# 7. Incremental near-dup index — the LSH twin of snapshot-ingest dedup
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  k: int = 32, bands: int = 8) -> DataFrame:
+    """Build the persistable LSH index of a corpus: one row per (doc,
+    band) — ``(band, band_hash, id, sig)`` — written out once (at
+    scale: partitioned/bucketed by ``(band, band_hash)``) so that
+    every future crawl snapshot can be near-dup-checked against the
+    historical corpus WITHOUT re-reading or re-shingling it — the
+    near-dup twin of ``dedup_against_index`` (snapshot-ingest exact
+    dedup), which this complements: that one catches byte-identical
+    re-crawls, this one catches the boilerplate-shifted re-renders.
+
+    The signature rides along with each band key so the probe can
+    verify candidates from the index alone (k longs per doc ≈ 256
+    bytes — vs re-shingling petabytes of historical text). Exact
+    shingle storage would be the corpus itself; the k-component
+    signature is the documented precision trade (estimator std ≈
+    sqrt(J(1-J)/k), ~0.07 at J=0.8, k=32)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    r = k // bands
+    return sigs.select(
+        F.col(id_col).alias("id"), "sig",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.element_at("sig", b * r + j + 1)
+                         for j in range(r)], F.lit(b))
+            for b in range(bands)
+        ])).alias("band", "band_hash"),
+    ).select("band", "band_hash", "id", "sig")
+
+
+def ingest_near_dups(new_docs: DataFrame, index: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3, k: int = 32, bands: int = 8,
+                     threshold: float = 0.8) -> DataFrame:
+    """Near-dup-gate a new crawl snapshot against a historical
+    :func:`minhash_index` — the historical corpus never moves: new
+    docs (the small side) are signed and banded, candidates come from
+    the ``(band, band_hash)`` equi-join against the index, and each
+    candidate pair is verified by the MinHash Jaccard ESTIMATOR
+    (fraction of agreeing signature components — computable from the
+    index alone, no historical text). A new doc is dropped when its
+    best estimate reaches ``threshold``.
+
+    Shuffle budget: sign+band the new snapshot (map-only), one
+    equi-join keyed by (band, band_hash) — at scale a bucket-pruned
+    scan of the stored index — one (new_id) max-agg. Within-batch
+    duplicates are out of scope by design: run ``drop_near_dups`` on
+    the batch first, then gate against history (same contract as
+    ``dedup_against_index``).
+
+    Returns ``(id, best_match_id, jaccard_est, keep)`` — one row per
+    new doc; unmatched docs carry NULL best_match_id / estimate."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if k % bands:
+        raise ValueError(f"bands ({bands}) must divide k ({k})")
+    new_banded = minhash_index(new_docs, id_col, text_col, n, k, bands)
+    idx = index.select(F.col("band").alias("_ib"),
+                       F.col("band_hash").alias("_ibh"),
+                       F.col("id").alias("_iid"),
+                       F.col("sig").alias("_isig"))
+    est = (F.size(F.filter(F.zip_with("sig", "_isig",
+                                      lambda x, y: x == y),
+                           lambda m: m))
+           / F.lit(float(k)))
+    cand = (new_banded.join(
+        idx, (F.col("band") == F.col("_ib"))
+        & (F.col("band_hash") == F.col("_ibh")))
+        .select(F.col("id"), F.col("_iid"),
+                F.round(est, 6).alias("_est"))
+        .distinct())
+    # min of (-estimate, id): max estimate, ties to the smallest
+    # historical id — negating the score, never the id (ids are
+    # arbitrary orderable types; the drop_exact_duplicates rule)
+    best = (cand.groupBy("id")
+            .agg(F.min_by("_iid", F.struct((-F.col("_est")).alias("_ns"),
+                                           F.col("_iid")))
+                 .alias("best_match_id"),
+                 F.max("_est").alias("jaccard_est")))
+    ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    return (ids.join(best, "id", "left")
+            .select("id", "best_match_id", "jaccard_est",
+                    F.coalesce(F.col("jaccard_est")
+                               < F.lit(float(threshold)), F.lit(True))
+                    .alias("keep")))

@@ -1,0 +1,72 @@
+"""Incremental MinHash-LSH index (operators/dedup.py §7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.dedup import (
+    ingest_near_dups,
+    minhash_index,
+)
+from document_extractor_spark.plans import assert_no_python
+
+
+def _hist(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+        (3, "red green blue cyan magenta yellow black white"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_clone_dropped_fresh_kept(spark):
+    hist = _hist(spark)
+    idx = minhash_index(hist)
+    new = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),  # clone
+            (101, "totally novel words nowhere in history corpus"),
+        ],
+        "doc_id bigint, text string")
+    got = {r["id"]: (r["best_match_id"], r["jaccard_est"], r["keep"])
+           for r in ingest_near_dups(new, idx).collect()}
+    # clone: est 1.0; ties between historical dups 1 and 4 break to min
+    assert got[100] == (1, 1.0, False)
+    assert got[101] == (None, None, True)
+
+
+def test_near_clone_estimate_between(spark):
+    hist = _hist(spark)
+    idx = minhash_index(hist)
+    # one token changed out of eight: most shingles survive
+    new = spark.createDataFrame(
+        [(200, "alpha beta gamma delta epsilon zeta eta CHANGED")],
+        "doc_id bigint, text string")
+    rows = ingest_near_dups(new, idx, threshold=0.99).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the mutated tail kills some components but not most
+    if r["jaccard_est"] is not None:
+        assert 0.0 < r["jaccard_est"] < 1.0
+        assert r["best_match_id"] in (1, 4)
+        assert r["keep"]          # below the 0.99 bar
+
+
+def test_index_shape_and_guards(spark):
+    hist = _hist(spark)
+    idx = minhash_index(hist, k=32, bands=8)
+    assert idx.columns == ["band", "band_hash", "id", "sig"]
+    assert idx.count() == 4 * 8
+    new = hist.limit(1)
+    with pytest.raises(ValueError, match="threshold"):
+        ingest_near_dups(new, idx, threshold=0.0)
+    with pytest.raises(ValueError, match="divide"):
+        ingest_near_dups(new, idx, bands=7)
+
+
+def test_plans_are_jvm_only(spark):
+    hist = _hist(spark)
+    idx = minhash_index(hist)
+    assert_no_python(idx)
+    assert_no_python(ingest_near_dups(hist.limit(1), idx))
