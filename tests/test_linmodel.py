@@ -115,3 +115,16 @@ def test_training_separates_planted_classes(spark):
     probe = hashed_linear_score(
         _df(spark, [(0, "zzz qqq")]), w).head()["q_score_milli"]
     assert abs(probe) < 1000 * 4
+
+
+def test_long_document_is_linear(spark):
+    """30k-token hostile doc: the quadratic element_at bigram build
+    would take minutes here (9·10^8 token re-evaluations); the
+    zip_with build completes in seconds and scores exactly."""
+    dim = 64
+    w = [((i * 37) % 401) - 200 for i in range(dim)]
+    text = " ".join(f"tok{i % 97}" for i in range(30_000))
+    out = hashed_linear_score(
+        _df(spark, [(0, text)]), w, bias_milli=3).collect()[0]
+    assert out["q_n_feats"] == 30_000 + 29_999
+    assert out["q_score_milli"] == _py_score(text, w, bias=3)
