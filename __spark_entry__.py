@@ -1165,6 +1165,28 @@ def q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep")
 
 
+def q_detect_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot move detection: docs 0..29 keep their text but
+    change URL host (moved), docs 30..59 keep both (not moved), the
+    rest vanish from the new snapshot (no row). The oracle recomputes
+    the same fingerprint grouping, so accidental text collisions in
+    the corpus classify identically in both engines."""
+    from document_extractor_spark.operators.diff import detect_moves
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def u(prefix):
+        return F.concat(F.lit(prefix),
+                        F.col("doc_id").cast("string")).alias("url")
+
+    old = d.select(u("https://old.example.org/"), "text")
+    new = (d.where(F.col("doc_id") < 30)
+           .select(u("https://new.example.org/"), "text")
+           .union(d.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+                  .select(u("https://old.example.org/"), "text")))
+    return detect_moves(old, new)
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two length-bucket batching plan over the corpus
     (max_len=256, min_bucket=32): per-bucket doc counts and exact
@@ -3662,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "length_buckets": q_length_buckets,
         "ingest_near_dups": q_ingest_near_dups,
+        "detect_moves": q_detect_moves,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -5461,6 +5484,36 @@ def oracle_sql() -> dict[str, str]:
               FROM s WHERE cosine IS NOT NULL)
             SELECT anchor_id, neg_id, cosine, CAST(rnk AS INT) AS rnk
             FROM r WHERE rnk <= 5
+        """,
+        # Move detection: structural recompute of the same fingerprint
+        # grouping (handles accidental corpus text collisions exactly
+        # like the operator).
+        "detect_moves": f"""
+            WITH o AS (
+              SELECT md5({_NORM}) AS h,
+                     'https://old.example.org/' || doc_id AS u
+              FROM documents WHERE text IS NOT NULL),
+            n AS (
+              SELECT md5({_NORM}) AS h,
+                     'https://new.example.org/' || doc_id AS u
+              FROM documents WHERE doc_id < 30 AND text IS NOT NULL
+              UNION ALL
+              SELECT md5({_NORM}),
+                     'https://old.example.org/' || doc_id
+              FROM documents
+              WHERE doc_id >= 30 AND doc_id < 60 AND text IS NOT NULL),
+            og AS (SELECT h, list_sort(list(DISTINCT u))[1:64]
+                       AS old_urls,
+                     count(DISTINCT u) AS no
+                   FROM o GROUP BY h),
+            ng AS (SELECT h, list_sort(list(DISTINCT u))[1:64]
+                       AS new_urls,
+                     count(DISTINCT u) AS nn
+                   FROM n GROUP BY h)
+            SELECT og.h AS content_hash, old_urls, new_urls,
+                   len(list_intersect(old_urls, new_urls)) = 0 AS moved,
+                   (no > 64 OR nn > 64) AS capped
+            FROM og JOIN ng USING (h)
         """,
         # Incremental near-dup gate closed form: exact clones carry an
         # identical shingle set, so all 32 MinHash components agree
