@@ -1187,6 +1187,27 @@ def q_detect_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_moves(old, new)
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-completeness audit over planted declarations: every doc
+    declares one URL on host doc_id%37, the crawl fetched the
+    doc_id%3 != 0 two-thirds (plus crawled-only extras the metric
+    ignores) — per-host coverage is exact integer arithmetic."""
+    from document_extractor_spark.operators.frontier import (
+        sitemap_coverage)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    loc = F.concat(F.lit("https://h"),
+                   (F.col("doc_id") % 37).cast("string"),
+                   F.lit(".example.org/p/"),
+                   F.col("doc_id").cast("string"))
+    declared = d.select(loc.alias("loc"))
+    crawled = (d.where(F.col("doc_id") % 3 != 0).select(loc.alias("url"))
+               .union(d.select(
+                   F.concat(F.lit("https://extra.example.org/"),
+                            F.col("doc_id").cast("string")).alias("url"))))
+    return sitemap_coverage(declared, crawled)
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two length-bucket batching plan over the corpus
     (max_len=256, min_bucket=32): per-bucket doc counts and exact
@@ -3685,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "ingest_near_dups": q_ingest_near_dups,
         "detect_moves": q_detect_moves,
+        "sitemap_coverage": q_sitemap_coverage,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -5484,6 +5506,19 @@ def oracle_sql() -> dict[str, str]:
               FROM s WHERE cosine IS NOT NULL)
             SELECT anchor_id, neg_id, cosine, CAST(rnk AS INT) AS rnk
             FROM r WHERE rnk <= 5
+        """,
+        # Sitemap coverage closed form on the planted 37-host layout.
+        "sitemap_coverage": """
+            WITH d AS (SELECT doc_id, doc_id % 37 AS m FROM documents),
+            a AS (SELECT m, count(*) AS nd,
+                         sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                           AS nc
+                  FROM d GROUP BY m)
+            SELECT 'h' || m || '.example.org' AS host,
+                   nd AS n_declared,
+                   CAST(nc AS BIGINT) AS n_crawled_of_declared,
+                   CAST(nc * 1000000 // nd AS BIGINT) AS coverage_ppm
+            FROM a
         """,
         # Move detection: structural recompute of the same fingerprint
         # grouping (handles accidental corpus text collisions exactly

@@ -350,7 +350,7 @@ HEADLINE_QUERIES = [
     "kmv_overlap", "hdr_quantiles", "rendezvous_routing", "stream_hll",
     "zone_pruning", "percolate", "apportion_budget", "hashed_quality",
     "soft_dedup", "reciprocal_links", "hard_negatives", "length_buckets",
-    "ingest_near_dups", "detect_moves",
+    "ingest_near_dups", "detect_moves", "sitemap_coverage",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

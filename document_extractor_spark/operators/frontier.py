@@ -257,3 +257,47 @@ def apportion_budget(scores: DataFrame, budget: int,
                     (F.col("_base")
                      + F.coalesce(F.col("_extra"), F.lit(0)))
                     .cast("bigint").alias("quota")))
+
+
+def sitemap_coverage(declared: DataFrame, crawled: DataFrame,
+                     declared_col: str = "loc",
+                     crawled_col: str = "url") -> DataFrame:
+    """Per-host crawl-completeness audit: of the URLs a site DECLARES
+    in its sitemaps, how many did the crawl actually fetch? The
+    frontier-ops companion to ``sitemap_urls`` (which extracts the
+    declarations) — low coverage on a high-value host means the
+    scheduler starved it; 100% coverage plus a large crawled-only
+    remainder means the sitemap is stale or the site is trap-heavy
+    (``url_templates``' territory). Site owners publish sitemaps
+    precisely so crawlers can close this loop.
+
+    Scale shape: both sides reduce to DISTINCT (host, url) —
+    hash-keyed, near-uniform — then one left anti-style flag join on
+    the full URL and a host-keyed count aggregation; all rows are two
+    short strings, map-side combinable, no payload anywhere. Hosts
+    are lowercased via the shared ``host_col`` rule; URLs compare
+    EXACTLY (canonicalize both sides first — ``canonicalize_urls`` —
+    when fetch logs disagree on tracking params).
+
+    Output: ``(host, n_declared, n_crawled_of_declared,
+    coverage_ppm)``, one row per host that declares at least one URL.
+    """
+    from .extract import host_col
+
+    dec = (declared.where(F.col(declared_col).isNotNull())
+           .select(F.col(declared_col).alias("_u")).distinct()
+           .withColumn("_h", host_col(F.col("_u"))))
+    got = (crawled.where(F.col(crawled_col).isNotNull())
+           .select(F.col(crawled_col).alias("_u")).distinct()
+           .withColumn("_hit", F.lit(1)))
+    j = dec.join(got, "_u", "left")
+    return (j.groupBy(F.col("_h").alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_declared"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .alias("n_crawled_of_declared"))
+            .select("host", "n_declared",
+                    F.col("n_crawled_of_declared").cast("bigint")
+                    .alias("n_crawled_of_declared"),
+                    F.expr("n_crawled_of_declared * 1000000"
+                           " div n_declared")
+                    .cast("bigint").alias("coverage_ppm")))

@@ -233,3 +233,40 @@ def test_apportion_plan_no_global_window(spark):
     assert "TakeOrdered" in plan
     assert "Window" not in plan
     assert sum(r["quota"] for r in out.collect()) == 57
+
+
+def test_sitemap_coverage_counts(spark):
+    from document_extractor_spark.operators.frontier import (
+        sitemap_coverage)
+
+    declared = spark.createDataFrame(
+        [("https://a.example.org/1",),
+         ("https://a.example.org/2",),
+         ("https://a.example.org/2",),          # duplicate declaration
+         ("https://A.example.org/3",),          # host case-folds to a.
+         ("https://b.example.org/1",),
+         (None,)],
+        "loc string")
+    crawled = spark.createDataFrame(
+        [("https://a.example.org/1",),
+         ("https://a.example.org/1",),          # re-fetch: still one url
+         ("https://b.example.org/1",),
+         ("https://b.example.org/extra",)],     # crawled-only: ignored
+        "url string")
+    got = {r["host"]: (r["n_declared"], r["n_crawled_of_declared"],
+                       r["coverage_ppm"])
+           for r in sitemap_coverage(declared, crawled).collect()}
+    assert got == {
+        "a.example.org": (3, 1, 333333),
+        "b.example.org": (1, 1, 1000000),
+    }
+
+
+def test_sitemap_coverage_plan_jvm_only(spark):
+    from document_extractor_spark.operators.frontier import (
+        sitemap_coverage)
+    from document_extractor_spark.plans import assert_no_python
+
+    d = spark.createDataFrame([("https://a/x",)], "loc string")
+    c = spark.createDataFrame([("https://a/x",)], "url string")
+    assert_no_python(sitemap_coverage(d, c))
