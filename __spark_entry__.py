@@ -321,6 +321,19 @@ def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         _augmented_near(spark, sf_dir), threshold=0.5).select("doc_id")
 
 
+def q_drop_near_dups_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup: same planted clone fixture as
+    drop_near_dups, but keep_by = doc_id, so in every {original,
+    clone} cluster the CLONE (larger score) survives — the closed
+    form the oracle states."""
+    from document_extractor_spark.operators.dedup import drop_near_duplicates
+
+    aug = _augmented_near(spark, sf_dir).withColumn(
+        "q", F.col("doc_id"))
+    return drop_near_duplicates(
+        aug, threshold=0.5, keep_by="q").select("doc_id")
+
+
 def q_drop_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-wide paragraph dedup: a shared boilerplate
     paragraph is appended to EVERY doc in-query; after dedup only the
@@ -3707,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_near_dups": q_ingest_near_dups,
         "detect_moves": q_detect_moves,
         "sitemap_coverage": q_sitemap_coverage,
+        "drop_near_dups_best": q_drop_near_dups_best,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -4076,6 +4090,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drop_near_dups": """
             SELECT doc_id FROM documents WHERE doc_id < 120
+        """,
+        # Quality-aware variant: keep_by = doc_id, so the clone
+        # (doc_id + 100000) outranks its source in every cluster.
+        "drop_near_dups_best": """
+            SELECT doc_id + 100000 AS doc_id FROM documents
+            WHERE doc_id < 40
+            UNION ALL
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 40 AND doc_id < 120
         """,
         "drop_dup_paragraphs": """
             WITH src AS (

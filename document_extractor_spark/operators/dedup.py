@@ -430,10 +430,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
 def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 3,
                          k: int = 32, bands: int = 8,
-                         threshold: float = 0.8) -> DataFrame:
+                         threshold: float = 0.8,
+                         keep_by: str = None) -> DataFrame:
     """The end-to-end corpus near-dedup a training pipeline actually
     runs: MinHash-LSH candidate pairs → exact-Jaccard verification →
-    connected components → keep only each cluster's min-id doc.
+    connected components → keep one doc per cluster.
+
+    ``keep_by``: optional NUMERIC column — the survivor is the cluster
+    member MAXIMIZING it (min id breaks ties) instead of the min-id
+    member, mirroring ``drop_exact_duplicates``' quality-aware rule:
+    near-dup families are re-renders of the same content, and a
+    production pipeline keeps the cleanest extraction, not the
+    smallest id. Costs one extra narrow join of the (tiny) cluster
+    table against the (id, score) projection — the corpus text is
+    still never re-shuffled.
 
     Composition of the tiers above; the anti-join removes every
     non-canonical cluster member. Shuffles: the LSH band join, the CC
@@ -443,8 +453,23 @@ def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     pairs = minhash_near_duplicates(df, id_col, text_col, n, k, bands,
                                     threshold)
     clusters = duplicate_clusters(pairs)
-    victims = clusters.filter(
-        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if keep_by is None:
+        victims = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    else:
+        # min of (-score, id): max score, ties to min id — negating
+        # the score, never the id (the drop_exact_duplicates rule)
+        scored = clusters.join(
+            df.select(F.col(id_col).alias("doc_id"), F.col(keep_by)),
+            "doc_id")
+        survivors = scored.groupBy("cluster_id").agg(
+            F.min_by(
+                F.col("doc_id"),
+                F.struct((-F.col(keep_by)).alias("_ns"),
+                         F.col("doc_id"))).alias("_keep"))
+        victims = (scored.join(survivors, "cluster_id")
+                   .filter(F.col("doc_id") != F.col("_keep"))
+                   .select("doc_id"))
     return df.join(
         victims.withColumnRenamed("doc_id", id_col),
         on=id_col, how="left_anti",

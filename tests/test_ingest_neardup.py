@@ -70,3 +70,25 @@ def test_plans_are_jvm_only(spark):
     idx = minhash_index(hist)
     assert_no_python(idx)
     assert_no_python(ingest_near_dups(hist.limit(1), idx))
+
+
+def test_drop_near_duplicates_keep_by(spark):
+    """Quality-aware near-dedup keeps the best cluster member, min id
+    on ties; the default path still keeps the min id."""
+    from document_extractor_spark.operators.dedup import (
+        drop_near_duplicates)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, 10),
+        (2, base + " tail", 90),             # near-dup of 1, better q
+        (3, "unrelated totally different words here now", 50),
+        (4, base + " tail2", 90),            # ties with 2 → min id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, q int")
+    best = {r["doc_id"] for r in drop_near_duplicates(
+        df, threshold=0.5, keep_by="q").collect()}
+    assert best == {2, 3}
+    default = {r["doc_id"] for r in drop_near_duplicates(
+        df, threshold=0.5).collect()}
+    assert default == {1, 3}
