@@ -821,6 +821,36 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_docs(spark, sf_dir), rules)
 
 
+def q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation as a REAL Structured Streaming job: the corpus
+    replayed as file micro-batches through the STATELESS in-row
+    matcher (no state store, no shuffle) — matches are identical to
+    the batch operator, so the oracle is the same rule-table join."""
+    import os
+    import tempfile
+    import uuid
+
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_percolate,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    inp = os.path.join(tempfile.mkdtemp(prefix="sg_stream_perc_"), "in")
+    d.repartition(4).write.mode("overwrite").parquet(inp)
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    out = stream_percolate(
+        stream,
+        [("r_the_and", ["the", "and"]),
+         ("r_of_to", ["of", "to"]),
+         ("r_never", ["the", "zzznosuchtokenzzz"])],
+        id_col="doc_id")
+    name = f"stream_perc_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name)
+    return spark.table(name)
+
+
 def q_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning report over the Morton layout: the planted 2-D
     grid (x = d%256, y = 7d%256) keyed at bits=8, zoned by the key's
@@ -3721,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_moves": q_detect_moves,
         "sitemap_coverage": q_sitemap_coverage,
         "drop_near_dups_best": q_drop_near_dups_best,
+        "stream_percolate": q_stream_percolate,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -5860,6 +5891,33 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN r USING (host), l
         """,
         "percolate": """
+            WITH rules(query_id, terms) AS (VALUES
+              ('r_the_and', ['the', 'and']),
+              ('r_of_to', ['of', 'to']),
+              ('r_never', ['the', 'zzznosuchtokenzzz'])),
+            q AS (SELECT query_id,
+                         len(list_distinct(list_transform(terms,
+                             t -> lower(t)))) AS n_terms,
+                         unnest(list_distinct(list_transform(terms,
+                             t -> lower(t)))) AS term
+                  FROM rules),
+            d AS (SELECT DISTINCT doc_id, tok AS term
+                  FROM (SELECT doc_id,
+                               unnest(list_filter(
+                                 regexp_split_to_array(
+                                   trim(lower(text)), '\\s+'),
+                                 t -> t <> '')) AS tok
+                        FROM documents)),
+            hits AS (SELECT d.doc_id, q.query_id,
+                            count(*) AS h, max(q.n_terms) AS need
+                     FROM d JOIN q USING (term)
+                     GROUP BY d.doc_id, q.query_id)
+            SELECT doc_id, query_id FROM hits WHERE h = need
+        """,
+        # Streaming percolation is the stateless in-row twin of the
+        # relational matcher: micro-batch slicing cannot change a
+        # per-row verdict, so the oracle is the identical rule join.
+        "stream_percolate": """
             WITH rules(query_id, terms) AS (VALUES
               ('r_the_and', ['the', 'and']),
               ('r_of_to', ['of', 'to']),

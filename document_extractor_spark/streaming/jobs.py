@@ -280,3 +280,63 @@ def stream_hll_distinct(keyed_stream: DataFrame, key_col: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: a subscription set is standing-query metadata inlined into the plan
+_MAX_PERCOLATE_RULES = 512
+
+
+def stream_percolate(pages_stream: DataFrame, rules,
+                     id_col: str = "url",
+                     text_col: str = "text") -> DataFrame:
+    """Standing-query percolation AT INGEST, streaming-native: emit
+    ``(id, query_id)`` the moment a page arrives whose tokens contain
+    ALL of a subscription's terms — alerting / routing / topic-feed
+    maintenance over a live crawl (the Elasticsearch-percolator idea,
+    Spark-first).
+
+    The rule set is subscription METADATA — ``[(query_id, [terms])]``,
+    bounded by ``_MAX_PERCOLATE_RULES`` and inlined as literals — so
+    matching is a STATELESS in-row projection: per row one distinct
+    lowercased token array (bound ONCE through a single-element
+    ``transform`` so Catalyst's lambda inlining cannot re-tokenize per
+    rule×term), one ``forall`` containment per rule, one staged
+    explode of the matched ids. No state store, no watermark, no
+    shuffle: any sink, append mode, and the identical expression runs
+    unchanged on a batch DataFrame — batch/stream parity is
+    structural, tested against ``operators.percolate.percolate``.
+
+    Rules with empty/NULL term lists are rejected (they would match
+    everything); NULL text matches nothing.
+    """
+    rl = [(q, [str(t) for t in terms]) for q, terms in rules]
+    if not rl or len(rl) > _MAX_PERCOLATE_RULES:
+        raise ValueError(
+            f"need 1..{_MAX_PERCOLATE_RULES} rules, got {len(rl)}")
+    if len({q for q, _ in rl}) != len(rl):
+        raise ValueError("duplicate query_id in rules")
+    for q, terms in rl:
+        if not terms:
+            raise ValueError(f"rule {q!r} has no terms")
+    toks = F.array_distinct(F.transform(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda t: t != F.lit("")),
+        lambda t: F.lower(t)))
+
+    def matches(tk):
+        per_rule = F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.forall(
+                    F.array(*[F.lit(t.lower()) for t in sorted(set(ts))]),
+                    lambda t: F.array_contains(tk, t)).alias("m"))
+            for q, ts in rl
+        ])
+        return F.transform(F.filter(per_rule, lambda s: s["m"]),
+                           lambda s: s["q"])
+
+    bound = F.element_at(F.transform(F.array(toks),
+                                     lambda tk: matches(tk)), 1)
+    staged = pages_stream.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), bound.alias("_q"))
+    return (staged.select(F.col(id_col), F.explode("_q").alias("query_id")))

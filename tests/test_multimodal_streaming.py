@@ -271,3 +271,67 @@ def test_image_near_dups_clones_only(spark):
     assert pairs == {("img://a0", "img://a1"): 0,
                      ("img://a0", "img://a2"): 0,
                      ("img://a1", "img://a2"): 0}
+
+
+# ---------------------------------------------------------------------------
+# stream_percolate
+# ---------------------------------------------------------------------------
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    import uuid
+
+    from document_extractor_spark.operators.percolate import percolate
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_percolate,
+    )
+
+    rules = [("r_ab", ["alpha", "beta"]), ("r_g", ["gamma"]),
+             ("r_none", ["alpha", "zzz"])]
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta alpha"),            # order-free AND
+            (3, "alpha only here"),
+            (4, None),
+            (5, "GAMMA Gamma"),           # case-folds, distinct tokens
+        ],
+        "doc_id bigint, text string")
+    inp = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(inp)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    out = stream_percolate(stream, rules, id_col="doc_id")
+    name = f"sp_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name)
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.table(name).collect()}
+    assert got == {(1, "r_ab"), (2, "r_ab"), (1, "r_g"), (5, "r_g")}
+    # structural batch parity: the relational percolate agrees
+    rdf = spark.createDataFrame(rules, "query_id string, terms array<string>")
+    batch = {(r["doc_id"], r["query_id"])
+             for r in percolate(docs, rdf).collect()}
+    assert got == batch
+
+
+def test_stream_percolate_stateless_and_guarded(spark):
+    import pytest as _pt
+
+    from document_extractor_spark.plans import assert_no_python
+    from document_extractor_spark.streaming.jobs import stream_percolate
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    out = stream_percolate(docs, [("r", ["x"])], id_col="doc_id")
+    assert_no_python(out)
+    from document_extractor_spark.plans import physical_plan
+
+    plan = physical_plan(out)
+    assert "Exchange" not in plan       # stateless narrow projection
+    with _pt.raises(ValueError, match="rules"):
+        stream_percolate(docs, [], id_col="doc_id")
+    with _pt.raises(ValueError, match="no terms"):
+        stream_percolate(docs, [("r", [])], id_col="doc_id")
+    with _pt.raises(ValueError, match="duplicate"):
+        stream_percolate(docs, [("r", ["a"]), ("r", ["b"])],
+                         id_col="doc_id")
