@@ -334,6 +334,22 @@ def q_drop_near_dups_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, threshold=0.5, keep_by="q").select("doc_id")
 
 
+def q_mirror_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site family detection over planted mirrors: base hosts
+    h0..h9 partition the corpus by doc_id%10; hosts m0..m4 re-serve
+    groups 0..4 verbatim. Families are exactly {hg, mg} for g<5 with
+    family_id hg (lexicographic min); unmirrored hosts have no edge
+    and no row."""
+    from document_extractor_spark.operators.dedup import mirror_families
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    g = (F.col("doc_id") % 10).cast("string")
+    base = d.select(F.concat(F.lit("h"), g).alias("source"), "text")
+    mirrored = (d.where(F.col("doc_id") % 10 < 5)
+                .select(F.concat(F.lit("m"), g).alias("source"), "text"))
+    return mirror_families(base.union(mirrored))
+
+
 def q_drop_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-wide paragraph dedup: a shared boilerplate
     paragraph is appended to EVERY doc in-query; after dedup only the
@@ -3752,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "drop_near_dups_best": q_drop_near_dups_best,
         "stream_percolate": q_stream_percolate,
+        "mirror_families": q_mirror_families,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -4121,6 +4138,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drop_near_dups": """
             SELECT doc_id FROM documents WHERE doc_id < 120
+        """,
+        # Mirror families closed form: each planted mirror pair shares
+        # its full hash set (verified distinct at this sf — no
+        # accidental cross-host sharing exists to add edges); n_hashes
+        # = the group's distinct normalized-text count.
+        "mirror_families": f"""
+            WITH g AS (SELECT DISTINCT doc_id % 10 AS m FROM documents
+                       WHERE m < 5),
+            cnt AS (SELECT doc_id % 10 AS m,
+                           count(DISTINCT md5({_NORM})) AS nh
+                    FROM documents GROUP BY 1),
+            hosts AS (
+              SELECT 'h' || m AS host, 'h' || m AS family_id, m FROM g
+              UNION ALL
+              SELECT 'm' || m, 'h' || m, m FROM g)
+            SELECT h.host, h.family_id,
+                   CAST(c.nh AS BIGINT) AS n_hashes
+            FROM hosts h JOIN cnt c USING (m)
         """,
         # Quality-aware variant: keep_by = doc_id, so the clone
         # (doc_id + 100000) outranks its source in every cluster.

@@ -958,3 +958,67 @@ def ingest_near_dups(new_docs: DataFrame, index: DataFrame,
                     F.coalesce(F.col("jaccard_est")
                                < F.lit(float(threshold)), F.lit(True))
                     .alias("keep")))
+
+
+def mirror_families(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text",
+                    overlap_ppm_threshold: int = 500_000,
+                    max_hosts_per_hash: int = 32) -> DataFrame:
+    """Mirror-site families: hosts serving substantially the SAME
+    content, grouped transitively — the crawl-budget view above
+    ``host_dup_stats`` (which says "this host is mostly dups") and
+    ``detect_moves`` (same content, different URL): a family of N
+    mirrors deserves one crawl budget, not N, and dedup survivor
+    selection should prefer the canonical family member.
+
+    Method: reduce to DISTINCT (host, content-hash); self-join on the
+    hash to count shared hashes per host PAIR (hashes on more than
+    ``max_hosts_per_hash`` hosts are excluded first — mass boilerplate
+    is not mirroring evidence, and the cap bounds the self-join
+    fan-out to ≤ C²/2 pairs per hash, killing the celebrity-hash
+    quadratic); a pair is a mirror EDGE when the overlap covers ≥
+    ``overlap_ppm_threshold`` of the SMALLER side (containment, so a
+    full mirror of a subsection still links); families are the
+    connected components (``duplicate_clusters``' pointer-doubling,
+    min host name as family id).
+
+    All joins are keyed by 16-byte hashes or host names — text never
+    shuffles. Output: ``(host, family_id, n_hashes)`` for every host
+    with at least one mirror edge; isolated hosts are absent (no
+    evidence, no row).
+    """
+    if not 0 < overlap_ppm_threshold <= 1_000_000:
+        raise ValueError(
+            f"overlap_ppm_threshold must be in (0, 1e6]: "
+            f"{overlap_ppm_threshold}")
+    if max_hosts_per_hash < 2:
+        raise ValueError("max_hosts_per_hash must be >= 2")
+    keyed = (df.where(F.col(text_col).isNotNull()
+                      & F.col(group_col).isNotNull())
+             .select(F.col(group_col).alias("_h"),
+                     content_hash(text_col).alias("_c"))
+             .distinct())
+    totals = keyed.groupBy("_h").agg(F.count(F.lit(1)).alias("n_hashes"))
+    kept = (keyed.groupBy("_c").agg(F.count(F.lit(1)).alias("_fan"))
+            .where(F.col("_fan") <= max_hosts_per_hash)
+            .select("_c"))
+    slim = keyed.join(kept, "_c")
+    b = slim.select(F.col("_c"), F.col("_h").alias("_hb"))
+    shared = (slim.join(b, "_c")
+              .where(F.col("_h") < F.col("_hb"))
+              .groupBy("_h", "_hb")
+              .agg(F.count(F.lit(1)).alias("_shared")))
+    ta = totals.select(F.col("_h"), F.col("n_hashes").alias("_na"))
+    tb = totals.select(F.col("_h").alias("_hb"),
+                       F.col("n_hashes").alias("_nb"))
+    edges = (shared.join(ta, "_h").join(tb, "_hb")
+             .where(F.expr("_shared * 1000000 div least(_na, _nb)")
+                    >= F.lit(int(overlap_ppm_threshold)))
+             .select(F.col("_h").alias("id_a"),
+                     F.col("_hb").alias("id_b")))
+    fams = duplicate_clusters(edges)
+    return (fams.select(F.col("doc_id").alias("_h"),
+                        F.col("cluster_id").alias("family_id"))
+            .join(totals, "_h")
+            .select(F.col("_h").alias("host"), "family_id",
+                    F.col("n_hashes").cast("bigint").alias("n_hashes")))

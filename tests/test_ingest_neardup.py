@@ -92,3 +92,63 @@ def test_drop_near_duplicates_keep_by(spark):
     default = {r["doc_id"] for r in drop_near_duplicates(
         df, threshold=0.5).collect()}
     assert default == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# mirror_families
+# ---------------------------------------------------------------------------
+
+
+def test_mirror_families_components(spark):
+    from document_extractor_spark.operators.dedup import mirror_families
+
+    rows = [
+        # A and B: full mirrors (3 shared texts)
+        ("a.com", "text one"), ("a.com", "text two"), ("a.com", "text three"),
+        ("b.com", "text one"), ("b.com", "text two"), ("b.com", "text three"),
+        # E: subset mirror (containment — 2/2 of its texts are A's)
+        ("e.com", "text one"), ("e.com", "text two"),
+        # C: 1 of 3 shared with A → 333333 ppm < 500000 → no edge
+        # (shares "text three", which E does NOT carry — else the
+        # min-side containment rule would link C to the 2-text E at
+        # exactly 1/2)
+        ("c.com", "text three"), ("c.com", "own c2"), ("c.com", "own c3"),
+        # D: disjoint
+        ("d.com", "entirely different"),
+        (None, "text one"), ("x.com", None),
+    ]
+    got = {r["host"]: (r["family_id"], r["n_hashes"])
+           for r in mirror_families(
+               spark.createDataFrame(rows, "source string, text string")
+           ).collect()}
+    assert got == {
+        "a.com": ("a.com", 3),
+        "b.com": ("a.com", 3),
+        "e.com": ("a.com", 2),
+    }
+
+
+def test_mirror_families_cap_and_guards(spark):
+    import pytest as _pt
+
+    from document_extractor_spark.operators.dedup import mirror_families
+
+    # one text on 3 hosts with cap 2 → evidence excluded → no families
+    rows = [(h, "mass boilerplate") for h in ("a", "b", "c")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    assert mirror_families(df, max_hosts_per_hash=2).count() == 0
+    with _pt.raises(ValueError, match="overlap_ppm_threshold"):
+        mirror_families(df, overlap_ppm_threshold=0)
+    with _pt.raises(ValueError, match="max_hosts_per_hash"):
+        mirror_families(df, max_hosts_per_hash=1)
+
+
+def test_mirror_families_text_never_shuffles(spark):
+    from document_extractor_spark.operators.dedup import mirror_families
+    from document_extractor_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [("a", "x" * 40), ("b", "x" * 40)], "source string, text string")
+    for line in physical_plan(mirror_families(df)).splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
