@@ -867,6 +867,33 @@ def q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed linear quality model run as a REAL streaming job —
+    file micro-batches through the stateless scoring fold, append-mode
+    memory sink. Verdicts are per-row, so the oracle is the identical
+    batch model twin (hashed_quality's SQL)."""
+    import os
+    import tempfile
+    import uuid
+
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_quality_gate,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    inp = os.path.join(tempfile.mkdtemp(prefix="sg_stream_q_"), "in")
+    d.repartition(4).write.mode("overwrite").parquet(inp)
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    out = stream_quality_gate(
+        stream, _linmodel_weights(), bias_milli=50).select(
+        "doc_id", "q_n_feats", "q_score_milli", "q_keep")
+    name = f"stream_q_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name)
+    return spark.table(name)
+
+
 def q_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning report over the Morton layout: the planted 2-D
     grid (x = d%256, y = 7d%256) keyed at bits=8, zoned by the key's
@@ -3769,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_near_dups_best": q_drop_near_dups_best,
         "stream_percolate": q_stream_percolate,
         "mirror_families": q_mirror_families,
+        "stream_quality": q_stream_quality,
         # --- attested green in r04 but CHANGED since (need fresh
         # attestation): url_filter (NULL-url classify + eTLD+1 seam),
         # drop_dup_paragraphs (de-payloaded window), simhash + the two
@@ -5529,6 +5557,12 @@ def oracle_sql() -> dict[str, str]:
         # the operator module from the SAME weight list, so bucket math
         # and NULL policy cannot drift.
         "hashed_quality": linmodel_oracle_sql(
+            "documents", "doc_id", "text", _linmodel_weights(),
+            bias_milli=50, threshold_milli=0),
+        # The streaming gate is the same stateless expression tree —
+        # micro-batch slicing cannot change a per-row score, so the
+        # oracle is the identical batch-model twin.
+        "stream_quality": linmodel_oracle_sql(
             "documents", "doc_id", "text", _linmodel_weights(),
             bias_milli=50, threshold_milli=0),
         # Soft dedup: inverse-multiplicity ppm weights over the same

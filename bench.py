@@ -352,6 +352,7 @@ HEADLINE_QUERIES = [
     "soft_dedup", "reciprocal_links", "hard_negatives", "length_buckets",
     "ingest_near_dups", "detect_moves", "sitemap_coverage",
     "drop_near_dups_best", "stream_percolate", "mirror_families",
+    "stream_quality",
 ]
 
 # Shuffle-bearing analytics queries also timed at local[8] so the N→4N

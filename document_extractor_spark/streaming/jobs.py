@@ -340,3 +340,28 @@ def stream_percolate(pages_stream: DataFrame, rules,
     staged = pages_stream.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), bound.alias("_q"))
     return (staged.select(F.col(id_col), F.explode("_q").alias("query_id")))
+
+
+def stream_quality_gate(pages_stream: DataFrame, weights_milli,
+                        text_col: str = "text",
+                        bias_milli: int = 0,
+                        threshold_milli: int = 0) -> DataFrame:
+    """Model-based quality gating AT INGEST: score every arriving page
+    with the fastText-style hashed linear model
+    (``operators.linmodel.hashed_linear_score``) and carry the verdict
+    — the DCLM/CCNet classifier gate applied where it is cheapest, at
+    the crawl mouth, before a low-quality page ever costs downstream
+    dedup/extraction work.
+
+    The scoring fold is a STATELESS narrow projection (weights are one
+    inlined string constant), so like :func:`stream_percolate` it
+    needs no state store or watermark, works in append mode with any
+    sink, and a micro-batch slicing change cannot alter a verdict —
+    batch/stream parity is structural: the identical expression tree
+    scores the batch corpus in the ``hashed_quality`` contract query.
+    """
+    from ..operators.linmodel import hashed_linear_score
+
+    return hashed_linear_score(
+        pages_stream, weights_milli, text_col=text_col,
+        bias_milli=bias_milli, threshold_milli=threshold_milli)

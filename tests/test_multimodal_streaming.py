@@ -335,3 +335,38 @@ def test_stream_percolate_stateless_and_guarded(spark):
     with _pt.raises(ValueError, match="duplicate"):
         stream_percolate(docs, [("r", ["a"]), ("r", ["b"])],
                          id_col="doc_id")
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    import uuid
+
+    from document_extractor_spark.operators.linmodel import (
+        bucket_of,
+        hashed_linear_score,
+    )
+    from document_extractor_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_quality_gate,
+    )
+
+    w = [0] * 64
+    w[bucket_of("good", 64)] += 500
+    w[bucket_of("bad", 64)] -= 500
+    docs = spark.createDataFrame(
+        [(1, "good good stuff"), (2, "bad bad noise"), (3, None)],
+        "doc_id bigint, text string")
+    inp = str(tmp_path / "in")
+    docs.repartition(2).write.parquet(inp)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    out = stream_quality_gate(stream, w).select(
+        "doc_id", "q_score_milli", "q_keep")
+    name = f"sq_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name)
+    got = {r["doc_id"]: (r["q_score_milli"], r["q_keep"])
+           for r in spark.table(name).collect()}
+    batch = {r["doc_id"]: (r["q_score_milli"], r["q_keep"])
+             for r in hashed_linear_score(docs, w).collect()}
+    assert got == batch
+    assert got[1][1] is True and got[2][1] is False
+    assert got[3] == (None, False)
